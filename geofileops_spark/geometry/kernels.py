@@ -1,0 +1,388 @@
+"""Numpy geometry kernels: measures, point-in-polygon, segment tests,
+distances.
+
+These are the from-scratch equivalents of the scalar functions the
+reference calls in its SQL templates (``ST_Area, ST_Perimeter, ST_Length,
+ST_Distance, ST_Centroid, ST_MinX/MaxX/MinY/MaxY, ST_NPoints`` —
+geofileops SURVEY §2.8) — implemented batch-vectorized where the math
+allows, so they run fast inside Arrow pandas UDFs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .geom import (
+    GEOMETRYCOLLECTION,
+    LINESTRING,
+    MULTILINESTRING,
+    MULTIPOINT,
+    MULTIPOLYGON,
+    POINT,
+    POLYGON,
+    Geometry,
+)
+
+EPS = 1e-12
+
+
+# -------------------------------------------------------------------- bounds
+def bounds(geom: Geometry) -> tuple[float, float, float, float]:
+    """(minx, miny, maxx, maxy); NaNs for empty."""
+    c = geom.coords()
+    c = c[~np.isnan(c[:, 0])]
+    if len(c) == 0:
+        return (np.nan, np.nan, np.nan, np.nan)
+    return (
+        float(c[:, 0].min()),
+        float(c[:, 1].min()),
+        float(c[:, 0].max()),
+        float(c[:, 1].max()),
+    )
+
+
+def bbox_intersects(b1, b2, margin: float = 0.0) -> bool:
+    return not (
+        b1[2] + margin < b2[0]
+        or b2[2] + margin < b1[0]
+        or b1[3] + margin < b2[1]
+        or b2[3] + margin < b1[1]
+    )
+
+
+# ------------------------------------------------------------------ measures
+def ring_signed_area(ring: np.ndarray) -> float:
+    """Shoelace; positive = CCW."""
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * float(np.dot(x[:-1], y[1:]) - np.dot(x[1:], y[:-1]))
+
+
+def area(geom: Geometry) -> float:
+    total = 0.0
+    for rings in geom.polygons():
+        if not rings:
+            continue
+        total += abs(ring_signed_area(rings[0]))
+        for hole in rings[1:]:
+            total -= abs(ring_signed_area(hole))
+    return total
+
+
+def _path_length(arr: np.ndarray) -> float:
+    if len(arr) < 2:
+        return 0.0
+    d = np.diff(arr, axis=0)
+    return float(np.sqrt((d * d).sum(axis=1)).sum())
+
+
+def length(geom: Geometry) -> float:
+    """ST_Length for lines, ST_Perimeter for polygons."""
+    total = 0.0
+    for ls in geom.lines():
+        total += _path_length(ls)
+    for rings in geom.polygons():
+        for ring in rings:
+            total += _path_length(ring)
+    return total
+
+
+def centroid(geom: Geometry) -> Geometry:
+    """Area-weighted (polygons) / length-weighted (lines) / mean (points)."""
+    polys = geom.polygons()
+    if polys:
+        cx = cy = a_sum = 0.0
+        for rings in polys:
+            for i, ring in enumerate(rings):
+                x, y = ring[:-1, 0], ring[:-1, 1]
+                x1, y1 = ring[1:, 0], ring[1:, 1]
+                cross = x * y1 - x1 * y
+                a = cross.sum() / 2.0
+                if abs(a) < EPS:
+                    continue
+                sign = 1.0 if i == 0 else -1.0
+                a_eff = abs(a) * sign
+                cx += float(((x + x1) * cross).sum() / (6.0 * a)) * a_eff
+                cy += float(((y + y1) * cross).sum() / (6.0 * a)) * a_eff
+                a_sum += a_eff
+        if abs(a_sum) > EPS:
+            return Geometry.point(cx / a_sum, cy / a_sum)
+    lines = geom.lines()
+    if lines:
+        cx = cy = w_sum = 0.0
+        for ls in lines:
+            d = np.diff(ls, axis=0)
+            w = np.sqrt((d * d).sum(axis=1))
+            mid = (ls[:-1] + ls[1:]) / 2.0
+            cx += float((mid[:, 0] * w).sum())
+            cy += float((mid[:, 1] * w).sum())
+            w_sum += float(w.sum())
+        if w_sum > EPS:
+            return Geometry.point(cx / w_sum, cy / w_sum)
+    pts = geom.coords()
+    pts = pts[~np.isnan(pts[:, 0])]
+    if len(pts) == 0:
+        return Geometry.empty(POINT)
+    return Geometry.point(float(pts[:, 0].mean()), float(pts[:, 1].mean()))
+
+
+# ------------------------------------------------------- point in ring/poly
+def points_in_ring(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
+    """Vectorized crossing-number test for many points vs one ring.
+
+    Returns int8 array: 0 = outside, 1 = on boundary, 2 = inside.
+    """
+    n = len(pts)
+    if n == 0:
+        return np.empty(0, dtype=np.int8)
+    x, y = pts[:, 0:1], pts[:, 1:2]  # (n,1)
+    x1, y1 = ring[:-1, 0][None, :], ring[:-1, 1][None, :]  # (1,m)
+    x2, y2 = ring[1:, 0][None, :], ring[1:, 1][None, :]
+
+    # --- boundary test: point on segment (collinear + within bbox)
+    dx, dy = x2 - x1, y2 - y1
+    cross = (x - x1) * dy - (y - y1) * dx
+    seg_len2 = dx * dx + dy * dy
+    # distance^2 to infinite line scaled: cross^2 / len2 <= eps^2
+    on_line = cross * cross <= (EPS * 1e6) ** 2 * np.maximum(seg_len2, EPS)
+    dot = (x - x1) * dx + (y - y1) * dy
+    within = (dot >= -EPS) & (dot <= seg_len2 + EPS)
+    on_boundary = (on_line & within).any(axis=1)
+
+    # --- crossing number (half-open rule avoids double count at vertices)
+    cond = (y1 > y) != (y2 > y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xints = x1 + (y - y1) * dx / np.where(dy == 0, np.inf, dy)
+    crossings = (cond & (x < xints)).sum(axis=1)
+    inside = (crossings % 2).astype(bool)
+
+    out = np.zeros(n, dtype=np.int8)
+    out[inside] = 2
+    out[on_boundary] = 1
+    return out
+
+
+def points_in_polygon(pts: np.ndarray, rings: list[np.ndarray]) -> np.ndarray:
+    """0 = outside, 1 = boundary, 2 = interior — for polygon with holes."""
+    if not rings:
+        return np.zeros(len(pts), dtype=np.int8)
+    res = points_in_ring(pts, rings[0])
+    for hole in rings[1:]:
+        h = points_in_ring(pts, hole)
+        # inside hole -> outside polygon; on hole boundary -> boundary
+        res = np.where((res == 2) & (h == 2), 0, res)
+        res = np.where((res == 2) & (h == 1), 1, res)
+    return res
+
+
+def points_in_multipolygon(pts: np.ndarray, geom: Geometry) -> np.ndarray:
+    """Max classification over polygon parts."""
+    res = np.zeros(len(pts), dtype=np.int8)
+    for rings in geom.polygons():
+        res = np.maximum(res, points_in_polygon(pts, rings))
+    return res
+
+
+# ----------------------------------------------------- segment intersection
+def segments_cross(a1, a2, b_starts, b_ends):
+    """One segment (a1,a2) vs many segments. Returns (proper, touching)
+    boolean arrays: proper = interiors cross; touching = intersect at an
+    endpoint / collinear overlap."""
+    a1 = np.asarray(a1, dtype=np.float64)
+    a2 = np.asarray(a2, dtype=np.float64)
+    d1 = a2 - a1
+    d2 = b_ends - b_starts  # (m,2)
+    diff = b_starts - a1  # (m,2)
+    denom = d1[0] * d2[:, 1] - d1[1] * d2[:, 0]
+    t_num = diff[:, 0] * d2[:, 1] - diff[:, 1] * d2[:, 0]
+    u_num = diff[:, 0] * d1[1] - diff[:, 1] * d1[0]
+    scale = (
+        np.maximum(np.abs(d1).sum(), EPS) * np.maximum(np.abs(d2).sum(axis=1), EPS)
+    )
+    nz = np.abs(denom) > EPS * scale
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = np.where(nz, t_num / np.where(nz, denom, 1.0), np.nan)
+        u = np.where(nz, u_num / np.where(nz, denom, 1.0), np.nan)
+    tol = 1e-9
+    hit = nz & (t > -tol) & (t < 1 + tol) & (u > -tol) & (u < 1 + tol)
+    proper = nz & (t > tol) & (t < 1 - tol) & (u > tol) & (u < 1 - tol)
+    touching = hit & ~proper
+
+    # collinear overlap: denom == 0 and points collinear and ranges overlap
+    col = ~nz & (np.abs(t_num) <= 1e-9 * scale)
+    if col.any():
+        # project endpoints of b onto a's direction
+        L2 = max(float(d1 @ d1), EPS)
+        s0 = ((b_starts - a1) @ d1) / L2
+        s1 = ((b_ends - a1) @ d1) / L2
+        lo = np.minimum(s0, s1)
+        hi = np.maximum(s0, s1)
+        overlap = col & (hi >= -tol) & (lo <= 1 + tol)
+        touching = touching | overlap
+    return proper, touching
+
+
+def path_segments(arr: np.ndarray):
+    """(starts, ends) for a coordinate path."""
+    return arr[:-1], arr[1:]
+
+
+def geom_segments(geom: Geometry):
+    """All boundary/line segments of a geometry as (starts, ends)."""
+    starts, ends = [], []
+    for ls in geom.lines():
+        s, e = path_segments(ls)
+        starts.append(s)
+        ends.append(e)
+    for rings in geom.polygons():
+        for ring in rings:
+            s, e = path_segments(ring)
+            starts.append(s)
+            ends.append(e)
+    if not starts:
+        return np.empty((0, 2)), np.empty((0, 2))
+    return np.vstack(starts), np.vstack(ends)
+
+
+def any_segment_intersection(ga: Geometry, gb: Geometry):
+    """(any_proper_cross, any_touch) between segment sets of two geometries."""
+    sa, ea = geom_segments(ga)
+    sb, eb = geom_segments(gb)
+    if len(sa) == 0 or len(sb) == 0:
+        return False, False
+    any_proper = any_touch = False
+    for i in range(len(sa)):
+        proper, touching = segments_cross(sa[i], ea[i], sb, eb)
+        if proper.any():
+            any_proper = True
+        if touching.any():
+            any_touch = True
+        if any_proper and any_touch:
+            break
+    return any_proper, any_touch
+
+
+# ------------------------------------------------------------------ distance
+def points_to_segments_dist(pts: np.ndarray, s: np.ndarray, e: np.ndarray):
+    """Min distance from each point to a set of segments. (n,) array."""
+    if len(s) == 0 or len(pts) == 0:
+        return np.full(len(pts), np.inf)
+    d = e - s  # (m,2)
+    len2 = np.maximum((d * d).sum(axis=1), EPS)  # (m,)
+    # (n,m)
+    t = ((pts[:, None, :] - s[None, :, :]) * d[None, :, :]).sum(axis=2) / len2
+    t = np.clip(t, 0.0, 1.0)
+    proj = s[None, :, :] + t[:, :, None] * d[None, :, :]
+    diff = pts[:, None, :] - proj
+    return np.sqrt((diff * diff).sum(axis=2)).min(axis=1)
+
+
+def distance(ga: Geometry, gb: Geometry) -> float:
+    """Min planar distance; 0 if they intersect."""
+    if ga.is_empty() or gb.is_empty():
+        return float("nan")
+    pa, pb = ga.points(), gb.points()
+    sa, ea = geom_segments(ga)
+    sb, eb = geom_segments(gb)
+    best = np.inf
+    # point-point
+    if len(pa) and len(pb):
+        diff = pa[:, None, :] - pb[None, :, :]
+        best = min(best, float(np.sqrt((diff * diff).sum(axis=2)).min()))
+    # point-segment both directions
+    if len(pa) and len(sb):
+        best = min(best, float(points_to_segments_dist(pa, sb, eb).min()))
+    if len(pb) and len(sa):
+        best = min(best, float(points_to_segments_dist(pb, sa, ea).min()))
+    # segment-segment: endpoint distances + crossing
+    if len(sa) and len(sb):
+        va = np.vstack([sa, ea])
+        vb = np.vstack([sb, eb])
+        best = min(best, float(points_to_segments_dist(va, sb, eb).min()))
+        best = min(best, float(points_to_segments_dist(vb, sa, ea).min()))
+        if best > 0:
+            proper, touching = any_segment_intersection(ga, gb)
+            if proper or touching:
+                best = 0.0
+    # containment: point of one inside polygon of other
+    if best > 0:
+        if ga.polygons():
+            cb = gb.coords()
+            cb = cb[~np.isnan(cb[:, 0])]
+            if len(cb) and points_in_multipolygon(cb[:1], ga)[0] > 0:
+                best = 0.0
+        if best > 0 and gb.polygons():
+            ca = ga.coords()
+            ca = ca[~np.isnan(ca[:, 0])]
+            if len(ca) and points_in_multipolygon(ca[:1], gb)[0] > 0:
+                best = 0.0
+    return float(best)
+
+
+# ---------------------------------------------------------------- precision
+def set_precision(geom: Geometry, grid_size: float) -> Geometry | None:
+    """Snap all coordinates to a grid (ST_ReducePrecision / gridsize —
+    geofileops ``_geoops_sql.py:4884-4900``). Degenerate parts (collapsed
+    rings/lines) are dropped; returns None if everything collapses
+    (matching GFO_ReducePrecision's NULL-on-failure,
+    ``util/_sqlite_userdefined.py:97-155``)."""
+    if grid_size is None or grid_size <= 0 or geom is None:
+        return geom
+
+    def snap(arr):
+        return np.round(np.asarray(arr) / grid_size) * grid_size
+
+    t, d = geom.typ, geom.data
+    if t == POINT:
+        return Geometry(POINT, snap(d))
+    if t == MULTIPOINT:
+        pts = np.unique(snap(d), axis=0) if len(d) else d
+        return Geometry(MULTIPOINT, pts)
+    if t in (LINESTRING, MULTILINESTRING):
+        lss = geom.lines()
+        out = []
+        for ls in lss:
+            s = snap(ls)
+            keep = np.ones(len(s), dtype=bool)
+            keep[1:] = (np.abs(np.diff(s, axis=0)).sum(axis=1)) > 0
+            s = s[keep]
+            if len(s) >= 2:
+                out.append(s)
+        if not out:
+            return None
+        if t == LINESTRING:
+            return Geometry(LINESTRING, out[0]) if len(out) == 1 else Geometry(
+                MULTILINESTRING, out
+            )
+        return Geometry(MULTILINESTRING, out)
+    if t in (POLYGON, MULTIPOLYGON):
+        polys_out = []
+        for rings in geom.polygons():
+            rings_out = []
+            for i, ring in enumerate(rings):
+                r = snap(ring)
+                keep = np.ones(len(r), dtype=bool)
+                keep[1:] = (np.abs(np.diff(r, axis=0)).sum(axis=1)) > 0
+                r = r[keep]
+                if len(r) and (r[0] != r[-1]).any():
+                    r = np.vstack([r, r[:1]])
+                if len(r) >= 4 and abs(ring_signed_area(r)) > 0:
+                    rings_out.append(r)
+                elif i == 0:
+                    rings_out = None
+                    break
+            if rings_out:
+                polys_out.append(rings_out)
+        if not polys_out:
+            return None
+        if t == POLYGON:
+            return (
+                Geometry(POLYGON, polys_out[0])
+                if len(polys_out) == 1
+                else Geometry(MULTIPOLYGON, polys_out)
+            )
+        return Geometry(MULTIPOLYGON, polys_out)
+    if t == GEOMETRYCOLLECTION:
+        subs = [set_precision(g, grid_size) for g in d]
+        subs = [g for g in subs if g is not None]
+        return Geometry(GEOMETRYCOLLECTION, subs) if subs else None
+    return geom  # pragma: no cover

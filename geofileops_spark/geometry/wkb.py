@@ -1,0 +1,267 @@
+"""WKB / WKT codecs (from scratch, 2-D).
+
+The reference carries geometry across every UDF boundary as WKB bytes
+(geofileops ``util/_sqlite_userdefined.py:15-97``). We do the same:
+``geom_wkb: binary`` columns in Spark, decoded to :class:`Geometry`
+only inside Arrow-batched pandas UDFs.
+
+Little-endian WKB, OGC type codes 1..7, XY only.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from .geom import (
+    GEOMETRYCOLLECTION,
+    LINESTRING,
+    MULTILINESTRING,
+    MULTIPOINT,
+    MULTIPOLYGON,
+    NAME_TO_TYPE,
+    POINT,
+    POLYGON,
+    Geometry,
+)
+
+_HDR = struct.Struct("<BI")
+_U32 = struct.Struct("<I")
+_D2 = struct.Struct("<2d")
+
+
+# --------------------------------------------------------------------- dumps
+def dumps(geom: Geometry) -> bytes:
+    """Geometry -> WKB bytes."""
+    out = bytearray()
+    _write(geom, out)
+    return bytes(out)
+
+
+def _write(geom: Geometry, out: bytearray) -> None:
+    t, d = geom.typ, geom.data
+    out += _HDR.pack(1, t)
+    if t == POINT:
+        if geom.is_empty():
+            out += _D2.pack(float("nan"), float("nan"))
+        else:
+            out += _D2.pack(float(d[0]), float(d[1]))
+    elif t == LINESTRING:
+        _write_coords(d, out)
+    elif t == POLYGON:
+        out += _U32.pack(len(d))
+        for ring in d:
+            _write_coords(ring, out)
+    elif t == MULTIPOINT:
+        out += _U32.pack(len(d))
+        for i in range(len(d)):
+            out += _HDR.pack(1, POINT)
+            out += _D2.pack(float(d[i, 0]), float(d[i, 1]))
+    elif t == MULTILINESTRING:
+        out += _U32.pack(len(d))
+        for ls in d:
+            out += _HDR.pack(1, LINESTRING)
+            _write_coords(ls, out)
+    elif t == MULTIPOLYGON:
+        out += _U32.pack(len(d))
+        for rings in d:
+            out += _HDR.pack(1, POLYGON)
+            out += _U32.pack(len(rings))
+            for ring in rings:
+                _write_coords(ring, out)
+    elif t == GEOMETRYCOLLECTION:
+        out += _U32.pack(len(d))
+        for g in d:
+            _write(g, out)
+    else:  # pragma: no cover
+        raise ValueError(f"unsupported type {t}")
+
+
+def _write_coords(arr, out: bytearray) -> None:
+    arr = np.ascontiguousarray(np.asarray(arr, dtype="<f8").reshape(-1, 2))
+    out += _U32.pack(arr.shape[0])
+    out += arr.tobytes()
+
+
+# --------------------------------------------------------------------- loads
+def loads(buf: bytes) -> Geometry:
+    """WKB bytes -> Geometry. Returns None for None input."""
+    if buf is None:
+        return None
+    geom, _ = _read(memoryview(buf), 0)
+    return geom
+
+
+def _read(mv: memoryview, off: int):
+    byteorder = mv[off]
+    if byteorder == 1:
+        typ = int.from_bytes(mv[off + 1 : off + 5], "little")
+    else:
+        typ = int.from_bytes(mv[off + 1 : off + 5], "big")
+    # strip Z/M/SRID flags (ISO codes 1001.., EWKB 0x80000000/0x20000000)
+    typ = typ & 0xFF
+    if typ > 7:
+        typ = typ % 1000
+    off += 5
+    bo = "<" if byteorder == 1 else ">"
+    if typ == POINT:
+        x, y = struct.unpack_from(bo + "2d", mv, off)
+        return Geometry(POINT, np.array([x, y])), off + 16
+    if typ == LINESTRING:
+        coords, off = _read_coords(mv, off, bo)
+        return Geometry(LINESTRING, coords), off
+    if typ == POLYGON:
+        (nrings,) = struct.unpack_from(bo + "I", mv, off)
+        off += 4
+        rings = []
+        for _ in range(nrings):
+            ring, off = _read_coords(mv, off, bo)
+            rings.append(ring)
+        return Geometry(POLYGON, rings), off
+    if typ in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
+        (n,) = struct.unpack_from(bo + "I", mv, off)
+        off += 4
+        subs = []
+        for _ in range(n):
+            g, off = _read(mv, off)
+            subs.append(g)
+        if typ == MULTIPOINT:
+            pts = (
+                np.vstack([g.data for g in subs]) if subs else np.empty((0, 2))
+            )
+            return Geometry(MULTIPOINT, pts), off
+        if typ == MULTILINESTRING:
+            return Geometry(MULTILINESTRING, [g.data for g in subs]), off
+        if typ == MULTIPOLYGON:
+            return Geometry(MULTIPOLYGON, [g.data for g in subs]), off
+        return Geometry(GEOMETRYCOLLECTION, subs), off
+    raise ValueError(f"unsupported wkb type {typ}")
+
+
+def _read_coords(mv: memoryview, off: int, bo: str):
+    (n,) = struct.unpack_from(bo + "I", mv, off)
+    off += 4
+    arr = np.frombuffer(mv, dtype=bo + "f8", count=n * 2, offset=off).reshape(n, 2)
+    return arr.astype(np.float64, copy=True), off + n * 16
+
+
+# ---------------------------------------------------------------------- WKT
+def from_wkt(wkt: str) -> Geometry:
+    """Minimal WKT parser (tests/fixtures only; not a hot path)."""
+    s = wkt.strip()
+    upper = s.upper()
+    for name in sorted(NAME_TO_TYPE, key=len, reverse=True):
+        if upper.startswith(name):
+            typ = NAME_TO_TYPE[name]
+            body = s[len(name) :].strip()
+            break
+    else:
+        raise ValueError(f"bad wkt: {wkt[:40]}")
+    if body.upper().startswith("EMPTY"):
+        return Geometry.empty(typ)
+    if typ == GEOMETRYCOLLECTION:
+        # split top-level sub-geometries on commas at depth 0
+        inner = body.strip()[1:-1]
+        subs, depth, start = [], 0, 0
+        for i, ch in enumerate(inner):
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                subs.append(inner[start:i])
+                start = i + 1
+        subs.append(inner[start:])
+        return Geometry(GEOMETRYCOLLECTION, [from_wkt(sub) for sub in subs])
+    tokens = _parse_nested(body)
+    if typ == POINT:
+        return Geometry(POINT, np.asarray(tokens[0], dtype=np.float64))
+    if typ == LINESTRING:
+        return Geometry(LINESTRING, np.asarray(tokens, dtype=np.float64))
+    if typ == MULTIPOINT:
+        # both "MULTIPOINT(1 2, 3 4)" and "MULTIPOINT((1 2),(3 4))"
+        pts = [t[0] if isinstance(t[0], list) else t for t in tokens]
+        return Geometry(MULTIPOINT, np.asarray(pts, dtype=np.float64))
+    if typ == POLYGON:
+        return Geometry(
+            POLYGON, [np.asarray(r, dtype=np.float64) for r in tokens]
+        )
+    if typ == MULTILINESTRING:
+        return Geometry(
+            MULTILINESTRING, [np.asarray(ls, dtype=np.float64) for ls in tokens]
+        )
+    if typ == MULTIPOLYGON:
+        return Geometry(
+            MULTIPOLYGON,
+            [[np.asarray(r, dtype=np.float64) for r in poly] for poly in tokens],
+        )
+    raise ValueError(f"unsupported wkt type {typ}")  # pragma: no cover
+
+
+def _parse_nested(body: str):
+    """Parse '((1 2, 3 4),(5 6))' into nested lists of [x,y]."""
+    pos = 0
+
+    def parse():
+        nonlocal pos
+        assert body[pos] == "("
+        pos += 1
+        items = []
+        while True:
+            while pos < len(body) and body[pos] in " ,":
+                pos += 1
+            if pos >= len(body):
+                break
+            if body[pos] == "(":
+                items.append(parse())
+            elif body[pos] == ")":
+                pos += 1
+                break
+            else:
+                start = pos
+                while pos < len(body) and body[pos] not in ",()":
+                    pos += 1
+                nums = [float(v) for v in body[start:pos].split()]
+                items.append(nums)
+        return items
+
+    while pos < len(body) and body[pos] != "(":
+        pos += 1
+    return parse()
+
+
+def to_wkt(geom: Geometry, digits: int = 9) -> str:
+    """Geometry -> WKT (tests/debug)."""
+    t, d = geom.typ, geom.data
+    fmt = f"%.{digits}g"
+
+    def c(pt):
+        return f"{fmt % pt[0]} {fmt % pt[1]}"
+
+    def seq(arr):
+        return ", ".join(c(p) for p in np.asarray(arr).reshape(-1, 2))
+
+    if geom.is_empty():
+        return f"{geom.type_name()} EMPTY"
+    if t == POINT:
+        return f"POINT ({c(d)})"
+    if t == MULTIPOINT:
+        return f"MULTIPOINT ({seq(d)})"
+    if t == LINESTRING:
+        return f"LINESTRING ({seq(d)})"
+    if t == MULTILINESTRING:
+        return "MULTILINESTRING (" + ", ".join(f"({seq(ls)})" for ls in d) + ")"
+    if t == POLYGON:
+        return "POLYGON (" + ", ".join(f"({seq(r)})" for r in d) + ")"
+    if t == MULTIPOLYGON:
+        return (
+            "MULTIPOLYGON ("
+            + ", ".join(
+                "(" + ", ".join(f"({seq(r)})" for r in poly) + ")" for poly in d
+            )
+            + ")"
+        )
+    return (
+        "GEOMETRYCOLLECTION (" + ", ".join(to_wkt(g, digits) for g in d) + ")"
+    )

@@ -1,0 +1,141 @@
+"""Boolean-op tests with area assertions (topology-insensitive, the same
+comparison style the reference's dissolve tests use —
+geofileops tests/single_layer_operations/test_geoops_dissolve.py:411-425).
+"""
+
+import numpy as np
+import pytest
+
+from geofileops_spark.geometry import clip as C
+from geofileops_spark.geometry import kernels as K
+from geofileops_spark.geometry import wkb
+
+
+def g(wkt):
+    return wkb.from_wkt(wkt)
+
+
+A = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+
+
+def test_intersection_overlap():
+    b = g("POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))")
+    r = C.intersection(g(A), b)
+    assert K.area(r) == pytest.approx(25.0, rel=1e-6)
+
+
+def test_intersection_contained():
+    b = g("POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))")
+    r = C.intersection(g(A), b)
+    assert K.area(r) == pytest.approx(4.0, rel=1e-6)
+
+
+def test_intersection_disjoint():
+    b = g("POLYGON ((20 20, 30 20, 30 30, 20 30, 20 20))")
+    r = C.intersection(g(A), b)
+    assert r.is_empty()
+
+
+def test_difference_notch():
+    b = g("POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))")
+    r = C.difference(g(A), b)
+    assert K.area(r) == pytest.approx(75.0, rel=1e-6)
+
+
+def test_difference_hole():
+    b = g("POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))")
+    r = C.difference(g(A), b)
+    assert K.area(r) == pytest.approx(96.0, rel=1e-6)
+    # and re-intersecting the hole region gives nothing
+    r2 = C.intersection(r, g("POLYGON ((2.5 2.5, 3.5 2.5, 3.5 3.5, 2.5 3.5, 2.5 2.5))"))
+    assert K.area(r2) == pytest.approx(0.0, abs=1e-9)
+
+
+def test_difference_split_into_two():
+    blade = g("POLYGON ((4 -1, 6 -1, 6 11, 4 11, 4 -1))")
+    r = C.difference(g(A), blade)
+    assert K.area(r) == pytest.approx(80.0, rel=1e-6)
+    assert len(r.polygons()) == 2
+
+
+def test_union_overlap():
+    b = g("POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))")
+    r = C.union_geoms([g(A), b])
+    assert K.area(r) == pytest.approx(175.0, rel=1e-6)
+    assert len(r.polygons()) == 1
+
+
+def test_union_disjoint():
+    b = g("POLYGON ((20 20, 30 20, 30 30, 20 30, 20 20))")
+    r = C.union_geoms([g(A), b])
+    assert K.area(r) == pytest.approx(200.0, rel=1e-6)
+    assert len(r.polygons()) == 2
+
+
+def test_union_shared_edge_degenerate():
+    # adjacent squares sharing an edge: vertex/collinear degeneracy path
+    b = g("POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))")
+    r = C.union_geoms([g(A), b])
+    assert K.area(r) == pytest.approx(200.0, rel=1e-4)
+
+
+def test_union_many_circles_chain():
+    # chain of overlapping squares -> single component, correct area
+    polys = [g(f"POLYGON (({i*5} 0, {i*5+10} 0, {i*5+10} 10, {i*5} 10, {i*5} 0))") for i in range(5)]
+    r = C.union_geoms(polys)
+    assert K.area(r) == pytest.approx(10 * (5 * 5 + 5), rel=1e-4)  # 30x10
+    assert len(r.polygons()) == 1
+
+
+def test_intersection_degenerate_shared_vertex():
+    b = g("POLYGON ((10 10, 20 10, 20 20, 10 20, 10 10))")  # touches at corner
+    r = C.intersection(g(A), b)
+    assert K.area(r) == pytest.approx(0.0, abs=1e-4)
+
+
+def test_line_clip():
+    line = g("LINESTRING (-5 5, 15 5)")
+    inside = C.intersection(line, g(A))
+    assert K.length(inside) == pytest.approx(10.0, rel=1e-9)
+    outside = C.difference(line, g(A))
+    assert K.length(outside) == pytest.approx(10.0, rel=1e-9)
+
+
+def test_point_clip():
+    pts = g("MULTIPOINT (5 5, 20 20)")
+    inside = C.intersection(pts, g(A))
+    assert len(inside.points()) == 1
+    outside = C.difference(pts, g(A))
+    assert len(outside.points()) == 1
+
+
+def test_intersection_with_holed_subject():
+    holed = g(
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+    )
+    b = g("POLYGON ((3 3, 7 3, 7 7, 3 7, 3 3))")
+    r = C.intersection(holed, b)
+    assert K.area(r) == pytest.approx(16.0 - 4.0, rel=1e-6)
+
+
+def test_difference_from_holed_subject():
+    holed = g(
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+    )
+    b = g("POLYGON ((-1 -1, 5 -1, 5 5, -1 5, -1 -1))")
+    r = C.difference(holed, b)
+    # full 96 minus overlap: b covers x<5,y<5 → area 25 within outer, minus
+    # hole part in that quadrant (1x1) → removes 24 → 72
+    assert K.area(r) == pytest.approx(96.0 - 24.0, rel=1e-4)
+
+
+def test_union_forms_hole():
+    # C-shape + closing bar -> union with a hole in the middle
+    c_shape = g("POLYGON ((0 0, 10 0, 10 3, 3 3, 3 7, 10 7, 10 10, 0 10, 0 0))")
+    bar = g("POLYGON ((8 2, 11 2, 11 8, 8 8, 8 2))")
+    r = C.union_geoms([c_shape, bar])
+    # hole should exist: point (5.5, 5) is enclosed but not covered
+    from geofileops_spark.geometry.kernels import points_in_multipolygon
+
+    assert points_in_multipolygon(np.array([[5.5, 5.0]]), r)[0] == 0
+    assert points_in_multipolygon(np.array([[1.0, 5.0]]), r)[0] == 2

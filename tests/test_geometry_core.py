@@ -1,0 +1,193 @@
+"""Unit tests: WKB/WKT codec, measures, PIP, predicates.
+
+Mirrors the reference's topology micro-fixtures
+(geofileops tests/test_helper.py:342-375 TestData WKTs).
+"""
+
+import numpy as np
+import pytest
+
+from geofileops_spark.geometry import wkb
+from geofileops_spark.geometry.geom import Geometry
+from geofileops_spark.geometry import kernels as K
+from geofileops_spark.geometry import predicates as P
+
+
+UNIT_SQ = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+SQ_HOLE = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+
+
+def rt(wkt):
+    """WKT -> Geometry -> WKB -> Geometry roundtrip."""
+    g = wkb.from_wkt(wkt)
+    return wkb.loads(wkb.dumps(g))
+
+
+@pytest.mark.parametrize(
+    "wkt",
+    [
+        "POINT (1.5 -2.5)",
+        "MULTIPOINT (1 2, 3 4)",
+        "LINESTRING (0 0, 1 1, 2 0)",
+        "MULTILINESTRING ((0 0, 1 1), (2 2, 3 3, 4 2))",
+        UNIT_SQ,
+        SQ_HOLE,
+        "MULTIPOLYGON (((0 0, 1 0, 1 1, 0 1, 0 0)), ((2 2, 3 2, 3 3, 2 3, 2 2)))",
+        "GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 1 1))",
+        "MULTIPOLYGON EMPTY",
+        "POINT EMPTY",
+    ],
+)
+def test_wkb_roundtrip(wkt):
+    g = wkb.from_wkt(wkt)
+    g2 = rt(wkt)
+    assert g2.typ == g.typ
+    if g.is_empty():
+        assert g2.is_empty()
+    else:
+        assert np.allclose(g.coords(), g2.coords())
+
+
+def test_wkt_roundtrip_text():
+    g = wkb.from_wkt(UNIT_SQ)
+    assert wkb.from_wkt(wkb.to_wkt(g)).coords().shape == g.coords().shape
+
+
+def test_area_perimeter():
+    g = rt(UNIT_SQ)
+    assert K.area(g) == pytest.approx(100.0)
+    assert K.length(g) == pytest.approx(40.0)
+    gh = rt(SQ_HOLE)
+    assert K.area(gh) == pytest.approx(96.0)
+    assert K.length(gh) == pytest.approx(48.0)
+
+
+def test_centroid():
+    c = K.centroid(rt(UNIT_SQ))
+    assert np.allclose(c.data, [5, 5])
+    c2 = K.centroid(rt("LINESTRING (0 0, 10 0)"))
+    assert np.allclose(c2.data, [5, 0])
+
+
+def test_pip():
+    g = wkb.from_wkt(SQ_HOLE)
+    pts = np.array(
+        [[5, 5], [1, 1], [0, 0], [5, 0], [-1, 5], [4.5, 5], [11, 11]],
+        dtype=float,
+    )
+    res = K.points_in_polygon(pts, g.data)
+    #  in-hole, inside, corner, edge, outside, hole-boundary... wait 4.5,5 on hole edge x=4? no hole is 4..6 → (4.5,5) inside hole
+    assert res.tolist() == [0, 2, 1, 1, 0, 0, 0]
+
+
+def test_distance():
+    a = wkb.from_wkt("POINT (0 0)")
+    b = wkb.from_wkt("POINT (3 4)")
+    assert K.distance(a, b) == pytest.approx(5.0)
+    sq = wkb.from_wkt(UNIT_SQ)
+    assert K.distance(wkb.from_wkt("POINT (5 5)"), sq) == 0.0
+    assert K.distance(wkb.from_wkt("POINT (15 10)"), sq) == pytest.approx(5.0)
+    l1 = wkb.from_wkt("LINESTRING (0 0, 10 0)")
+    l2 = wkb.from_wkt("LINESTRING (5 -5, 5 5)")
+    assert K.distance(l1, l2) == 0.0
+    l3 = wkb.from_wkt("LINESTRING (0 3, 10 3)")
+    assert K.distance(l1, l3) == pytest.approx(3.0)
+
+
+def test_set_precision():
+    g = wkb.from_wkt("POINT (1.234 5.678)")
+    g2 = K.set_precision(g, 0.1)
+    assert np.allclose(g2.data, [1.2, 5.7])
+    # collapsing polygon -> None
+    tiny = wkb.from_wkt("POLYGON ((0 0, 0.01 0, 0.01 0.01, 0 0.01, 0 0))")
+    assert K.set_precision(tiny, 1.0) is None
+
+
+# ------------------------------------------------------------- predicates
+def test_point_polygon_predicates():
+    sq = wkb.from_wkt(UNIT_SQ)
+    inside = wkb.from_wkt("POINT (5 5)")
+    on_edge = wkb.from_wkt("POINT (5 0)")
+    outside = wkb.from_wkt("POINT (20 20)")
+    assert P.intersects(inside, sq) and P.intersects(sq, inside)
+    assert P.within(inside, sq)
+    assert P.contains(sq, inside)
+    assert not P.within(on_edge, sq)  # boundary point is not within
+    assert P.touches(on_edge, sq)
+    assert P.covers(sq, on_edge)
+    assert P.coveredby(on_edge, sq)
+    assert P.disjoint(outside, sq)
+    assert not P.intersects(outside, sq)
+
+
+def test_polygon_polygon_predicates():
+    a = wkb.from_wkt(UNIT_SQ)
+    b = wkb.from_wkt("POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))")  # overlaps
+    c = wkb.from_wkt("POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))")  # touches edge
+    d = wkb.from_wkt("POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))")  # inside a
+    e = wkb.from_wkt("POLYGON ((30 30, 40 30, 40 40, 30 40, 30 30))")  # disjoint
+    assert P.overlaps(a, b) and P.overlaps(b, a)
+    assert P.intersects(a, b)
+    assert not P.contains(a, b)
+    assert P.touches(a, c) and P.touches(c, a)
+    assert P.intersects(a, c)
+    assert not P.overlaps(a, c)
+    assert P.contains(a, d) and P.within(d, a)
+    assert P.covers(a, d)
+    assert not P.touches(a, d)
+    assert P.disjoint(a, e)
+    assert P.equals(a, rt(UNIT_SQ))
+    assert not P.equals(a, b)
+
+
+def test_polygon_hole_containment():
+    holed = wkb.from_wkt(SQ_HOLE)
+    in_hole = wkb.from_wkt("POLYGON ((4.5 4.5, 5.5 4.5, 5.5 5.5, 4.5 5.5, 4.5 4.5))")
+    assert not P.contains(holed, in_hole)
+    assert P.disjoint(holed, in_hole)
+
+
+def test_line_polygon_predicates():
+    sq = wkb.from_wkt(UNIT_SQ)
+    crossing = wkb.from_wkt("LINESTRING (-5 5, 15 5)")
+    inside = wkb.from_wkt("LINESTRING (2 2, 8 8)")
+    edge = wkb.from_wkt("LINESTRING (0 0, 10 0)")
+    away = wkb.from_wkt("LINESTRING (20 20, 30 30)")
+    assert P.crosses(crossing, sq)
+    assert P.intersects(crossing, sq)
+    assert P.within(inside, sq)
+    assert P.contains(sq, inside)
+    assert P.touches(edge, sq)
+    assert not P.within(edge, sq)
+    assert P.coveredby(edge, sq)
+    assert P.disjoint(away, sq)
+
+
+def test_line_line_predicates():
+    a = wkb.from_wkt("LINESTRING (0 0, 10 0)")
+    x = wkb.from_wkt("LINESTRING (5 -5, 5 5)")
+    t = wkb.from_wkt("LINESTRING (10 0, 20 0)")
+    o = wkb.from_wkt("LINESTRING (5 0, 15 0)")
+    assert P.crosses(a, x)
+    assert P.touches(a, t)
+    assert P.overlaps(a, o)
+    assert P.equals(a, wkb.from_wkt("LINESTRING (0 0, 10 0)"))
+
+
+def test_relate_pattern_raw_mask():
+    sq = wkb.from_wkt(UNIT_SQ)
+    d = wkb.from_wkt("POLYGON ((2 2, 4 2, 4 4, 2 4, 2 2))")
+    # within mask
+    assert P.relate_pattern(d, sq, "T*F**F***")
+    assert not P.relate_pattern(sq, d, "T*F**F***")
+
+
+def test_collection_extract_and_explode():
+    gc = wkb.from_wkt(
+        "GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 1 1), "
+        "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0)))"
+    )
+    polys = gc.collection_extract(3)
+    assert polys.typ == wkb.MULTIPOLYGON if hasattr(wkb, "MULTIPOLYGON") else True
+    assert K.area(polys) == pytest.approx(1.0)
+    assert len(gc.parts()) == 3
