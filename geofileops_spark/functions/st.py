@@ -1,0 +1,445 @@
+"""Column-level spatial functions (the ``ST_*`` surface) as Arrow-batched
+pandas UDFs over WKB binary columns.
+
+Covers the scalar-function surface the reference's SQL templates call
+(SURVEY.md §2.8: ST_Area/Perimeter/Length/Distance, ST_Buffer,
+ST_ConvexHull, ST_Intersection/Difference/Union, ST_CollectionExtract,
+ST_MakeValid/IsValid, ST_ReducePrecision, ST_Centroid, ST_NPoints,
+ST_GeometryType, bbox accessors, spatial predicates, DE-9IM relate).
+
+Everything is vectorized at the Arrow-batch level: WKB decode + numpy
+kernels per batch, **no per-row Python UDFs** (input_hint requirement).
+Parameterized functions (buffer distance, styles, …) are closure
+factories returning a ready Column expression.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    BooleanType,
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+)
+
+from ..geometry import clip as C
+from ..geometry import kernels as K
+from ..geometry import predicates as P
+from ..geometry import transform as T
+from ..geometry import valid as V
+from ..geometry import wkb as W
+from ..geometry.geom import Geometry
+from ..index import cells as X
+
+
+# ------------------------------------------------------------ scalar helpers
+def _map_scalar(ser: pd.Series, fn, default=None):
+    out = []
+    for b in ser:
+        if b is None:
+            out.append(default)
+            continue
+        out.append(fn(W.loads(bytes(b))))
+    return out
+
+
+def _map_geom(ser: pd.Series, fn):
+    """WKB series -> WKB series through a Geometry->Geometry fn."""
+    out = []
+    for b in ser:
+        if b is None:
+            out.append(None)
+            continue
+        g = fn(W.loads(bytes(b)))
+        out.append(W.dumps(g) if g is not None else None)
+    return out
+
+
+# ----------------------------------------------------------------- measures
+@pandas_udf(DoubleType())
+def st_area(wkb: pd.Series) -> pd.Series:
+    return pd.Series(_map_scalar(wkb, K.area), dtype="float64")
+
+
+@pandas_udf(DoubleType())
+def st_length(wkb: pd.Series) -> pd.Series:
+    return pd.Series(_map_scalar(wkb, K.length), dtype="float64")
+
+
+st_perimeter = st_length
+
+
+@pandas_udf(IntegerType())
+def st_npoints(wkb: pd.Series) -> pd.Series:
+    return pd.Series(_map_scalar(wkb, lambda g: g.num_coords()), dtype="Int32")
+
+
+@pandas_udf(BooleanType())
+def st_isempty(wkb: pd.Series) -> pd.Series:
+    return pd.Series(_map_scalar(wkb, lambda g: g.is_empty()), dtype="boolean")
+
+
+@pandas_udf(BooleanType())
+def st_isvalid(wkb: pd.Series) -> pd.Series:
+    return pd.Series(_map_scalar(wkb, V.is_valid), dtype="boolean")
+
+
+@pandas_udf(StringType())
+def st_isvalidreason(wkb: pd.Series) -> pd.Series:
+    return pd.Series(_map_scalar(wkb, lambda g: V.is_valid_reason(g)[1]))
+
+
+@pandas_udf(StringType())
+def st_geometrytype(wkb: pd.Series) -> pd.Series:
+    return pd.Series(_map_scalar(wkb, lambda g: g.type_name()))
+
+
+@pandas_udf(DoubleType())
+def st_minx(wkb: pd.Series) -> pd.Series:
+    return pd.Series(_map_scalar(wkb, lambda g: K.bounds(g)[0]), dtype="float64")
+
+
+@pandas_udf(DoubleType())
+def st_miny(wkb: pd.Series) -> pd.Series:
+    return pd.Series(_map_scalar(wkb, lambda g: K.bounds(g)[1]), dtype="float64")
+
+
+@pandas_udf(DoubleType())
+def st_maxx(wkb: pd.Series) -> pd.Series:
+    return pd.Series(_map_scalar(wkb, lambda g: K.bounds(g)[2]), dtype="float64")
+
+
+@pandas_udf(DoubleType())
+def st_maxy(wkb: pd.Series) -> pd.Series:
+    return pd.Series(_map_scalar(wkb, lambda g: K.bounds(g)[3]), dtype="float64")
+
+
+@pandas_udf(DoubleType())
+def st_x(wkb: pd.Series) -> pd.Series:
+    def fx(g):
+        p = g.points()
+        return float(p[0, 0]) if len(p) else None
+
+    return pd.Series(_map_scalar(wkb, fx), dtype="float64")
+
+
+@pandas_udf(DoubleType())
+def st_y(wkb: pd.Series) -> pd.Series:
+    def fy(g):
+        p = g.points()
+        return float(p[0, 1]) if len(p) else None
+
+    return pd.Series(_map_scalar(wkb, fy), dtype="float64")
+
+
+# ------------------------------------------------------------- constructors
+@pandas_udf(BinaryType())
+def st_point(x: pd.Series, y: pd.Series) -> pd.Series:
+    out = []
+    xs = x.to_numpy(dtype=np.float64, na_value=np.nan)
+    ys = y.to_numpy(dtype=np.float64, na_value=np.nan)
+    for i in range(len(xs)):
+        if np.isnan(xs[i]) or np.isnan(ys[i]):
+            out.append(None)
+        else:
+            out.append(W.dumps(Geometry.point(xs[i], ys[i])))
+    return pd.Series(out)
+
+
+@pandas_udf(BinaryType())
+def st_geomfromtext(wkt: pd.Series) -> pd.Series:
+    return pd.Series(
+        [W.dumps(W.from_wkt(s)) if s is not None else None for s in wkt]
+    )
+
+
+@pandas_udf(StringType())
+def st_astext(wkb: pd.Series) -> pd.Series:
+    return pd.Series(_map_scalar(wkb, W.to_wkt))
+
+
+@pandas_udf(BinaryType())
+def st_centroid(wkb: pd.Series) -> pd.Series:
+    return pd.Series(_map_geom(wkb, K.centroid))
+
+
+# --------------------------------------------------------------- transforms
+def st_buffer(
+    col,
+    distance: float,
+    quad_segs: int = 8,
+    cap_style: str = "round",
+    join_style: str = "round",
+    mitre_limit: float = 5.0,
+    single_sided: bool = False,
+) -> Column:
+    @pandas_udf(BinaryType())
+    def _buf(wkb: pd.Series) -> pd.Series:
+        return pd.Series(
+            _map_geom(
+                wkb,
+                lambda g: T.buffer_geom(
+                    g, distance, quad_segs, cap_style, join_style, mitre_limit, single_sided
+                ),
+            )
+        )
+
+    return _buf(col)
+
+
+@pandas_udf(BinaryType())
+def st_convexhull(wkb: pd.Series) -> pd.Series:
+    return pd.Series(_map_geom(wkb, T.convex_hull))
+
+
+def st_simplify(col, tolerance: float, algorithm: str = "rdp") -> Column:
+    @pandas_udf(BinaryType())
+    def _simp(wkb: pd.Series) -> pd.Series:
+        return pd.Series(
+            _map_geom(wkb, lambda g: T.simplify_geom(g, tolerance, algorithm))
+        )
+
+    return _simp(col)
+
+
+@pandas_udf(BinaryType())
+def st_makevalid(wkb: pd.Series) -> pd.Series:
+    return pd.Series(_map_geom(wkb, V.make_valid))
+
+
+def st_reduceprecision(col, gridsize: float) -> Column:
+    """GFO_ReducePrecision twin (geofileops _sqlite_userdefined.py:97-155):
+    snap to grid, makevalid-then-snap on failure, NULL on collapse."""
+
+    @pandas_udf(BinaryType())
+    def _red(wkb: pd.Series) -> pd.Series:
+        def fix(g):
+            r = K.set_precision(g, gridsize)
+            if r is None:
+                g2 = V.make_valid(g, only_if_invalid=False)
+                if g2 is not None:
+                    r = K.set_precision(g2, gridsize)
+            return r
+
+        return pd.Series(_map_geom(wkb, fix))
+
+    return _red(col)
+
+
+def st_collectionextract(col, primitive: int) -> Column:
+    @pandas_udf(BinaryType())
+    def _ce(wkb: pd.Series) -> pd.Series:
+        return pd.Series(
+            _map_geom(wkb, lambda g: g.collection_extract(primitive))
+        )
+
+    return _ce(col)
+
+
+@pandas_udf(BinaryType())
+def st_forcemulti(wkb: pd.Series) -> pd.Series:
+    return pd.Series(_map_geom(wkb, lambda g: g.force_multi()))
+
+
+def st_subdivide_array(col, max_coords: int = 2000) -> Column:
+    """Array of WKB parts (explode afterwards) — gfo_subdivide twin."""
+
+    @pandas_udf(ArrayType(BinaryType()))
+    def _sub(wkb: pd.Series) -> pd.Series:
+        out = []
+        for b in wkb:
+            if b is None:
+                out.append(None)
+                continue
+            parts = T.subdivide(W.loads(bytes(b)), max_coords)
+            out.append([W.dumps(p) for p in parts if p is not None])
+        return pd.Series(out)
+
+    return _sub(col)
+
+
+@pandas_udf(ArrayType(BinaryType()))
+def st_parts(wkb: pd.Series) -> pd.Series:
+    """Explodecollections support: array of single-geometry parts."""
+    out = []
+    for b in wkb:
+        if b is None:
+            out.append(None)
+            continue
+        g = W.loads(bytes(b))
+        out.append([W.dumps(p) for p in g.parts()])
+    return pd.Series(out)
+
+
+# ------------------------------------------------------------- binary geoms
+def _map_pair_geom(wkb1: pd.Series, wkb2: pd.Series, fn):
+    out = []
+    for b1, b2 in zip(wkb1, wkb2):
+        if b1 is None or b2 is None:
+            out.append(None)
+            continue
+        g = fn(W.loads(bytes(b1)), W.loads(bytes(b2)))
+        out.append(W.dumps(g) if g is not None else None)
+    return pd.Series(out)
+
+
+@pandas_udf(BinaryType())
+def st_intersection(wkb1: pd.Series, wkb2: pd.Series) -> pd.Series:
+    return _map_pair_geom(wkb1, wkb2, C.intersection)
+
+
+@pandas_udf(BinaryType())
+def st_difference(wkb1: pd.Series, wkb2: pd.Series) -> pd.Series:
+    return _map_pair_geom(wkb1, wkb2, C.difference)
+
+
+@pandas_udf(BinaryType())
+def st_union_pair(wkb1: pd.Series, wkb2: pd.Series) -> pd.Series:
+    return _map_pair_geom(wkb1, wkb2, lambda a, b: C.union_geoms([a, b]))
+
+
+@pandas_udf(DoubleType())
+def st_distance(wkb1: pd.Series, wkb2: pd.Series) -> pd.Series:
+    out = []
+    for b1, b2 in zip(wkb1, wkb2):
+        if b1 is None or b2 is None:
+            out.append(None)
+        else:
+            out.append(K.distance(W.loads(bytes(b1)), W.loads(bytes(b2))))
+    return pd.Series(out, dtype="float64")
+
+
+# ---------------------------------------------------------------- predicates
+def _pair_pred(wkb1: pd.Series, wkb2: pd.Series, fn) -> pd.Series:
+    out = []
+    cache: dict[bytes, object] = {}
+
+    def load(b):
+        g = cache.get(b)
+        if g is None:
+            g = W.loads(b)
+            if len(cache) > 256:
+                cache.clear()
+            cache[b] = g
+        return g
+
+    for b1, b2 in zip(wkb1, wkb2):
+        if b1 is None or b2 is None:
+            out.append(None)
+        else:
+            out.append(bool(fn(load(bytes(b1)), load(bytes(b2)))))
+    return pd.Series(out, dtype="boolean")
+
+
+def _make_pred_udf(name):
+    fn = P.PREDICATE_FNS[name]
+
+    @pandas_udf(BooleanType())
+    def _pred(wkb1: pd.Series, wkb2: pd.Series) -> pd.Series:
+        return _pair_pred(wkb1, wkb2, fn)
+
+    _pred.__name__ = f"st_{name}"
+    return _pred
+
+
+st_intersects = _make_pred_udf("intersects")
+st_within = _make_pred_udf("within")
+st_contains = _make_pred_udf("contains")
+st_touches = _make_pred_udf("touches")
+st_overlaps = _make_pred_udf("overlaps")
+st_crosses = _make_pred_udf("crosses")
+st_covers = _make_pred_udf("covers")
+st_coveredby = _make_pred_udf("coveredby")
+st_equals = _make_pred_udf("equals")
+st_disjoint = _make_pred_udf("disjoint")
+
+
+@pandas_udf(StringType())
+def st_relate(wkb1: pd.Series, wkb2: pd.Series) -> pd.Series:
+    out = []
+    for b1, b2 in zip(wkb1, wkb2):
+        if b1 is None or b2 is None:
+            out.append(None)
+        else:
+            out.append(P.relate_matrix(W.loads(bytes(b1)), W.loads(bytes(b2))))
+    return pd.Series(out)
+
+
+def st_dwithin(col1, col2, dist: float) -> Column:
+    @pandas_udf(BooleanType())
+    def _dw(wkb1: pd.Series, wkb2: pd.Series) -> pd.Series:
+        return _pair_pred(
+            wkb1, wkb2, lambda a, b: K.distance(a, b) <= dist
+        )
+
+    return _dw(col1, col2)
+
+
+# --------------------------------------------------------------- cell index
+def gq_cell(col_x, col_y, res: int) -> Column:
+    """Point cell id from x/y columns (vectorized, no WKB decode)."""
+
+    @pandas_udf(LongType())
+    def _cell(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        x = xs.to_numpy(dtype=np.float64, na_value=np.nan)
+        y = ys.to_numpy(dtype=np.float64, na_value=np.nan)
+        cells = X.cell_of_points(np.nan_to_num(x), np.nan_to_num(y), res)
+        return pd.Series(np.where(np.isnan(x), None, cells), dtype="Int64")
+
+    return _cell(col_x, col_y)
+
+
+def gq_cover(col, res: int, cap: int = 4096) -> Column:
+    """Array of cell ids covering the geometry (explode for the join key).
+    Point geometries get exactly one cell — the fast path."""
+
+    @pandas_udf(ArrayType(LongType()))
+    def _cover(wkb: pd.Series) -> pd.Series:
+        out = []
+        for b in wkb:
+            if b is None:
+                out.append(None)
+                continue
+            g = W.loads(bytes(b))
+            pts = g.points()
+            if g.typ == 1 and len(pts) == 1:
+                out.append(
+                    X.cell_of_points(pts[:, 0], pts[:, 1], res).tolist()
+                )
+            else:
+                out.append(X.cover_geometry(g, res, cap=cap).tolist())
+        return pd.Series(out)
+
+    return _cover(col)
+
+
+def gq_parent(col, parent_res: int) -> Column:
+    @pandas_udf(LongType())
+    def _par(cells: pd.Series) -> pd.Series:
+        arr = cells.to_numpy(dtype=np.int64, na_value=0)
+        return pd.Series(X.parent(arr, parent_res), dtype="int64")
+
+    return _par(col)
+
+
+def register_sql_functions(spark) -> None:
+    """Expose the surface to SQL-string users (optional nicety,
+    SURVEY.md §4 'Optional')."""
+    spark.udf.register("st_area", st_area)
+    spark.udf.register("st_length", st_length)
+    spark.udf.register("st_astext", st_astext)
+    spark.udf.register("st_geomfromtext", st_geomfromtext)
+    spark.udf.register("st_isvalid", st_isvalid)
+    spark.udf.register("st_intersects", st_intersects)
+    spark.udf.register("st_distance", st_distance)
+    spark.udf.register("st_intersection", st_intersection)
+    spark.udf.register("st_centroid", st_centroid)
+    spark.udf.register("st_npoints", st_npoints)

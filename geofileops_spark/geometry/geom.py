@@ -239,6 +239,62 @@ class Geometry:
             )
         return Geometry.collect(kept)
 
+    def normalize(self) -> "Geometry":
+        """Canonical form for equality hashing (delete_duplicate_geometries
+        uses ST_Equals on candidates, geofileops ``_geoops_sql.py:164-249``;
+        we hash the normalized WKB instead): exterior rings CCW / holes CW,
+        rings rotated to their lexicographically smallest vertex, parts
+        sorted, line direction normalized."""
+
+        def norm_ring(ring: np.ndarray, ccw: bool) -> np.ndarray:
+            r = ring[:-1]
+            # rotate to lexicographic min
+            idx = np.lexsort((r[:, 1], r[:, 0]))[0]
+            r = np.roll(r, -idx, axis=0)
+            area2 = float(
+                np.dot(r[:, 0], np.roll(r[:, 1], -1))
+                - np.dot(np.roll(r[:, 0], -1), r[:, 1])
+            )
+            if (area2 > 0) != ccw:
+                r = np.vstack([r[:1], r[1:][::-1]])
+            return np.vstack([r, r[:1]])
+
+        def norm_line(ls: np.ndarray) -> np.ndarray:
+            a, b = tuple(ls[0]), tuple(ls[-1])
+            return ls if a <= b else ls[::-1].copy()
+
+        t, d = self.typ, self.data
+        if t == POINT:
+            return self
+        if t == MULTIPOINT:
+            if len(d) == 0:
+                return self
+            order = np.lexsort((d[:, 1], d[:, 0]))
+            return Geometry(MULTIPOINT, d[order])
+        if t == LINESTRING:
+            return Geometry(LINESTRING, norm_line(d))
+        if t == MULTILINESTRING:
+            lines = sorted(
+                (norm_line(ls) for ls in d), key=lambda a: a[0].tolist()
+            )
+            return Geometry(MULTILINESTRING, lines)
+        if t == POLYGON:
+            rings = [norm_ring(d[0], True)] + sorted(
+                (norm_ring(h, False) for h in d[1:]), key=lambda a: a[0].tolist()
+            )
+            return Geometry(POLYGON, rings)
+        if t == MULTIPOLYGON:
+            polys = []
+            for p in d:
+                rings = [norm_ring(p[0], True)] + sorted(
+                    (norm_ring(h, False) for h in p[1:]),
+                    key=lambda a: a[0].tolist(),
+                )
+                polys.append(rings)
+            polys.sort(key=lambda rs: rs[0][0].tolist())
+            return Geometry(MULTIPOLYGON, polys)
+        return Geometry(GEOMETRYCOLLECTION, [g.normalize() for g in d])
+
     # ----------------------------------------------------------------- debug
     def __repr__(self):  # pragma: no cover
         return f"<Geometry {self.type_name()} ncoords={self.num_coords()}>"

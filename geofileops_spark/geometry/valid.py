@@ -1,0 +1,185 @@
+"""Geometry validation and repair.
+
+Equivalents of the reference's ``ST_IsValid / ST_IsValidReason /
+GEOSMakeValid / RemoveRepeatedPoints`` IIF-cascade (geofileops
+``_geoops_sql.py:329-407``, repair only when invalid at ``:367-375``).
+
+``make_valid`` repairs self-intersecting rings (bow-ties) by splitting
+the ring at its self-intersection points into simple loops and keeping
+the positive-area ones — the planar-arrangement subset of GEOSMakeValid
+that covers the reference fixtures' invalid rows
+(tests/.../test_geofileops_singlelayer.py:882 asserts such rows exist).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .geom import (
+    MULTIPOLYGON,
+    POLYGON,
+    Geometry,
+)
+from .kernels import EPS, ring_signed_area
+
+
+def _dedupe_path(path: np.ndarray) -> np.ndarray:
+    if len(path) < 2:
+        return path
+    keep = np.ones(len(path), dtype=bool)
+    keep[1:] = np.abs(np.diff(path, axis=0)).sum(axis=1) > EPS
+    return path[keep]
+
+
+def _ring_self_intersections(ring: np.ndarray):
+    """Proper self-intersections of a closed ring.
+
+    Returns list of (i, ti, j, tj, point) with i<j edge indices."""
+    pts = ring[:-1]
+    n = len(pts)
+    hits = []
+    for i in range(n):
+        p1, p2 = pts[i], pts[(i + 1) % n]
+        d1 = p2 - p1
+        for j in range(i + 2, n):
+            if i == 0 and j == n - 1:
+                continue  # adjacent via wraparound
+            q1, q2 = pts[j], pts[(j + 1) % n]
+            d2 = q2 - q1
+            denom = d1[0] * d2[1] - d1[1] * d2[0]
+            if abs(denom) < EPS:
+                continue
+            e = q1 - p1
+            t = (e[0] * d2[1] - e[1] * d2[0]) / denom
+            u = (e[0] * d1[1] - e[1] * d1[0]) / denom
+            tol = 1e-12
+            if tol < t < 1 - tol and tol < u < 1 - tol:
+                hits.append((i, t, j, u, p1 + t * d1))
+    return hits
+
+
+def is_valid_reason(geom: Geometry) -> tuple[bool, str]:
+    """(valid, reason). Reason mirrors spatialite-style messages."""
+    if geom is None:
+        return True, "Valid Geometry"
+    c = geom.coords()
+    if len(c) and np.isnan(c).any():
+        return False, "NaN coordinate"
+    for rings in geom.polygons():
+        for ring in rings:
+            r = _dedupe_path(ring)
+            if len(r) < 4:
+                return False, "Ring with too few points"
+            if not np.allclose(r[0], r[-1]):
+                return False, "Ring not closed"
+            if _ring_self_intersections(r):
+                return False, "Self-intersection"
+            if abs(ring_signed_area(r)) < EPS:
+                return False, "Zero-area ring"
+    return True, "Valid Geometry"
+
+
+def is_valid(geom: Geometry) -> bool:
+    return is_valid_reason(geom)[0]
+
+
+def _split_ring(ring: np.ndarray) -> list[np.ndarray]:
+    """Split a self-intersecting ring into simple loops at its
+    self-intersection points (even-odd planar arrangement)."""
+    ring = _dedupe_path(ring)
+    if len(ring) and not np.allclose(ring[0], ring[-1]):
+        ring = np.vstack([ring, ring[:1]])
+    hits = _ring_self_intersections(ring)
+    if not hits:
+        return [ring]
+    # rebuild the vertex sequence inserting intersection points (tagged)
+    pts = ring[:-1]
+    n = len(pts)
+    inserts: dict[int, list[tuple[float, int]]] = {}
+    xpts: list[np.ndarray] = []
+    for k, (i, t, j, u, p) in enumerate(hits):
+        xpts.append(p)
+        inserts.setdefault(i, []).append((t, k))
+        inserts.setdefault(j, []).append((u, k))
+    seq: list[tuple[float, float, int]] = []  # (x, y, xpt_id or -1)
+    for i in range(n):
+        seq.append((pts[i][0], pts[i][1], -1))
+        for t, k in sorted(inserts.get(i, [])):
+            seq.append((xpts[k][0], xpts[k][1], k))
+    # walk, extracting loops whenever an intersection id repeats
+    loops: list[list[tuple[float, float]]] = []
+    stack: list[tuple[int, int]] = []  # (xpt_id, index in current)
+    current: list[tuple[float, float, int]] = []
+    open_at: dict[int, int] = {}
+    for item in seq + [seq[0]]:
+        if item[2] >= 0 and item[2] in open_at:
+            start = open_at.pop(item[2])
+            loop = [(p[0], p[1]) for p in current[start:]] + [(item[0], item[1])]
+            if len(loop) >= 4:
+                loops.append(loop)
+            current = current[:start] + [(item[0], item[1], item[2])]
+            open_at = {k: v for k, v in open_at.items() if v <= start}
+        else:
+            if item[2] >= 0:
+                open_at[item[2]] = len(current)
+            current.append(item)
+    if len(current) >= 3:
+        loop = [(p[0], p[1]) for p in current] + [(current[0][0], current[0][1])]
+        loops.append(loop)
+    out = []
+    for loop in loops:
+        arr = _dedupe_path(np.asarray(loop))
+        if len(arr) and not np.allclose(arr[0], arr[-1]):
+            arr = np.vstack([arr, arr[:1]])
+        if len(arr) >= 4 and abs(ring_signed_area(arr)) > EPS:
+            out.append(arr)
+    return out if out else [ring]
+
+
+def remove_repeated_points(geom: Geometry) -> Geometry:
+    t = geom.typ
+    if t == POLYGON:
+        return Geometry(POLYGON, [_dedupe_path(r) for r in geom.data])
+    if t == MULTIPOLYGON:
+        return Geometry(
+            MULTIPOLYGON, [[_dedupe_path(r) for r in p] for p in geom.data]
+        )
+    if t in (2, 5):  # line types
+        lines = [_dedupe_path(ls) for ls in geom.lines()]
+        return Geometry(t, lines if t == 5 else (lines[0] if lines else geom.data))
+    return geom
+
+
+def make_valid(geom: Geometry, only_if_invalid: bool = True) -> Geometry | None:
+    """Repair invalid polygons; valid input passes through with repeated
+    points removed (mirrors the reference's IIF(ST_IsValid, strip-dupes,
+    GEOSMakeValid) cascade)."""
+    if geom is None or geom.is_empty():
+        return geom
+    valid, _ = is_valid_reason(geom)
+    if valid and only_if_invalid:
+        return remove_repeated_points(geom)
+    polys = geom.polygons()
+    if not polys:
+        return remove_repeated_points(geom)
+    fixed: list[list[np.ndarray]] = []
+    for rings in polys:
+        ext_loops = _split_ring(rings[0])
+        holes: list[np.ndarray] = []
+        for h in rings[1:]:
+            holes.extend(_split_ring(h))
+        for ext in ext_loops:
+            ring = ext if ring_signed_area(ext) > 0 else ext[::-1].copy()
+            poly = [ring]
+            for h in holes:
+                # keep hole only if inside this exterior
+                from .kernels import points_in_ring
+
+                if points_in_ring(h[:1], ring)[0] == 2:
+                    poly.append(h if ring_signed_area(h) < 0 else h[::-1].copy())
+            fixed.append(poly)
+    if not fixed:
+        return None
+    if geom.typ == POLYGON and len(fixed) == 1:
+        return Geometry(POLYGON, fixed[0])
+    return Geometry(MULTIPOLYGON, fixed)

@@ -1,0 +1,412 @@
+"""Spatial join family: join_by_location, export_by_location,
+export_by_distance, join_nearest, equi join, delete_duplicate_geometries.
+
+Spark-first re-expression of geofileops' theta-joins
+(``_geoops_sql.py:2105-2697`` and ``:1541-1802``): every join is a
+cell-equi hash join (celljoin.py) + exact-predicate refine; kNN is a
+cell-ring-expansion join + window top-k (SURVEY.md §2.4 mapping table).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BooleanType, DoubleType, LongType
+
+from ..geometry import kernels as K
+from ..geometry import predicates as P
+from ..geometry import wkb as W
+from ..index import cells as X
+from .celljoin import (
+    candidate_pairs,
+    cell_expr,
+    drop_helper_columns,
+    estimate_res,
+    prefix_columns,
+    with_cover,
+)
+from .relation import SpatialQuery
+
+
+# ------------------------------------------------------------ refine UDFs
+def _geom_cache_loader():
+    cache: dict[bytes, object] = {}
+
+    def load(b: bytes):
+        g = cache.get(b)
+        if g is None:
+            g = W.loads(b)
+            if len(cache) > 512:
+                cache.clear()
+            cache[b] = g
+        return g
+
+    return load
+
+
+def query_match_udf(query: SpatialQuery):
+    """Boolean pandas UDF evaluating the compiled spatial query per pair.
+
+    Single-term queries short-circuit to the named predicate functions
+    (the reference's optimize_simple_queries, ``_geoops_sql.py:2398-2445``).
+    """
+    q = query.query.lower().split()
+    simple = None
+    if len(q) == 3 and q[0] in P.PREDICATE_FNS and q[1] == "is":
+        simple = (P.PREDICATE_FNS[q[0]], q[2] == "true")
+
+    @pandas_udf(BooleanType())
+    def _match(wkb1: pd.Series, wkb2: pd.Series) -> pd.Series:
+        load = _geom_cache_loader()
+        out = []
+        if simple is not None:
+            fn, want = simple
+            for b1, b2 in zip(wkb1, wkb2):
+                if b1 is None or b2 is None:
+                    out.append(False)
+                else:
+                    out.append(bool(fn(load(bytes(b1)), load(bytes(b2)))) == want)
+        else:
+            for b1, b2 in zip(wkb1, wkb2):
+                if b1 is None or b2 is None:
+                    out.append(False)
+                else:
+                    m = P.relate_matrix(load(bytes(b1)), load(bytes(b2)))
+                    out.append(query.matches(m))
+        return pd.Series(out, dtype="boolean")
+
+    return _match
+
+
+@pandas_udf(DoubleType())
+def _inters_area_udf(wkb1: pd.Series, wkb2: pd.Series) -> pd.Series:
+    from ..geometry import clip as C
+
+    load = _geom_cache_loader()
+    out = []
+    for b1, b2 in zip(wkb1, wkb2):
+        if b1 is None or b2 is None:
+            out.append(None)
+        else:
+            out.append(K.area(C.intersection(load(bytes(b1)), load(bytes(b2)))))
+    return pd.Series(out, dtype="float64")
+
+
+@pandas_udf(DoubleType())
+def _distance_udf(wkb1: pd.Series, wkb2: pd.Series) -> pd.Series:
+    load = _geom_cache_loader()
+    out = []
+    for b1, b2 in zip(wkb1, wkb2):
+        if b1 is None or b2 is None:
+            out.append(None)
+        else:
+            out.append(K.distance(load(bytes(b1)), load(bytes(b2))))
+    return pd.Series(out, dtype="float64")
+
+
+# -------------------------------------------------------------- equi join
+def join(
+    df1: DataFrame,
+    df2: DataFrame,
+    on: list[tuple[str, str]],
+    how: str = "inner",
+    geom_col: str = "geom_wkb",
+) -> DataFrame:
+    """Attribute equi-join; geometry comes from layer1
+    (geofileops ``_geoops_sql.py:2105-2182``). Pure Catalyst."""
+    l1 = prefix_columns(df1, "l1_")
+    l2 = prefix_columns(df2.drop(geom_col) if geom_col in df2.columns else df2, "l2_")
+    cond = None
+    for c1, c2 in on:
+        this = l1[f"l1_{c1}"] == l2[f"l2_{c2}"]
+        cond = this if cond is None else (cond & this)
+    out = l1.join(l2, cond, how)
+    if f"l1_{geom_col}" in out.columns:
+        out = out.withColumnRenamed(f"l1_{geom_col}", geom_col)
+    return out
+
+
+# -------------------------------------------------------- join_by_location
+def join_by_location(
+    df1: DataFrame,
+    df2: DataFrame,
+    spatial_relations_query: str = "intersects is True",
+    discard_nonmatching: bool = True,
+    min_area_intersect: float | None = None,
+    area_inters_column_name: str | None = None,
+    res: int | None = None,
+    geom_col: str = "geom_wkb",
+    id_col: str = "fid",
+    broadcast_right: bool | None = None,
+) -> DataFrame:
+    """Spatial theta-join (geofileops ``geoops.py:3051`` →
+    ``_geoops_sql.py:2185-2342``). Output: layer1 geometry + l1_/l2_
+    prefixed attributes; ``discard_nonmatching=False`` appends unmatched
+    layer1 rows with NULL l2 columns (left-join semantics)."""
+    sq = SpatialQuery(spatial_relations_query).avoid_disjoint()
+    pairs, res = candidate_pairs(
+        df1, df2, res=res, geom_col1=geom_col, geom_col2=geom_col,
+        broadcast_right=broadcast_right,
+    )
+    g1, g2 = f"l1_{geom_col}", f"l2_{geom_col}"
+    matched = pairs.where(query_match_udf(sq)(F.col(g1), F.col(g2)))
+
+    area_col = area_inters_column_name
+    if min_area_intersect is not None and area_col is None:
+        area_col = "area_inters"
+    if area_col is not None:
+        matched = matched.withColumn(area_col, _inters_area_udf(F.col(g1), F.col(g2)))
+    if min_area_intersect is not None:
+        matched = matched.where(F.col(area_col) >= F.lit(min_area_intersect))
+        if area_inters_column_name is None:
+            matched = matched.drop(area_col)
+
+    matched = drop_helper_columns(matched).drop(g2)
+    matched = matched.withColumnRenamed(g1, geom_col)
+
+    if not discard_nonmatching:
+        l1_all = prefix_columns(df1, "l1_").withColumnRenamed(f"l1_{geom_col}", geom_col)
+        unmatched = l1_all.join(
+            matched.select(F.col(f"l1_{id_col}")).distinct(),
+            on=f"l1_{id_col}",
+            how="left_anti",
+        )
+        matched = matched.unionByName(unmatched, allowMissingColumns=True)
+    return matched
+
+
+# ------------------------------------------------------ export_by_location
+def export_by_location(
+    df1: DataFrame,
+    df2: DataFrame,
+    spatial_relations_query: str = "intersects is True",
+    min_area_intersect: float | None = None,
+    res: int | None = None,
+    geom_col: str = "geom_wkb",
+    id_col: str = "fid",
+) -> DataFrame:
+    """Spatial semi-join (or anti-join for disjoint-style queries): keep
+    layer1 rows where EXISTS a layer2 row satisfying the relation
+    (geofileops ``geoops.py:2308`` → ``_geoops_sql.py:1541-1736``;
+    disjoint De-Morgan branch at ``:1617-1630``)."""
+    sq = SpatialQuery(spatial_relations_query)
+    pairs, res = candidate_pairs(
+        df1, df2, res=res, geom_col1=geom_col, geom_col2=geom_col
+    )
+    g1, g2 = f"l1_{geom_col}", f"l2_{geom_col}"
+
+    if sq.true_for_disjoint:
+        # keep rows where the filter holds for ALL layer2 rows. Non-candidate
+        # (bbox-disjoint) pairs evaluate to true_for_disjoint == True, so only
+        # candidates can violate → anti-join on the violators.
+        violators = pairs.where(~query_match_udf(sq)(F.col(g1), F.col(g2)))
+        key = violators.select(F.col(f"l1_{id_col}").alias(id_col)).distinct()
+        return df1.join(key, on=id_col, how="left_anti")
+
+    matched = pairs.where(query_match_udf(sq)(F.col(g1), F.col(g2)))
+    if min_area_intersect is not None:
+        matched = matched.withColumn(
+            "_area_inters", _inters_area_udf(F.col(g1), F.col(g2))
+        )
+        agg = (
+            matched.groupBy(F.col(f"l1_{id_col}").alias(id_col))
+            .agg(F.sum("_area_inters").alias("_area_total"))
+            .where(F.col("_area_total") >= F.lit(min_area_intersect))
+            .select(id_col)
+        )
+        return df1.join(agg, on=id_col, how="left_semi")
+    key = matched.select(F.col(f"l1_{id_col}").alias(id_col)).distinct()
+    return df1.join(key, on=id_col, how="left_semi")
+
+
+# ------------------------------------------------------ export_by_distance
+def _ring_cells_udf(k: int):
+    @pandas_udf("array<long>")
+    def _ring(cells: pd.Series) -> pd.Series:
+        out = []
+        for c in cells:
+            if c is None:
+                out.append(None)
+            else:
+                out.append(np.unique(X.kring(int(c), k)).tolist())
+        return pd.Series(out)
+
+    return _ring
+
+
+def _res_for_distance(d: float) -> int:
+    """Finest res whose cell size is >= d (so a 1-ring covers distance d)."""
+    if d <= 0:
+        return X.MAX_RES
+    res = int(np.floor(np.log2(2.0 * X.WORLD / d)))
+    return int(np.clip(res, 0, X.MAX_RES))
+
+
+def export_by_distance(
+    df1: DataFrame,
+    df2: DataFrame,
+    max_distance: float,
+    res: int | None = None,
+    geom_col: str = "geom_wkb",
+    id_col: str = "fid",
+) -> DataFrame:
+    """Range semi-join: keep layer1 rows having any layer2 feature within
+    max_distance (geofileops ``geoops.py:2437`` → ``_geoops_sql.py:
+    1739-1802``: bbox expanded by distance, then ST_Distance <= d)."""
+    if res is None:
+        res = min(
+            _res_for_distance(max_distance),
+            estimate_res(df1, geom_col),
+            estimate_res(df2, geom_col),
+        )
+    e1 = prefix_columns(with_cover(df1, res, geom_col), "l1_")
+    e2 = prefix_columns(with_cover(df2, res, geom_col), "l2_")
+    # expand side-2 cells by one ring so any pair within d shares a cell
+    e2 = (
+        e2.withColumn("_ring", F.explode(_ring_cells_udf(1)(F.col("l2__cell"))))
+        .drop("l2__cell")
+        .withColumnRenamed("_ring", "l2__cell")
+    )
+    cand = e1.join(e2, F.col("l1__cell") == F.col("l2__cell")).where(
+        (F.col("l1__minx") <= F.col("l2__maxx") + max_distance)
+        & (F.col("l2__minx") <= F.col("l1__maxx") + max_distance)
+        & (F.col("l1__miny") <= F.col("l2__maxy") + max_distance)
+        & (F.col("l2__miny") <= F.col("l1__maxy") + max_distance)
+    )
+    cand = cand.dropDuplicates([f"l1_{id_col}", f"l2_{id_col}"])
+    near = cand.where(
+        _distance_udf(F.col(f"l1_{geom_col}"), F.col(f"l2_{geom_col}"))
+        <= F.lit(max_distance)
+    )
+    key = near.select(F.col(f"l1_{id_col}").alias(id_col)).distinct()
+    return df1.join(key, on=id_col, how="left_semi")
+
+
+# ------------------------------------------------------------ join_nearest
+def join_nearest(
+    df1: DataFrame,
+    df2: DataFrame,
+    nb_nearest: int = 1,
+    distance: float = None,
+    expand: bool = True,
+    res: int | None = None,
+    geom_col: str = "geom_wkb",
+    id_col: str = "fid",
+    max_expand_rounds: int = 3,
+) -> DataFrame:
+    """k-nearest join (geofileops ``geoops.py:3190`` →
+    ``_geoops_sql.py:2581-2697``, Spatialite knn2 on the layer1 centroid).
+
+    Spark plan: centroid cell → k-ring candidates join → exact distance →
+    ``row_number() OVER (PARTITION BY l1_id ORDER BY distance) <= k``.
+    ``expand=True`` grows the search ring (×4 per round) for rows that
+    found fewer than k neighbours within ``distance``.
+    Output adds ``pos`` (1..k) and ``distance`` columns like the reference.
+    """
+    if distance is None:
+        raise ValueError("join_nearest requires a search `distance`")
+    if res is None:
+        res = min(_res_for_distance(distance), estimate_res(df2, geom_col))
+
+    from ..functions.st import st_centroid, st_x, st_y
+
+    c1 = (
+        prefix_columns(df1, "l1_")
+        .withColumn("_cent", st_centroid(F.col(f"l1_{geom_col}")))
+        .withColumn("_cx", st_x(F.col("_cent")))
+        .withColumn("_cy", st_y(F.col("_cent")))
+        .drop("_cent")
+    )
+    e2 = prefix_columns(with_cover(df2, res, geom_col), "l2_")
+
+    results = None
+    remaining = c1
+    k_ring = 1
+    for round_i in range(max_expand_rounds if expand else 1):
+        r1 = remaining.withColumn("_cell", cell_expr(F.col("_cx"), F.col("_cy"), res))
+        e2r = (
+            e2.withColumn(
+                "_ring", F.explode(_ring_cells_udf(k_ring)(F.col("l2__cell")))
+            )
+            .drop("l2__cell")
+            .withColumnRenamed("_ring", "_cell")
+            .dropDuplicates([f"l2_{id_col}", "_cell"])
+        )
+        cand = r1.join(e2r, "_cell").dropDuplicates([f"l1_{id_col}", f"l2_{id_col}"])
+        cand = cand.withColumn(
+            "distance",
+            _distance_udf(F.col(f"l1_{geom_col}"), F.col(f"l2_{geom_col}")),
+        )
+        guaranteed = X.cell_size(res) * k_ring  # radius fully covered
+        lim = min(distance, guaranteed) if expand else distance
+        cand = cand.where(F.col("distance") <= F.lit(lim))
+        w = Window.partitionBy(f"l1_{id_col}").orderBy("distance", f"l2_{id_col}")
+        ranked = cand.withColumn("pos", F.row_number().over(w)).where(
+            F.col("pos") <= nb_nearest
+        )
+        if not expand:
+            results = ranked
+            break
+        counts = ranked.groupBy(f"l1_{id_col}").agg(F.count("*").alias("_n"))
+        done_ids = counts.where(
+            (F.col("_n") >= nb_nearest) | (F.lit(guaranteed) >= distance)
+        ).select(f"l1_{id_col}")
+        if guaranteed >= distance:
+            done_ids = remaining.select(f"l1_{id_col}")
+        done = ranked.join(done_ids, f"l1_{id_col}", "left_semi")
+        results = done if results is None else results.unionByName(done)
+        remaining = remaining.join(done_ids, f"l1_{id_col}", "left_anti")
+        if guaranteed >= distance:
+            remaining = remaining.where(F.lit(False))
+            break
+        k_ring *= 4
+    if results is None:
+        results = ranked  # pragma: no cover
+    out = drop_helper_columns(results.drop("_cx", "_cy", "_cell", "_n", f"l2_{geom_col}"))
+    return out.withColumnRenamed(f"l1_{geom_col}", geom_col)
+
+
+# ------------------------------------------- delete_duplicate_geometries
+def delete_duplicate_geometries(
+    df: DataFrame,
+    priority_column: str | None = None,
+    priority_ascending: bool = True,
+    geom_col: str = "geom_wkb",
+) -> DataFrame:
+    """Drop rows whose geometry equals a kept row's geometry, keeping the
+    best priority (geofileops ``geoops.py:985`` → ``_geoops_sql.py:
+    164-249``, FIRST_VALUE over rtree candidates). Implemented as a
+    window over a normalized-geometry hash — a salted-join-free
+    formulation that scales as a single shuffle on the hash."""
+
+    from pyspark.sql.types import BinaryType
+
+    @pandas_udf(BinaryType())
+    def _normwkb(wkb: pd.Series) -> pd.Series:
+        out = []
+        for b in wkb:
+            if b is None:
+                out.append(None)
+            else:
+                out.append(W.dumps(W.loads(bytes(b)).normalize()))
+        return pd.Series(out)
+
+    # hash JVM-side (xxhash64) over the normalized WKB
+    tagged = df.withColumn("_gh", F.xxhash64(_normwkb(F.col(geom_col))))
+    if priority_column is not None:
+        order = (
+            F.col(priority_column).asc()
+            if priority_ascending
+            else F.col(priority_column).desc()
+        )
+        w = Window.partitionBy("_gh").orderBy(order)
+    else:
+        w = Window.partitionBy("_gh").orderBy(F.monotonically_increasing_id())
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_gh", "_rn")
+    )

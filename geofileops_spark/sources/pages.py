@@ -1,0 +1,182 @@
+"""Common-Crawl-style pages table: deterministic synthesis + geotext
+extraction (BASELINE.json input_hint).
+
+Input shape: ``(url string, warc_ts timestamp, html binary, text string,
+lang string)``. Geotagged locations are embedded in ``text`` as
+``geo:<lat>,<lon>`` tokens; the extractor parses them **without ever
+rewriting text** (byte-identical ``text`` per ``url`` is the hard
+per-row invariant).
+
+Synthesis is a pure function of the row id (splitmix64 bit-mixing), so
+it is deterministic at any scale and generates distributed via
+``spark.range`` — no driver-side materialization, no external data.
+Skew is intentional: 80% of geotagged pages land in a few dense
+clusters, exercising the hot-cell handling the north rule requires.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+from ..functions.st import gq_cell, st_point
+
+PAGES_SCHEMA = StructType(
+    [
+        StructField("url", StringType()),
+        StructField("warc_ts", TimestampType()),
+        StructField("html", BinaryType()),
+        StructField("text", StringType()),
+        StructField("lang", StringType()),
+    ]
+)
+
+# dense clusters (lon, lat, spread_deg, weight) — a few metro hotspots
+CLUSTERS = [
+    (4.35, 50.85, 0.5, 0.30),   # Brussels-ish
+    (-74.0, 40.7, 0.4, 0.20),   # NYC-ish
+    (139.7, 35.7, 0.4, 0.15),   # Tokyo-ish
+    (2.35, 48.85, 0.3, 0.10),   # Paris-ish
+    (-0.13, 51.5, 0.3, 0.05),   # London-ish
+]
+_BG_WEIGHT = 0.20
+LANGS = ["en", "fr", "de", "nl", "ja", "es", "pt", "it"]
+_WORDS = (
+    "the quick brown fox jumps over lazy dog lorem ipsum dolor sit amet "
+    "consectetur adipiscing elit sed do eiusmod tempor incididunt labore"
+).split()
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = (x + np.uint64(0x9E3779B97F4A7C15)).astype(np.uint64)
+    x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+    x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+    return x ^ (x >> np.uint64(31))
+
+
+def _u01(ids: np.ndarray, salt: int) -> np.ndarray:
+    h = _splitmix64(ids.astype(np.uint64) ^ np.uint64(salt * 0x9E3779B9))
+    return (h >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def _row_coords(ids: np.ndarray):
+    """Deterministic (lon, lat, has_geo) per id."""
+    u_sel = _u01(ids, 1)
+    lon = np.empty(len(ids))
+    lat = np.empty(len(ids))
+    # background uniform
+    lon[:] = _u01(ids, 2) * 360.0 - 180.0
+    lat[:] = _u01(ids, 3) * 170.0 - 85.0
+    acc = _BG_WEIGHT
+    for ci, (clon, clat, spread, w) in enumerate(CLUSTERS):
+        mask = (u_sel >= acc) & (u_sel < acc + w)
+        n = int(mask.sum())
+        if n:
+            lon[mask] = clon + (_u01(ids[mask], 10 + ci) - 0.5) * 2 * spread
+            lat[mask] = clat + (_u01(ids[mask], 20 + ci) - 0.5) * 2 * spread
+        acc += w
+    # every selected page has a geotag; 10% of pages have none
+    has_geo = _u01(ids, 4) >= 0.10
+    return np.round(lon, 6), np.round(lat, 6), has_geo
+
+
+def _gen_batch(ids: np.ndarray) -> pd.DataFrame:
+    lon, lat, has_geo = _row_coords(ids)
+    lang_idx = (_u01(ids, 5) * len(LANGS)).astype(int)
+    n_words = (_u01(ids, 6) * 30 + 10).astype(int)
+    urls = [
+        f"https://site{int(i) % 997}.example.com/page/{int(i)}" for i in ids
+    ]
+    ts = pd.to_datetime(
+        1_500_000_000 + (ids.astype(np.int64) * 97) % 200_000_000, unit="s"
+    )
+    texts = []
+    for k, i in enumerate(ids):
+        wsel = [
+            _WORDS[int(_u01(np.asarray([i]), 100 + j)[0] * len(_WORDS))]
+            for j in range(int(n_words[k]) % 12 + 4)
+        ]
+        body = " ".join(wsel)
+        if has_geo[k]:
+            texts.append(f"{body} geo:{lat[k]:.6f},{lon[k]:.6f} {body}")
+        else:
+            texts.append(body)
+    htmls = [f"<html><body>{t}</body></html>".encode() for t in texts]
+    return pd.DataFrame(
+        {
+            "url": urls,
+            "warc_ts": ts,
+            "html": htmls,
+            "text": texts,
+            "lang": [LANGS[j] for j in lang_idx],
+        }
+    )
+
+
+def synth_pages(spark: SparkSession, n_rows: int, partitions: int | None = None) -> DataFrame:
+    """Deterministic pages table, generated distributed."""
+    parts = partitions or max(8, spark.sparkContext.defaultParallelism)
+    base = spark.range(0, n_rows, numPartitions=parts)
+
+    def gen(iterator):
+        for pdf in iterator:
+            yield _gen_batch(pdf["id"].to_numpy())
+
+    return base.mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+GEO_RE = r"geo:(-?\d+\.\d+),(-?\d+\.\d+)"
+
+
+def extract_points(pages: DataFrame, res: int = 12) -> DataFrame:
+    """pages -> points layer (url, fid, lon, lat, geom_wkb, cell).
+
+    The geotag parse is JVM-side ``regexp_extract`` (whole-stage codegen;
+    no Python in the hot path) — only WKB encoding is a pandas UDF.
+    ``text`` is passed through untouched (byte-identical invariant).
+    fid = xxhash64(url): stable, join-preserving row identity (SURVEY.md
+    §1.2 fid mapping).
+    """
+    df = (
+        pages.withColumn("_lat", F.regexp_extract("text", GEO_RE, 1))
+        .withColumn("_lon", F.regexp_extract("text", GEO_RE, 2))
+        .where((F.col("_lat") != "") & (F.col("_lon") != ""))
+        .withColumn("lat", F.col("_lat").cast("double"))
+        .withColumn("lon", F.col("_lon").cast("double"))
+        .drop("_lat", "_lon")
+        .withColumn("fid", F.xxhash64(F.col("url")))
+    )
+    df = df.withColumn("geom_wkb", st_point(F.col("lon"), F.col("lat")))
+    df = df.withColumn("cell", gq_cell(F.col("lon"), F.col("lat"), res))
+    return df.select("url", "fid", "lon", "lat", "geom_wkb", "cell")
+
+
+def zones_wkt() -> list[tuple[int, str, str]]:
+    """Five deterministic zone polygons over the cluster hotspots
+    (fixture-twin of polygon-zone, FIXTURES.md §3)."""
+    out = []
+    for i, (clon, clat, spread, _w) in enumerate(CLUSTERS, start=1):
+        s = spread * 1.2
+        wkt = (
+            f"POLYGON (({clon - s} {clat - s}, {clon + s} {clat - s}, "
+            f"{clon + s} {clat + s}, {clon - s} {clat + s}, {clon - s} {clat - s}))"
+        )
+        out.append((i, f"zone_{i}", wkt))
+    return out
+
+
+def synth_zones(spark: SparkSession) -> DataFrame:
+    from ..functions.st import st_geomfromtext
+
+    df = spark.createDataFrame(zones_wkt(), "fid long, naam string, wkt string")
+    return df.withColumn("geom_wkb", st_geomfromtext(F.col("wkt"))).drop("wkt")

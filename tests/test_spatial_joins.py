@@ -1,0 +1,190 @@
+"""End-to-end spatial join tests on the fixture twins, validated against
+the brute-force local oracle (independent code path: no cells, no Spark
+plan — mirrors the reference's golden-count strategy, SURVEY.md §5)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests import fixtures as FX
+
+from geofileops_spark.operators import join as J
+
+PARCEL_SCHEMA = "fid long; OIDN long; UIDN long; GEWASGROEP string; LENGTE double; OPPERVL double; wkt string"
+ZONE_SCHEMA = "fid long; naam string; wkt string; OIDN long"
+POINT_SCHEMA = "fid long; wkt string; type string"
+
+
+@pytest.fixture(scope="module")
+def layers(spark):
+    parcels = FX.to_spark_layer(
+        spark,
+        FX.parcels_rows(),
+        "fid long; wkt string; OIDN long; UIDN long; GEWASGROEP string; LENGTE double; OPPERVL double",
+    ).cache()
+    zones = FX.to_spark_layer(
+        spark, FX.zones_rows(), "fid long; naam string; wkt string; OIDN long"
+    ).cache()
+    points = FX.to_spark_layer(
+        spark, FX.points_rows(), "fid long; wkt string; type string"
+    ).cache()
+    parcels.count(), zones.count(), points.count()
+    return parcels, zones, points
+
+
+def spark_pairs(df, id1="l1_fid", id2="l2_fid"):
+    return sorted((r[0], r[1]) for r in df.select(id1, id2).collect())
+
+
+def test_join_by_location_intersects(layers):
+    parcels, zones, points = layers
+    out = J.join_by_location(parcels, zones, "intersects is True")
+    expected = FX.brute_force_pairs(FX.parcels_rows(), FX.zones_rows(), "intersects")
+    assert spark_pairs(out) == expected
+    assert len(expected) > 5  # sanity: fixture overlaps exist
+    # output schema: geometry from layer1 + prefixed attrs
+    assert "geom_wkb" in out.columns
+    assert "l1_GEWASGROEP" in out.columns and "l2_naam" in out.columns
+
+
+def test_join_by_location_keep_nonmatching(layers):
+    parcels, zones, _ = layers
+    out = J.join_by_location(
+        parcels, zones, "intersects is True", discard_nonmatching=False
+    )
+    matched = J.join_by_location(parcels, zones, "intersects is True")
+    n_match = matched.count()
+    matched_l1 = matched.select("l1_fid").distinct().count()
+    # every parcel appears; unmatched get NULL l2 cols. EMPTY-geom parcel 47
+    # produces no cells so it lands in the unmatched branch too.
+    assert out.count() == n_match + (48 - matched_l1)
+    nulls = out.where(F.col("l2_fid").isNull()).count()
+    assert nulls == 48 - matched_l1
+
+
+def test_join_by_location_within(layers):
+    parcels, zones, _ = layers
+    out = J.join_by_location(parcels, zones, "within is True")
+    expected = FX.brute_force_pairs(FX.parcels_rows(), FX.zones_rows(), "within")
+    assert spark_pairs(out) == expected
+
+
+def test_join_by_location_complex_query(layers):
+    parcels, zones, _ = layers
+    q = "intersects is True and touches is False"
+    out = J.join_by_location(parcels, zones, q)
+    from geofileops_spark.geometry import predicates as P
+
+    expected = FX.brute_force_pairs(
+        FX.parcels_rows(),
+        FX.zones_rows(),
+        lambda a, b: P.intersects(a, b) and not P.touches(a, b),
+    )
+    assert spark_pairs(out) == expected
+
+
+def test_join_by_location_min_area(layers):
+    parcels, zones, _ = layers
+    out_all = J.join_by_location(
+        parcels, zones, "intersects is True", area_inters_column_name="area_inters"
+    )
+    rows = out_all.select("l1_fid", "l2_fid", "area_inters").collect()
+    assert all(r["area_inters"] >= 0 for r in rows)
+    big = [r for r in rows if r["area_inters"] >= 50000]
+    out_min = J.join_by_location(
+        parcels, zones, "intersects is True", min_area_intersect=50000.0
+    )
+    assert out_min.count() == len(big)
+
+
+def test_points_in_zones(layers):
+    _, zones, points = layers
+    out = J.join_by_location(points, zones, "intersects is True")
+    expected = FX.brute_force_pairs(FX.points_rows(), FX.zones_rows(), "intersects")
+    assert spark_pairs(out) == expected
+
+
+def test_export_by_location(layers):
+    parcels, zones, _ = layers
+    out = J.export_by_location(parcels, zones, "intersects is True")
+    expected = {p for p, _z in FX.brute_force_pairs(FX.parcels_rows(), FX.zones_rows(), "intersects")}
+    got = {r[0] for r in out.select("fid").collect()}
+    assert got == expected
+    # schema is unchanged layer1
+    assert set(out.columns) == set(parcels.columns)
+
+
+def test_export_by_location_disjoint(layers):
+    parcels, zones, _ = layers
+    out = J.export_by_location(parcels, zones, "disjoint is True")
+    inter = {p for p, _z in FX.brute_force_pairs(FX.parcels_rows(), FX.zones_rows(), "intersects")}
+    got = {r[0] for r in out.select("fid").collect()}
+    # rows disjoint from ALL zones = everything not intersecting any zone
+    # (incl. the EMPTY row which intersects nothing)
+    assert got == set(range(1, 49)) - inter
+
+
+def test_export_by_distance(layers):
+    parcels, zones, _ = layers
+    d = 300.0
+    out = J.export_by_distance(parcels, zones, max_distance=d)
+    from geofileops_spark.geometry import kernels as K
+
+    expected = {
+        p
+        for p, _z in FX.brute_force_pairs(
+            FX.parcels_rows(), FX.zones_rows(), lambda a, b: K.distance(a, b) <= d
+        )
+    }
+    got = {r[0] for r in out.select("fid").collect()}
+    assert got == expected
+
+
+def test_join_nearest(layers):
+    _, zones, points = layers
+    k = 2
+    out = J.join_nearest(points, zones, nb_nearest=k, distance=3000.0)
+    rows = out.select("l1_fid", "l2_fid", "pos", "distance").collect()
+    # oracle: for each point, k nearest zones within 3000
+    from geofileops_spark.geometry import kernels as K
+    from geofileops_spark.geometry import wkb as W
+
+    zg = [(z["fid"], W.from_wkt(z["wkt"])) for z in FX.zones_rows()]
+    expected = {}
+    for p in FX.points_rows():
+        pg = W.from_wkt(p["wkt"])
+        ds = sorted(
+            ((K.distance(pg, g), zfid) for zfid, g in zg),
+        )
+        near = [(zfid, d) for d, zfid in ds if d <= 3000.0][:k]
+        if near:
+            expected[p["fid"]] = near
+    got = {}
+    for r in rows:
+        got.setdefault(r["l1_fid"], []).append((r["pos"], r["l2_fid"], r["distance"]))
+    assert set(got) == set(expected)
+    for fid, lst in expected.items():
+        got_sorted = sorted(got[fid])
+        assert len(got_sorted) == len(lst)
+        for (pos, zfid, dist), (exp_zfid, exp_d) in zip(got_sorted, lst):
+            assert zfid == exp_zfid
+            assert dist == pytest.approx(exp_d, rel=1e-9)
+
+
+def test_equi_join(layers):
+    parcels, zones, _ = layers
+    out = J.join(parcels, zones.withColumnRenamed("OIDN", "OIDN2"), on=[("fid", "fid")])
+    assert out.count() == 5
+    assert "geom_wkb" in out.columns
+
+
+def test_delete_duplicate_geometries(spark):
+    rows = (
+        [{"fid": i, "wkt": "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))", "prio": i} for i in range(1, 4)]
+        + [{"fid": 4, "wkt": "POLYGON ((20 0, 30 0, 30 10, 20 10, 20 0))", "prio": 4}]
+        # same square, different start vertex -> still a duplicate
+        + [{"fid": 5, "wkt": "POLYGON ((10 0, 10 10, 0 10, 0 0, 10 0))", "prio": 0}]
+    )
+    df = FX.to_spark_layer(spark, rows, "fid long; wkt string; prio long")
+    out = J.delete_duplicate_geometries(df, priority_column="prio")
+    got = sorted(r[0] for r in out.select("fid").collect())
+    assert got == [4, 5]  # fid 5 has prio 0 -> kept over 1..3

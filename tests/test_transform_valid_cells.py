@@ -1,0 +1,165 @@
+"""Tests: buffer / convex hull / simplify / subdivide / makevalid / cells."""
+
+import numpy as np
+import pytest
+
+from geofileops_spark.geometry import kernels as K
+from geofileops_spark.geometry import transform as T
+from geofileops_spark.geometry import valid as V
+from geofileops_spark.geometry import wkb
+from geofileops_spark.index import cells as X
+
+
+def g(wkt):
+    return wkb.from_wkt(wkt)
+
+
+SQ = "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"
+
+
+def test_buffer_point_area():
+    r = T.buffer_geom(g("POINT (0 0)"), 2.0, quad_segs=16)
+    # 64-gon ≈ circle area
+    assert K.area(r) == pytest.approx(np.pi * 4, rel=0.01)
+
+
+def test_buffer_square_cap_point():
+    r = T.buffer_geom(g("POINT (0 0)"), 2.0, cap_style="square")
+    assert K.area(r) == pytest.approx(16.0, rel=1e-6)
+
+
+def test_buffer_line():
+    r = T.buffer_geom(g("LINESTRING (0 0, 10 0)"), 1.0, quad_segs=16)
+    # rect 10x2 + two half-circles ≈ 20 + pi
+    assert K.area(r) == pytest.approx(20 + np.pi, rel=0.02)
+
+
+def test_buffer_line_flat_cap():
+    r = T.buffer_geom(g("LINESTRING (0 0, 10 0)"), 1.0, cap_style="flat")
+    assert K.area(r) == pytest.approx(20.0, rel=1e-6)
+
+
+def test_buffer_polygon_positive():
+    r = T.buffer_geom(g(SQ), 1.0, quad_segs=16)
+    # 100 + 4*10*1 + pi*1² corners
+    assert K.area(r) == pytest.approx(100 + 40 + np.pi, rel=0.02)
+
+
+def test_buffer_polygon_negative():
+    r = T.buffer_geom(g(SQ), -2.0)
+    assert K.area(r) == pytest.approx(36.0, rel=0.05)
+
+
+def test_buffer_negative_collapses():
+    r = T.buffer_geom(g(SQ), -6.0)
+    assert r.is_empty() or K.area(r) < 1e-6
+
+
+def test_convex_hull():
+    mp = g("MULTIPOINT (0 0, 10 0, 10 10, 0 10, 5 5, 2 3)")
+    h = T.convex_hull(mp)
+    assert K.area(h) == pytest.approx(100.0)
+    # collinear degenerate
+    line = T.convex_hull(g("MULTIPOINT (0 0, 1 1, 2 2)"))
+    assert line.dim() == 1
+
+
+def test_simplify_rdp():
+    ls = g("LINESTRING (0 0, 1 0.01, 2 0, 3 0.01, 4 0)")
+    s = T.simplify_geom(ls, 0.1)
+    assert len(s.data) == 2
+    # polygon ring keeps closure
+    noisy = g("POLYGON ((0 0, 5 0.01, 10 0, 10 10, 0 10, 0 0))")
+    sp = T.simplify_geom(noisy, 0.1)
+    assert K.area(sp) == pytest.approx(100.0, rel=0.01)
+
+
+def test_simplify_vw():
+    ls = g("LINESTRING (0 0, 1 0.01, 2 0, 3 0.01, 4 0)")
+    s = T.simplify_geom(ls, 0.5, algorithm="vw")
+    assert len(s.data) < 5
+
+
+def test_subdivide():
+    # big zigzag polygon with many coords
+    n = 200
+    xs = np.linspace(0, 100, n)
+    ys = 5 + np.sin(xs) * 2
+    ring = np.vstack(
+        [np.stack([xs, ys], axis=1), [[100, 0], [0, 0]], [[xs[0], ys[0]]]]
+    )
+    from geofileops_spark.geometry.geom import Geometry
+
+    poly = Geometry(3, [ring])
+    parts = T.subdivide(poly, max_coords=60)
+    assert len(parts) >= 3
+    assert sum(K.area(p) for p in parts) == pytest.approx(K.area(poly), rel=1e-3)
+    assert all(p.num_coords() <= 120 for p in parts)
+
+
+def test_isvalid_bowtie():
+    bow = g("POLYGON ((0 0, 10 10, 10 0, 0 10, 0 0))")
+    ok, reason = V.is_valid_reason(bow)
+    assert not ok and "Self-intersection" in reason
+    assert V.is_valid(g(SQ))
+
+
+def test_makevalid_bowtie():
+    bow = g("POLYGON ((0 0, 10 10, 10 0, 0 10, 0 0))")
+    fixed = V.make_valid(bow)
+    assert V.is_valid(fixed)
+    # two triangles of area 25 each
+    assert K.area(fixed) == pytest.approx(50.0, rel=1e-6)
+    assert len(fixed.polygons()) == 2
+
+
+def test_makevalid_passthrough():
+    sq = g(SQ)
+    out = V.make_valid(sq)
+    assert K.area(out) == pytest.approx(100.0)
+
+
+# ----------------------------------------------------------------- cells
+def test_cell_roundtrip():
+    xs = np.array([0.0, 100.0, -3000.5])
+    ys = np.array([0.0, -100.0, 4000.25])
+    cells = X.cell_of_points(xs, ys, 20)
+    res, ix, iy = X.decode(cells)
+    assert (res == 20).all()
+    for i, c in enumerate(cells):
+        b = X.cell_bounds(int(c))
+        assert b[0] <= xs[i] <= b[2] and b[1] <= ys[i] <= b[3]
+
+
+def test_cell_parent():
+    c = X.cell_of_points(np.array([123.4]), np.array([567.8]), 20)
+    p = X.parent(c, 15)
+    res, _, _ = X.decode(p)
+    assert res[0] == 15
+    bc = X.cell_bounds(int(c[0]))
+    bp = X.cell_bounds(int(p[0]))
+    assert bp[0] <= bc[0] and bp[2] >= bc[2]
+
+
+def test_cover_bbox_and_kring():
+    cells = X.cover_bbox(0, 0, 100, 100, 20)
+    size = X.cell_size(20)
+    expect = (int(100 // size) + 1) ** 2
+    assert len(cells) == expect
+    ring = X.kring(int(cells[0]), 1)
+    assert 4 <= len(ring) <= 9
+
+
+def test_kring_many():
+    cells = X.cell_of_points(np.array([0.0, 500.0]), np.array([0.0, 500.0]), 20)
+    idx, ring = X.kring_many(cells, 1)
+    assert len(idx) == len(ring)
+    assert set(idx.tolist()) == {0, 1}
+
+
+def test_cover_geometry_refines():
+    tri = g("POLYGON ((0 0, 1000 0, 0 1000, 0 0))")
+    res = X.res_for_extent(1000.0, 4)
+    cov = X.cover_geometry(tri, res)
+    bbox_cov = X.cover_bbox(0, 0, 1000, 1000, res)
+    assert 0 < len(cov) < len(bbox_cov)
