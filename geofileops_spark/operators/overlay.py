@@ -1,0 +1,286 @@
+"""Overlay operators: intersection, difference/erase, clip, identity,
+symmetric_difference, union (geofileops ``geoops.py:2777,2138,1908,2525,
+3544,3695`` -> ``_geoops_sql.py:942-3292``).
+
+Spark-first shape shared by the family (SURVEY.md §2.5):
+
+    cell-equi candidate join (celljoin.py, the R-tree analogue)
+      -> exact ``intersects`` refine
+      -> GEOS-like combine kernel in an Arrow-batched pandas UDF
+      -> collection_extract(primitive) -> drop NULL/EMPTY
+      -> optional gridsize / explodecollections
+
+``difference`` and ``clip`` aggregate ALL intersecting layer-2 geometries
+per layer-1 row first (``groupBy(l1_id).agg(collect_list)``) and run a
+single combine per row — the Spark translation of the reference's
+correlated scalar subquery over ``ST_Union(layer2.geom)``
+(``_geoops_sql.py:1000-1028,1200-1214``). Rows with no candidate pass
+through unchanged for difference (``IFNULL(..., g1)``) and are dropped
+for clip; a difference that comes back EMPTY drops the row (the
+reference's ``'DIFF_EMPTY'`` sentinel, ``_geoops_sql.py:1206-1214``).
+
+At scale: the candidate join shuffles on cell id (AQE handles skewed
+cells); the per-row aggregation shuffles on the stable l1 id; geometry
+kernels never cross the Arrow batch boundary row-by-row.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BinaryType
+
+from ..geometry import clip as C
+from ..geometry import geom as G
+from ..geometry import wkb as W
+from .celljoin import candidate_pairs, drop_helper_columns, prefix_columns
+from .join import query_match_udf
+from .relation import SpatialQuery
+
+_INTERSECTS = SpatialQuery("intersects is True")
+
+
+def _min_primitive(g1: G.Geometry, g2: G.Geometry) -> int:
+    """Primitive type (1=point,2=line,3=poly) = min dim of the inputs
+    (geofileops keeps the lowest-dimension primitive for intersection,
+    ``_geoops_sql.py:1964-1968``)."""
+    return min(g1.dim(), g2.dim()) + 1
+
+
+@pandas_udf(BinaryType())
+def _pair_intersection_udf(wkb1: pd.Series, wkb2: pd.Series) -> pd.Series:
+    out = []
+    for b1, b2 in zip(wkb1, wkb2):
+        if b1 is None or b2 is None:
+            out.append(None)
+            continue
+        g1, g2 = W.loads(bytes(b1)), W.loads(bytes(b2))
+        inter = C.intersection(g1, g2)
+        prim = _min_primitive(g1, g2)
+        if prim >= 1:
+            inter = inter.collection_extract(prim)
+        if inter.is_empty():
+            out.append(None)
+        else:
+            out.append(W.dumps(inter.force_multi()))
+    return pd.Series(out)
+
+
+def _combine_vs_union_udf(mode: str):
+    """(g1, array<g2>) -> g1 <op> union_all(g2s); None when empty.
+
+    mode='difference': the DIFF_EMPTY path — empty result means drop.
+    mode='intersection': the clip path — primitive of the *input* kept
+    (clip layer contributes no attributes, ``_geoops_sql.py:1000-1028``).
+    """
+
+    @pandas_udf(BinaryType())
+    def _combine(wkb1: pd.Series, others: pd.Series) -> pd.Series:
+        out = []
+        for b1, arr in zip(wkb1, others):
+            if b1 is None or arr is None or len(arr) == 0:
+                out.append(None)
+                continue
+            g1 = W.loads(bytes(b1))
+            g2s = [W.loads(bytes(b)) for b in arr if b is not None]
+            if mode == "difference":
+                res = g1
+                for g2 in g2s:
+                    res = C.difference(res, g2)
+                    if res.is_empty():
+                        break
+                res = res.collection_extract(g1.dim() + 1)
+            else:
+                blade = C.union_geoms(g2s)
+                res = C.intersection(g1, blade)
+                res = res.collection_extract(g1.dim() + 1)
+            out.append(None if res.is_empty() else W.dumps(res.force_multi()))
+        return pd.Series(out)
+
+    return _combine
+
+
+def _postprocess(
+    df: DataFrame,
+    geom_col: str,
+    gridsize: float = 0.0,
+    explodecollections: bool = False,
+    where_post: str | None = None,
+) -> DataFrame:
+    """Shared tail: gridsize snap -> drop empty -> explode -> where_post
+    (ordering per geofileops ``_geoops_sql.py:3687-3713``: where_post is
+    evaluated AFTER explodecollections)."""
+    if gridsize and gridsize > 0.0:
+        from ..functions.st import st_reduceprecision
+
+        df = df.withColumn(geom_col, st_reduceprecision(F.col(geom_col), gridsize))
+    df = df.where(F.col(geom_col).isNotNull())
+    if explodecollections:
+        from ..functions.st import st_parts
+
+        df = (
+            df.withColumn("_parts", st_parts(F.col(geom_col)))
+            .withColumn(geom_col, F.explode("_parts"))
+            .drop("_parts")
+        )
+    if where_post:
+        df = df.where(F.expr(where_post))
+    return df
+
+
+def intersection(
+    df1: DataFrame,
+    df2: DataFrame,
+    res: int | None = None,
+    geom_col: str = "geom_wkb",
+    gridsize: float = 0.0,
+    explodecollections: bool = False,
+    where_post: str | None = None,
+) -> DataFrame:
+    """Pairwise overlay intersection (geofileops ``geoops.py:2777`` ->
+    ``_geoops_sql.py:1805-2102``): one output row per intersecting
+    (l1, l2) pair carrying both sides' attributes prefixed l1_/l2_."""
+    pairs, _ = candidate_pairs(df1, df2, res=res, geom_col1=geom_col, geom_col2=geom_col)
+    g1, g2 = f"l1_{geom_col}", f"l2_{geom_col}"
+    matched = pairs.where(query_match_udf(_INTERSECTS)(F.col(g1), F.col(g2)))
+    out = matched.withColumn(geom_col, _pair_intersection_udf(F.col(g1), F.col(g2)))
+    out = drop_helper_columns(out).drop(g1, g2)
+    return _postprocess(out, geom_col, gridsize, explodecollections, where_post)
+
+
+def _collect_candidates(
+    df1: DataFrame,
+    df2: DataFrame,
+    res: int | None,
+    geom_col: str,
+    id_col: str,
+) -> DataFrame:
+    """(l1_id, collect_list(l2 geom)) for exactly-intersecting candidates."""
+    pairs, _ = candidate_pairs(df1, df2, res=res, geom_col1=geom_col, geom_col2=geom_col)
+    g1, g2 = f"l1_{geom_col}", f"l2_{geom_col}"
+    matched = pairs.where(query_match_udf(_INTERSECTS)(F.col(g1), F.col(g2)))
+    return matched.groupBy(F.col(f"l1_{id_col}").alias(id_col)).agg(
+        F.collect_list(F.col(g2)).alias("_others")
+    )
+
+
+def difference(
+    df1: DataFrame,
+    df2: DataFrame,
+    res: int | None = None,
+    geom_col: str = "geom_wkb",
+    id_col: str = "fid",
+    gridsize: float = 0.0,
+    explodecollections: bool = False,
+    where_post: str | None = None,
+) -> DataFrame:
+    """g1 minus the union of all intersecting layer-2 geometries
+    (geofileops ``geoops.py:2138`` -> ``_geoops_sql.py:1058-1355``).
+    Non-matching layer-1 rows pass through unchanged; rows whose
+    difference is EMPTY are dropped (DIFF_EMPTY sentinel semantics)."""
+    others = _collect_candidates(df1, df2, res, geom_col, id_col)
+    joined = df1.join(others, on=id_col, how="left")
+    diffed = joined.withColumn(
+        "_diff",
+        F.when(
+            F.col("_others").isNotNull(),
+            _combine_vs_union_udf("difference")(F.col(geom_col), F.col("_others")),
+        ),
+    )
+    # no candidates -> pass through; candidates + empty result -> drop
+    out = diffed.where(F.col("_others").isNull() | F.col("_diff").isNotNull())
+    out = out.withColumn(
+        geom_col, F.coalesce(F.col("_diff"), F.col(geom_col))
+    ).drop("_diff", "_others")
+    return _postprocess(out, geom_col, gridsize, explodecollections, where_post)
+
+
+# deprecated alias kept for API parity (geofileops ``geoops.py:2267-2306``)
+erase = difference
+
+
+def clip(
+    df1: DataFrame,
+    df2: DataFrame,
+    res: int | None = None,
+    geom_col: str = "geom_wkb",
+    id_col: str = "fid",
+    gridsize: float = 0.0,
+    explodecollections: bool = False,
+    where_post: str | None = None,
+) -> DataFrame:
+    """g1 intersected with the union of intersecting clip geometries;
+    clip layer contributes no attributes, non-intersecting rows dropped
+    (geofileops ``geoops.py:1908`` -> ``_geoops_sql.py:942-1055``)."""
+    others = _collect_candidates(df1, df2, res, geom_col, id_col)
+    joined = df1.join(others, on=id_col, how="inner")
+    out = joined.withColumn(
+        geom_col,
+        _combine_vs_union_udf("intersection")(F.col(geom_col), F.col("_others")),
+    ).drop("_others")
+    return _postprocess(out, geom_col, gridsize, explodecollections, where_post)
+
+
+def identity(
+    df1: DataFrame,
+    df2: DataFrame,
+    res: int | None = None,
+    geom_col: str = "geom_wkb",
+    id_col: str = "fid",
+    gridsize: float = 0.0,
+    explodecollections: bool = False,
+    where_post: str | None = None,
+) -> DataFrame:
+    """intersection(1,2) ⊎ difference(1,2) (geofileops ``geoops.py:2525``
+    -> ``_geoops_sql.py:2752-2911``). L2 columns NULL on difference rows."""
+    inter = intersection(df1, df2, res, geom_col, gridsize, explodecollections, where_post)
+    diff = difference(df1, df2, res, geom_col, id_col, gridsize, explodecollections, where_post)
+    diff = prefix_columns(diff, "l1_", exclude=(geom_col,))
+    return inter.unionByName(diff, allowMissingColumns=True)
+
+
+def symmetric_difference(
+    df1: DataFrame,
+    df2: DataFrame,
+    res: int | None = None,
+    geom_col: str = "geom_wkb",
+    id_col: str = "fid",
+    gridsize: float = 0.0,
+    explodecollections: bool = False,
+    where_post: str | None = None,
+) -> DataFrame:
+    """difference(1,2) ⊎ difference(2,1) with the other side's columns
+    NULL-filled (geofileops ``geoops.py:3544`` -> ``_geoops_sql.py:
+    2914-3086``)."""
+    d12 = difference(df1, df2, res, geom_col, id_col, gridsize, explodecollections, where_post)
+    d21 = difference(df2, df1, res, geom_col, id_col, gridsize, explodecollections, where_post)
+    d12 = prefix_columns(d12, "l1_", exclude=(geom_col,))
+    d21 = prefix_columns(d21, "l2_", exclude=(geom_col,))
+    return d12.unionByName(d21, allowMissingColumns=True)
+
+
+def union(
+    df1: DataFrame,
+    df2: DataFrame,
+    res: int | None = None,
+    geom_col: str = "geom_wkb",
+    id_col: str = "fid",
+    gridsize: float = 0.0,
+    explodecollections: bool = False,
+    where_post: str | None = None,
+) -> DataFrame:
+    """Overlay union = intersection(1,2) ⊎ difference(1,2) ⊎
+    difference(2,1) (geofileops ``geoops.py:3695`` -> ``_geoops_sql.py:
+    3089-3292``). The reference runs the three ops sequentially over
+    shared subdivided inputs; here the three DataFrame branches share the
+    same scan and Catalyst reuses the exchange."""
+    inter = intersection(df1, df2, res, geom_col, gridsize, explodecollections, where_post)
+    d12 = difference(df1, df2, res, geom_col, id_col, gridsize, explodecollections, where_post)
+    d21 = difference(df2, df1, res, geom_col, id_col, gridsize, explodecollections, where_post)
+    d12 = prefix_columns(d12, "l1_", exclude=(geom_col,))
+    d21 = prefix_columns(d21, "l2_", exclude=(geom_col,))
+    return inter.unionByName(d12, allowMissingColumns=True).unionByName(
+        d21, allowMissingColumns=True
+    )
