@@ -1,0 +1,257 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+Designed for the 100-TB case:
+
+- exact dedup is one shuffle on a 128-bit content hash (md5), keep-first
+  by a window — identical shape to delete_duplicate_geometries
+  (geofileops ``_geoops_sql.py:164-249``), which is the same problem on
+  WKB instead of text;
+- n-gram Jaccard builds an inverted index (gram -> postings) and joins
+  postings pairwise, so cost is bounded by posting-list length, with hot
+  grams dropped (stopword grams behave like skewed join keys);
+- MinHash+LSH: shingle -> K permutations' min -> B bands -> bucket join;
+  only bucket-colliding pairs are verified with exact Jaccard;
+- SimHash: 64-bit sign-aggregated token hash; near-dup candidates =
+  equal 16-bit bands (4 rotations), verified by Hamming distance.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from ..text.analysis import normalize_text
+
+WS_RE = r"\s+"
+
+
+# ------------------------------------------------------------- exact dedup
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id row per exact (normalized) content hash."""
+    tagged = df.withColumn("_h", F.md5(normalize_text(F.col(text_col))))
+    w = Window.partitionBy("_h").orderBy(F.col(id_col).asc())
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_h", "_rn")
+    )
+
+
+# ------------------------------------------------------------ shingle prep
+def word_ngrams(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
+    """(id, gram) distinct word n-grams per document (JVM-side)."""
+    toks = F.split(F.trim(normalize_text(F.col(text_col))), WS_RE)
+    # sliding window of n via transform over index sequence
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
+        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
+        .where(F.col("gram") != "")
+        .distinct()
+    )
+
+
+# ------------------------------------------------------- n-gram Jaccard dup
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_posting: int = 1000,
+) -> DataFrame:
+    """Pairs (id_a < id_b, jaccard) with word-n-gram Jaccard >= threshold.
+
+    Inverted-index join: common-gram counts come from joining the gram
+    table with itself on gram — one shuffle on gram. ``max_posting``
+    drops ultra-common grams (skew guard; they contribute little to
+    Jaccard but quadratic join work).
+    """
+    grams = word_ngrams(df, n, text_col, id_col)
+    sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    hot = (
+        grams.groupBy("gram")
+        .agg(F.count("*").alias("_df"))
+        .where(F.col("_df") > max_posting)
+        .select("gram")
+    )
+    pruned = grams.join(F.broadcast(hot), "gram", "left_anti")
+    a = pruned.select(F.col("id").alias("id_a"), "gram")
+    b = pruned.select(F.col("id").alias("id_b"), "gram")
+    common = (
+        a.join(b, "gram")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
+    out = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ------------------------------------------------------------- MinHash LSH
+def minhash_signatures(
+    grams: DataFrame, num_perm: int = 64
+) -> DataFrame:
+    """(id, sig array<long>) — permutation i's value = min over grams of
+    xxhash64(i, gram). One explode + one groupBy — all JVM-side."""
+    perms = F.sequence(F.lit(0), F.lit(num_perm - 1))
+    exploded = grams.withColumn("perm", F.explode(perms)).withColumn(
+        "h", F.xxhash64(F.col("perm"), F.col("gram"))
+    )
+    sigs = (
+        exploded.groupBy("id", "perm")
+        .agg(F.min("h").alias("mh"))
+        .groupBy("id")
+        .agg(F.array_sort(F.collect_list(F.struct("perm", "mh"))).alias("_s"))
+        .withColumn("sig", F.transform(F.col("_s"), lambda s: s["mh"]))
+        .drop("_s")
+    )
+    return sigs
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    n: int = 3,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding, verified with exact
+    word-n-gram Jaccard >= threshold. Output (id_a < id_b, jaccard)."""
+    rows_per_band = num_perm // bands
+    grams = word_ngrams(df, n, text_col, id_col)
+    sigs = minhash_signatures(grams, num_perm)
+    banded = sigs.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
+    banded = banded.withColumn(
+        "band_key",
+        F.xxhash64(
+            F.col("band"),
+            F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band)
+            .cast("array<string>")
+            .cast("string"),
+        ),
+    ).select("id", "band", "band_key")
+    l = banded.select(F.col("id").alias("id_a"), "band", "band_key")
+    r = banded.select(F.col("id").alias("id_b"), "band", "band_key")
+    cand = (
+        l.join(r, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # exact verify on candidates only
+    sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    a = grams.select(F.col("id").alias("id_a"), "gram")
+    b = grams.select(F.col("id").alias("id_b"), "gram")
+    common = (
+        cand.join(a, "id_a")
+        .join(b, ["id_b", "gram"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("common"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
+    return (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ----------------------------------------------------------------- SimHash
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", out_col: str = "simhash"
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens (vectorized bit-vote kernel
+    in one Arrow batch UDF; token hashing is numpy, not per-row Python)."""
+
+    @pandas_udf(LongType())
+    def _simhash(texts: pd.Series) -> pd.Series:
+        out = np.zeros(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            if t is None:
+                continue
+            toks = t.lower().split()
+            if not toks:
+                continue
+            hs = np.fromiter(
+                (hash_token(tok) for tok in toks), dtype=np.uint64, count=len(toks)
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
+            votes = bits.sum(axis=0) * 2 - len(toks)
+            fp = np.uint64(0)
+            for b in range(64):
+                if votes[b] > 0:
+                    fp |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(fp.astype(np.int64))
+        return pd.Series(out)
+
+    def hash_token(tok: str) -> int:
+        # FNV-1a 64-bit, deterministic across processes (unlike hash())
+        h = 0xCBF29CE484222325
+        for ch in tok.encode("utf-8"):
+            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    return df.withColumn(out_col, _simhash(F.col(text_col)))
+
+
+def simhash_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into 4
+    16-bit keys (pigeonhole: hamming<=3 pairs share at least one band),
+    bucket-join, verify Hamming distance JVM-side (bit_count)."""
+    fp = simhash(df.select(id_col, text_col), text_col, id_col).select(
+        F.col(id_col).alias("id"), "simhash"
+    )
+    banded = fp.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(3))))
+    banded = banded.withColumn(
+        "band_key", F.expr("shiftrightunsigned(simhash, band * 16) & 65535")
+    )
+    l = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("sh_a"), "band", "band_key")
+    r = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("sh_b"), "band", "band_key")
+    cand = (
+        l.join(r, ["band", "band_key"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

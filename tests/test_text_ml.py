@@ -1,0 +1,144 @@
+"""Text-analysis / dedup / similarity / multimodal operators over the
+driver testdata tables (documents, embeddings) at sf0.001."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from geofileops_spark.ml import dedup as DD
+from geofileops_spark.ml import multimodal as MM
+from geofileops_spark.ml import similarity as SIM
+from geofileops_spark.text import analysis as TA
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_token_stats_matches_duckdb(docs):
+    got = {
+        r["doc_id"]: (r["n_chars"], r["n_tokens"])
+        for r in TA.token_stats(docs).select("doc_id", "n_chars", "n_tokens").collect()
+    }
+    exp = {
+        r[0]: (r[1], r[2])
+        for r in duckdb.sql(
+            f"""select doc_id, length(text),
+                case when trim(text)='' then 0
+                     else len(regexp_split_to_array(trim(text), '\\s+')) end
+            from '{SF}/documents.parquet'"""
+        ).fetchall()
+    }
+    assert got == exp
+
+
+def test_fingerprint_md5_matches_duckdb(docs):
+    got = {r["doc_id"]: r["fp"] for r in TA.fingerprint(docs).select("doc_id", "fp").collect()}
+    exp = {
+        r[0]: r[1]
+        for r in duckdb.sql(
+            f"""select doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+            from '{SF}/documents.parquet'"""
+        ).fetchall()
+    }
+    assert got == exp
+
+
+def test_lang_id_runs(docs):
+    out = TA.lang_id(docs).groupBy("lang_pred").count().collect()
+    assert sum(r["count"] for r in out) == docs.count()
+
+
+def test_dedup_exact_with_planted_dups(spark, docs):
+    # plant exact duplicates: copy of each doc with id + 10000
+    dup = docs.withColumn("doc_id", F.col("doc_id") + 10000)
+    both = docs.unionByName(dup)
+    kept = DD.dedup_exact(both)
+    assert kept.count() == docs.count()
+    assert kept.agg(F.max("doc_id")).collect()[0][0] < 10000
+
+
+def test_ngram_jaccard_finds_near_dups(spark, docs):
+    # mutated copy: drop last word -> high Jaccard vs original
+    base = docs.where(F.col("doc_id") < 50)
+    mut = base.withColumn("doc_id", F.col("doc_id") + 10000).withColumn(
+        "text", F.regexp_replace(F.col("text"), r"\s+\S+$", "")
+    )
+    both = base.unionByName(mut)
+    pairs = DD.ngram_jaccard_pairs(both, n=3, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert {(i, i + 10000) for i in range(50) if (i,) } >= got or len(got) > 0
+    # every original should pair with its mutation
+    expected = {(i, i + 10000) for i in [r[0] for r in base.select("doc_id").collect()]}
+    assert expected <= got
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    base = docs.where(F.col("doc_id") < 50)
+    mut = base.withColumn("doc_id", F.col("doc_id") + 10000).withColumn(
+        "text", F.regexp_replace(F.col("text"), r"\s+\S+$", "")
+    )
+    both = base.unionByName(mut)
+    pairs = DD.minhash_lsh_pairs(both, n=3, num_perm=64, bands=16, threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    expected = {(i, i + 10000) for i in [r[0] for r in base.select("doc_id").collect()]}
+    # banding may drop a few, but on near-identical docs recall should be full
+    assert len(expected - got) == 0
+
+
+def test_simhash_pairs(spark, docs):
+    base = docs.where(F.col("doc_id") < 30)
+    dup = base.withColumn("doc_id", F.col("doc_id") + 10000)
+    both = base.unionByName(dup)
+    pairs = DD.simhash_pairs(both, max_hamming=0)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    expected = {(i, i + 10000) for i in [r[0] for r in base.select("doc_id").collect()]}
+    assert expected <= got
+
+
+def test_cosine_topk_self_is_nearest(spark, emb):
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    out = SIM.cosine_topk(queries, emb, k=3, include_self=True)
+    top1 = {r["query_id"]: r["neighbor_id"] for r in out.where(F.col("rank") == 1).collect()}
+    assert all(q == n for q, n in top1.items())
+    counts = out.groupBy("query_id").count().collect()
+    assert all(r["count"] == 3 for r in counts)
+
+
+def test_lsh_topk_reasonable_recall(spark, emb):
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    exact = SIM.cosine_topk(queries, emb, k=3)
+    approx = SIM.lsh_topk(queries, emb, k=3, nbits=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # same-bucket recall on random data with 4 bits should find some overlap
+    assert len(e & a) >= len(e) // 4
+
+
+def test_multimodal_decode_plumbing(spark):
+    media = MM.synth_media(spark, 64)
+    decoded = MM.decode_images(media)
+    rows = decoded.select("media_id", "width", "height", F.size("features").alias("d")).collect()
+    assert len(rows) == 64
+    assert all(r["width"] > 0 and r["height"] > 0 and r["d"] == 32 for r in rows)
+    # determinism: same input -> same features
+    f1 = decoded.select("features").first()[0]
+    f2 = MM.decode_images(media).select("features").first()[0]
+    assert f1 == f2
+
+
+def test_frame_sample(spark):
+    media = MM.synth_media(spark, 8, media_type="video")
+    frames = MM.frame_sample(media, every_n=1)
+    assert frames.count() >= 8
+    assert frames.where(F.col("frame").isNull()).count() == 0
