@@ -292,6 +292,18 @@ def _ring_op(ringA: np.ndarray, ringB: np.ndarray, op: str) -> list[np.ndarray]:
     ext = max(bb_a[2] - bb_a[0], bb_a[3] - bb_a[1], bb_b[2] - bb_b[0], bb_b[3] - bb_b[1], 1e-9)
     if not bbox_intersects(bb_a, bb_b):
         return _no_intersection_fallback(a, b, op, None)
+    # bboxes overlapping only in a degenerate line/point: interiors cannot
+    # intersect (open 2-D sets can't fit in a measure-zero strip), so skip
+    # the clipper — its perturbation retry would manufacture slivers here.
+    if (
+        min(bb_a[2], bb_b[2]) - max(bb_a[0], bb_b[0]) <= 0.0
+        or min(bb_a[3], bb_b[3]) - max(bb_a[1], bb_b[1]) <= 0.0
+    ):
+        if op == "intersection":
+            return []
+        if op == "difference":
+            return [np.vstack([a, a[:1]])]
+        return [np.vstack([a, a[:1]]), np.vstack([b, b[:1]])]
 
     for attempt in range(6):
         try:

@@ -47,11 +47,15 @@ def dedup_exact(
 def word_ngrams(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
     """(id, gram) distinct word n-grams per document (JVM-side)."""
     toks = F.split(F.trim(normalize_text(F.col(text_col))), WS_RE)
-    # sliding window of n via transform over index sequence
-    grams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(-1))),
-        lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
-    )
+    # sliding window of n via transform over index sequence; guard short
+    # docs (sequence(0, negative) would count DOWN in Spark)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     return (
         df.select(F.col(id_col).alias("id"), F.explode(grams).alias("gram"))
         .where(F.col("gram") != "")

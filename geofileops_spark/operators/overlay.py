@@ -49,6 +49,23 @@ def _min_primitive(g1: G.Geometry, g2: G.Geometry) -> int:
     return min(g1.dim(), g2.dim()) + 1
 
 
+def _drop_degenerate(g: G.Geometry, prim: int) -> G.Geometry:
+    """Drop zero-measure parts of the extracted primitive (edge-touching
+    inputs yield degenerate slivers our clipper keeps as area-0 polygons;
+    GEOS would type them down to lines, which extraction removes)."""
+    from ..geometry import kernels as K
+
+    if prim == 3:
+        kept = [p for p in g.parts() if p.dim() == 2 and K.area(p) > 0.0]
+    elif prim == 2:
+        kept = [p for p in g.parts() if p.dim() == 1 and K.length(p) > 0.0]
+    else:
+        return g
+    if not kept:
+        return G.Geometry.empty(G.MULTIPOLYGON if prim == 3 else G.MULTILINESTRING)
+    return G.Geometry.collect(kept)
+
+
 @pandas_udf(BinaryType())
 def _pair_intersection_udf(wkb1: pd.Series, wkb2: pd.Series) -> pd.Series:
     out = []
@@ -60,7 +77,7 @@ def _pair_intersection_udf(wkb1: pd.Series, wkb2: pd.Series) -> pd.Series:
         inter = C.intersection(g1, g2)
         prim = _min_primitive(g1, g2)
         if prim >= 1:
-            inter = inter.collection_extract(prim)
+            inter = _drop_degenerate(inter.collection_extract(prim), prim)
         if inter.is_empty():
             out.append(None)
         else:
@@ -91,11 +108,11 @@ def _combine_vs_union_udf(mode: str):
                     res = C.difference(res, g2)
                     if res.is_empty():
                         break
-                res = res.collection_extract(g1.dim() + 1)
+                res = _drop_degenerate(res.collection_extract(g1.dim() + 1), g1.dim() + 1)
             else:
                 blade = C.union_geoms(g2s)
                 res = C.intersection(g1, blade)
-                res = res.collection_extract(g1.dim() + 1)
+                res = _drop_degenerate(res.collection_extract(g1.dim() + 1), g1.dim() + 1)
             out.append(None if res.is_empty() else W.dumps(res.force_multi()))
         return pd.Series(out)
 
