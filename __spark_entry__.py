@@ -36,7 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
     pages = pages_from_documents(spark, sf)
     pts = extract_points(pages, res=12)
     zones = geo_zones(spark, sf)
-    joined = join_by_location(pts, zones, "intersects is True", res=6)
+    joined = join_by_location(pts, zones, "intersects is True", res=20)
     return (
         joined.groupBy(F.col("l2_fid").alias("zone_fid"), F.col("l2_naam").alias("zone"))
         .agg(F.count("*").alias("n_pages"))
@@ -51,7 +51,7 @@ def _q_jbl_intersects(spark, sf_dir):
 
     out = join_by_location(
         T.cust_points(spark, sf_dir), T.nation_boxes(spark, sf_dir),
-        "intersects is True", res=6,
+        "intersects is True", res=18,
     )
     return out.select(
         F.col("l1_fid").alias("cust_fid"), F.col("l2_fid").alias("box_fid")
@@ -64,7 +64,7 @@ def _q_jbl_within(spark, sf_dir):
 
     out = join_by_location(
         T.cust_points(spark, sf_dir), T.nation_boxes(spark, sf_dir),
-        "within is True", res=6,
+        "within is True", res=18,
     )
     return out.select(
         F.col("l1_fid").alias("cust_fid"), F.col("l2_fid").alias("box_fid")
@@ -77,7 +77,7 @@ def _q_jbl_left(spark, sf_dir):
 
     out = join_by_location(
         T.cust_points(spark, sf_dir), T.nation_boxes(spark, sf_dir),
-        "intersects is True", discard_nonmatching=False, res=6,
+        "intersects is True", discard_nonmatching=False, res=18,
     )
     return out.select(
         F.col("l1_fid").alias("cust_fid"), F.col("l2_fid").alias("box_fid")
@@ -90,7 +90,7 @@ def _q_export_semi(spark, sf_dir):
 
     out = export_by_location(
         T.cust_points(spark, sf_dir), T.nation_boxes(spark, sf_dir),
-        "intersects is True", res=6,
+        "intersects is True", res=18,
     )
     return out.select("fid")
 
@@ -101,7 +101,7 @@ def _q_export_disjoint(spark, sf_dir):
 
     out = export_by_location(
         T.cust_points(spark, sf_dir), T.nation_boxes(spark, sf_dir),
-        "disjoint is True", res=6,
+        "disjoint is True", res=18,
     )
     return out.select("fid")
 
@@ -136,7 +136,7 @@ def _q_intersection(spark, sf_dir):
     from geofileops_spark.functions.st import st_area
     from geofileops_spark.sources import tpch_geo as T
 
-    out = intersection(T.nation_boxes(spark, sf_dir), T.supp_boxes(spark, sf_dir), res=6)
+    out = intersection(T.nation_boxes(spark, sf_dir), T.supp_boxes(spark, sf_dir), res=18)
     return out.select(
         F.col("l1_fid").alias("nat_fid"),
         F.col("l2_fid").alias("supp_fid"),
@@ -149,7 +149,7 @@ def _q_difference(spark, sf_dir):
     from geofileops_spark.functions.st import st_area
     from geofileops_spark.sources import tpch_geo as T
 
-    out = difference(T.paired_left(spark, sf_dir), T.paired_right(spark, sf_dir), res=6)
+    out = difference(T.paired_left(spark, sf_dir), T.paired_right(spark, sf_dir), res=18)
     return out.select("fid", _bigint(st_area(F.col("geom_wkb"))).alias("area"))
 
 
@@ -162,7 +162,7 @@ def _q_clip(spark, sf_dir):
         [(1, "POLYGON ((200 150, 700 150, 700 650, 200 650, 200 150))")],
         "fid long, wkt string",
     ).withColumn("geom_wkb", st_geomfromtext(F.col("wkt"))).drop("wkt")
-    out = clip(T.supp_boxes(spark, sf_dir), blade, res=6)
+    out = clip(T.supp_boxes(spark, sf_dir), blade, res=18)
     return out.select("fid", _bigint(st_area(F.col("geom_wkb"))).alias("area"))
 
 
@@ -171,7 +171,7 @@ def _q_union_overlay(spark, sf_dir):
     from geofileops_spark.functions.st import st_area
     from geofileops_spark.sources import tpch_geo as T
 
-    out = union(T.paired_left(spark, sf_dir), T.paired_right(spark, sf_dir), res=6)
+    out = union(T.paired_left(spark, sf_dir), T.paired_right(spark, sf_dir), res=18)
     return out.select(
         F.col("l1_fid").alias("left_fid"),
         F.col("l2_fid").alias("right_fid"),
@@ -185,7 +185,7 @@ def _q_symdiff(spark, sf_dir):
     from geofileops_spark.sources import tpch_geo as T
 
     out = symmetric_difference(
-        T.paired_left(spark, sf_dir), T.paired_right(spark, sf_dir), res=6
+        T.paired_left(spark, sf_dir), T.paired_right(spark, sf_dir), res=18
     )
     return out.select(
         F.col("l1_fid").alias("left_fid"),
@@ -199,7 +199,7 @@ def _q_identity(spark, sf_dir):
     from geofileops_spark.functions.st import st_area
     from geofileops_spark.sources import tpch_geo as T
 
-    out = identity(T.paired_left(spark, sf_dir), T.paired_right(spark, sf_dir), res=6)
+    out = identity(T.paired_left(spark, sf_dir), T.paired_right(spark, sf_dir), res=18)
     return out.select(
         F.col("l1_fid").alias("left_fid"),
         F.col("l2_fid").alias("right_fid"),
@@ -347,7 +347,7 @@ def _q_pages_pip(spark, sf_dir):
     from geofileops_spark.sources.tpch_geo import geo_zones, pages_from_documents
 
     pts = extract_points(pages_from_documents(spark, sf_dir), res=12)
-    out = join_by_location(pts, geo_zones(spark, sf_dir), "intersects is True", res=6)
+    out = join_by_location(pts, geo_zones(spark, sf_dir), "intersects is True", res=20)
     return out.select(
         F.col("l1_url").alias("url"),
         F.col("l2_fid").alias("zone_fid"),

@@ -31,6 +31,32 @@ _U32 = struct.Struct("<I")
 _D2 = struct.Struct("<2d")
 
 
+# ------------------------------------------------------- vectorized points
+def points_from_wkb_list(blobs) -> "np.ndarray | None":
+    """Vectorized decode of a batch of little-endian 2-D POINT WKBs
+    (fixed 21-byte layout: 1 byte order + 4 type + 16 coords).
+    Returns an (n, 2) float64 array, or None if any row is not such a
+    point (caller falls back to the generic per-row path). NULL rows are
+    not allowed here — filter them first.
+    """
+    import numpy as np
+
+    n = len(blobs)
+    if n == 0:
+        return np.empty((0, 2))
+    joined = b"".join(blobs)
+    if len(joined) != 21 * n:
+        return None
+    arr = np.frombuffer(joined, dtype=np.uint8).reshape(n, 21)
+    # byte order 1 (LE) and geometry type 1 (POINT)
+    if not (arr[:, 0] == 1).all():
+        return None
+    typ = arr[:, 1:5].copy().view(np.uint32).reshape(n)
+    if not (typ == 1).all():
+        return None
+    return arr[:, 5:21].copy().view(np.float64).reshape(n, 2)
+
+
 # --------------------------------------------------------------------- dumps
 def dumps(geom: Geometry) -> bytes:
     """Geometry -> WKB bytes."""

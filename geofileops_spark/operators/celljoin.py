@@ -72,6 +72,20 @@ def with_cover(
 
     @pandas_udf(_COVER_SCHEMA)
     def _cover(wkb: pd.Series) -> pd.DataFrame:
+        # vectorized fast path: all-POINT batches decode in one numpy shot
+        if not wkb.isna().any():
+            pts = W.points_from_wkb_list([bytes(b) for b in wkb])
+            if pts is not None:
+                cells = X.cell_of_points(pts[:, 0], pts[:, 1], res)
+                return pd.DataFrame(
+                    {
+                        "minx": pts[:, 0],
+                        "miny": pts[:, 1],
+                        "maxx": pts[:, 0],
+                        "maxy": pts[:, 1],
+                        "cells": [[int(c)] for c in cells],
+                    }
+                )
         minx, miny, maxx, maxy, cells_col = [], [], [], [], []
         for b in wkb:
             if b is None:

@@ -47,23 +47,65 @@ def _geom_cache_loader():
     return load
 
 
+# point-vs-area predicates expressible from the vectorized classification
+# (0=outside, 1=boundary, 2=interior) of kernels.points_in_multipolygon
+_PIP_PRED = {
+    "intersects": lambda c: c >= 1,
+    "disjoint": lambda c: c == 0,
+    "within": lambda c: c == 2,
+    "coveredby": lambda c: c >= 1,
+    "touches": lambda c: c == 1,
+}
+
+
+def _pip_fast_path(pred_name: str, wkb1: pd.Series, wkb2: pd.Series):
+    """Vectorized point-in-polygon evaluation for a whole Arrow batch:
+    decode all left POINTs at once (fixed 21-byte WKB layout), group by
+    distinct right geometry (zones repeat thousands of times per batch),
+    classify with numpy ray casting. Returns a bool ndarray or None when
+    the batch isn't all-points / the predicate isn't expressible."""
+    fn = _PIP_PRED.get(pred_name)
+    if fn is None or wkb1.isna().any() or wkb2.isna().any():
+        return None
+    pts = W.points_from_wkb_list([bytes(b) for b in wkb1])
+    if pts is None:
+        return None
+    out = np.zeros(len(pts), dtype=bool)
+    codes, uniques = pd.factorize(wkb2.map(bytes))
+    for u, blob in enumerate(uniques):
+        g2 = W.loads(blob)
+        if g2.dim() != 2:
+            return None
+        idx = np.nonzero(codes == u)[0]
+        cls = K.points_in_multipolygon(pts[idx], g2)
+        out[idx] = fn(cls)
+    return out
+
+
 def query_match_udf(query: SpatialQuery):
     """Boolean pandas UDF evaluating the compiled spatial query per pair.
 
     Single-term queries short-circuit to the named predicate functions
-    (the reference's optimize_simple_queries, ``_geoops_sql.py:2398-2445``).
+    (the reference's optimize_simple_queries, ``_geoops_sql.py:2398-2445``);
+    all-point left batches against areal rights take the fully vectorized
+    PIP path (no per-row Python at all).
     """
     q = query.query.lower().split()
     simple = None
     if len(q) == 3 and q[0] in P.PREDICATE_FNS and q[1] == "is":
-        simple = (P.PREDICATE_FNS[q[0]], q[2] == "true")
+        simple = (q[0], P.PREDICATE_FNS[q[0]], q[2] == "true")
 
     @pandas_udf(BooleanType())
     def _match(wkb1: pd.Series, wkb2: pd.Series) -> pd.Series:
+        if simple is not None:
+            name, fn, want = simple
+            fast = _pip_fast_path(name, wkb1, wkb2)
+            if fast is not None:
+                return pd.Series(fast == want, dtype="boolean")
         load = _geom_cache_loader()
         out = []
         if simple is not None:
-            fn, want = simple
+            _, fn, want = simple
             for b1, b2 in zip(wkb1, wkb2):
                 if b1 is None or b2 is None:
                     out.append(False)
@@ -97,6 +139,13 @@ def _inters_area_udf(wkb1: pd.Series, wkb2: pd.Series) -> pd.Series:
 
 @pandas_udf(DoubleType())
 def _distance_udf(wkb1: pd.Series, wkb2: pd.Series) -> pd.Series:
+    # vectorized fast path: point-point batches (the kNN hot path)
+    if not wkb1.isna().any() and not wkb2.isna().any():
+        p1 = W.points_from_wkb_list([bytes(b) for b in wkb1])
+        p2 = W.points_from_wkb_list([bytes(b) for b in wkb2]) if p1 is not None else None
+        if p1 is not None and p2 is not None:
+            d = np.hypot(p1[:, 0] - p2[:, 0], p1[:, 1] - p2[:, 1])
+            return pd.Series(d, dtype="float64")
     load = _geom_cache_loader()
     out = []
     for b1, b2 in zip(wkb1, wkb2):
@@ -176,6 +225,109 @@ def join_by_location(
         )
         matched = matched.unionByName(unmatched, allowMissingColumns=True)
     return matched
+
+
+# -------------------------------------------------- broadcast PIP join
+def join_points_in_polygons(
+    points: DataFrame,
+    polys: DataFrame,
+    x_col: str = "lon",
+    y_col: str = "lat",
+    poly_id_col: str = "fid",
+    geom_col: str = "geom_wkb",
+    max_polys: int = 100_000,
+) -> DataFrame:
+    """Vectorized broadcast point-in-polygon join: the fast path for the
+    canonical "billions of points x small polygon dimension" shape (pages
+    x zones). Polygons are collected once and shipped in the UDF closure;
+    every Arrow batch tests all points against all polygons with numpy
+    ray-casting (``kernels.points_in_multipolygon``) — no shuffle at all,
+    the scan streams map-side. Falls back to ``join_by_location`` when
+    the polygon side is large.
+
+    Output: points columns + ``{poly_id_col}`` of the matched polygon
+    (one row per (point, polygon) containment pair).
+    """
+    rows = polys.select(poly_id_col, geom_col).collect()
+    if len(rows) > max_polys:
+        raise ValueError(
+            f"polygon side has {len(rows)} rows; use join_by_location instead"
+        )
+    payload = [(r[0], bytes(r[1])) for r in rows if r[1] is not None]
+
+    if len(payload) <= 63:
+        # bitmask path: the UDF returns one int64 whose bit z says "inside
+        # polygon z" — zero Python objects per row, explode happens JVM-side
+        @pandas_udf(LongType())
+        def _matchbits(xs: pd.Series, ys: pd.Series) -> pd.Series:
+            pts = np.column_stack(
+                [xs.to_numpy(np.float64), ys.to_numpy(np.float64)]
+            )
+            out = np.zeros(len(pts), dtype=np.int64)
+            for z, (pid, blob) in enumerate(payload):
+                g = W.loads(blob)
+                bx0, by0, bx1, by1 = K.bounds(g)
+                bb = (
+                    (pts[:, 0] >= bx0)
+                    & (pts[:, 0] <= bx1)
+                    & (pts[:, 1] >= by0)
+                    & (pts[:, 1] <= by1)
+                )
+                idx = np.nonzero(bb)[0]
+                if len(idx) == 0:
+                    continue
+                # 0=outside, 1=boundary, 2=interior; boundary intersects
+                inside = K.points_in_multipolygon(pts[idx], g) >= 1
+                out[idx[inside]] |= np.int64(1) << np.int64(z)
+            return pd.Series(out)
+
+        ids_arr = F.array(*[F.lit(pid) for pid, _ in payload])
+        out = points.withColumn("_bits", _matchbits(F.col(x_col), F.col(y_col)))
+        out = out.where(F.col("_bits") != 0)
+        idxs = F.array_compact(
+            F.array(
+                *[
+                    F.when(
+                        F.col("_bits").bitwiseAND(F.lit(1 << z)) != 0, F.lit(z)
+                    )
+                    for z in range(len(payload))
+                ]
+            )
+        )
+        out = out.withColumn("_pidx", F.explode(idxs)).drop("_bits")
+        return out.withColumn(
+            poly_id_col, F.element_at(ids_arr, F.col("_pidx") + 1)
+        ).drop("_pidx")
+
+    @pandas_udf("array<long>")
+    def _match(xs: pd.Series, ys: pd.Series) -> pd.Series:
+        geoms = [(pid, W.loads(b)) for pid, b in payload]
+        pre = []
+        for pid, g in geoms:
+            b = K.bounds(g)
+            pre.append((pid, g, b))
+        pts = np.column_stack([xs.to_numpy(np.float64), ys.to_numpy(np.float64)])
+        hit_lists: list[list[int]] = [[] for _ in range(len(pts))]
+        for pid, g, (bx0, by0, bx1, by1) in pre:
+            bb = (
+                (pts[:, 0] >= bx0)
+                & (pts[:, 0] <= bx1)
+                & (pts[:, 1] >= by0)
+                & (pts[:, 1] <= by1)
+            )
+            idx = np.nonzero(bb)[0]
+            if len(idx) == 0:
+                continue
+            # classification: 0=outside, 1=boundary, 2=interior; boundary
+            # counts as intersects (matching join_by_location semantics)
+            inside = K.points_in_multipolygon(pts[idx], g) >= 1
+            for i in idx[inside]:
+                hit_lists[i].append(pid)
+        return pd.Series([h if h else None for h in hit_lists])
+
+    out = points.withColumn("_hits", _match(F.col(x_col), F.col(y_col)))
+    out = out.where(F.col("_hits").isNotNull())
+    return out.withColumn(poly_id_col, F.explode("_hits")).drop("_hits")
 
 
 # ------------------------------------------------------ export_by_location

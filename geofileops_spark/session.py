@@ -31,13 +31,32 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # geometry rows are CPU-heavy per byte: coalesce to ~8MB partitions
+        # (the 64MB default starves Python-UDF stages of parallelism)
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8m")
+        # scan splits sized for CPU-heavy UDF pipelines over the modest
+        # sandbox files; on a real 100TB table with 128MB+ row groups the
+        # defaults (128m/4m) are appropriate instead
+        .config("spark.sql.files.maxPartitionBytes", "16m")
+        .config("spark.sql.files.openCostInBytes", "2m")
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow transfer for all pandas UDFs (vectorized geometry kernels)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "262144")
         # generous broadcast threshold: zone/dim layers are small
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # shuffle/spill on tmpfs: the sandbox's overlayfs makes shuffle-file
+        # creation syscall-bound; real clusters use fast local SSDs instead
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
+        # explicit worker reuse: without it every job forks fresh pandas-UDF
+        # workers whose post-fork GC copy-on-writes ~100MB each — at 32
+        # cores that's a kernel-time storm that INVERTS scaling
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.python.worker.idleTimeoutSeconds", "120")
+        # unix domain sockets for JVM<->Python data: measurably lower
+        # syscall cost than loopback TCP in this sandbox
+        .config("spark.python.unix.domain.socket.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

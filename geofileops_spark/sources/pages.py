@@ -100,13 +100,16 @@ def _gen_batch(ids: np.ndarray) -> pd.DataFrame:
     ts = pd.to_datetime(
         1_500_000_000 + (ids.astype(np.int64) * 97) % 200_000_000, unit="s"
     )
+    # vectorized word selection: column j of the (16, n) index matrix
+    # reproduces the original per-row _u01(ids[k], 100+j) draw exactly
+    nw = n_words % 12 + 4
+    widx = np.stack(
+        [(_u01(ids, 100 + j) * len(_WORDS)).astype(int) for j in range(16)]
+    )
+    warr = np.array(_WORDS)
     texts = []
-    for k, i in enumerate(ids):
-        wsel = [
-            _WORDS[int(_u01(np.asarray([i]), 100 + j)[0] * len(_WORDS))]
-            for j in range(int(n_words[k]) % 12 + 4)
-        ]
-        body = " ".join(wsel)
+    for k in range(len(ids)):
+        body = " ".join(warr[widx[: nw[k], k]])
         if has_geo[k]:
             texts.append(f"{body} geo:{lat[k]:.6f},{lon[k]:.6f} {body}")
         else:
@@ -138,17 +141,20 @@ def synth_pages(spark: SparkSession, n_rows: int, partitions: int | None = None)
 GEO_RE = r"geo:(-?\d+\.\d+),(-?\d+\.\d+)"
 
 
-def extract_points(pages: DataFrame, res: int = 12) -> DataFrame:
-    """pages -> points layer (url, fid, lon, lat, geom_wkb, cell).
+def extract_points(pages: DataFrame, res: int = 12, with_geom: bool = True) -> DataFrame:
+    """pages -> points layer (url, fid, lon, lat[, geom_wkb], cell).
 
     The geotag parse is JVM-side ``regexp_extract`` (whole-stage codegen;
-    no Python in the hot path) — only WKB encoding is a pandas UDF.
-    ``text`` is passed through untouched (byte-identical invariant).
-    fid = xxhash64(url): stable, join-preserving row identity (SURVEY.md
-    §1.2 fid mapping).
+    no Python in the hot path) — only WKB encoding is a pandas UDF, and
+    ``with_geom=False`` skips even that (zero Python runners in the
+    extraction stage; downstream xy-native operators consume lon/lat
+    directly). ``text`` is passed through untouched (byte-identical
+    invariant). fid = xxhash64(url): stable, join-preserving row identity
+    (SURVEY.md §1.2 fid mapping).
     """
     df = (
-        pages.withColumn("_lat", F.regexp_extract("text", GEO_RE, 1))
+        pages.select("url", "text")
+        .withColumn("_lat", F.regexp_extract("text", GEO_RE, 1))
         .withColumn("_lon", F.regexp_extract("text", GEO_RE, 2))
         .where((F.col("_lat") != "") & (F.col("_lon") != ""))
         .withColumn("lat", F.col("_lat").cast("double"))
@@ -156,9 +162,11 @@ def extract_points(pages: DataFrame, res: int = 12) -> DataFrame:
         .drop("_lat", "_lon")
         .withColumn("fid", F.xxhash64(F.col("url")))
     )
-    df = df.withColumn("geom_wkb", st_point(F.col("lon"), F.col("lat")))
     df = df.withColumn("cell", gq_cell(F.col("lon"), F.col("lat"), res))
-    return df.select("url", "fid", "lon", "lat", "geom_wkb", "cell")
+    if with_geom:
+        df = df.withColumn("geom_wkb", st_point(F.col("lon"), F.col("lat")))
+        return df.select("url", "fid", "lon", "lat", "geom_wkb", "cell")
+    return df.select("url", "fid", "lon", "lat", "cell")
 
 
 def zones_wkt() -> list[tuple[int, str, str]]:
