@@ -366,6 +366,70 @@ def _q_pages_passthrough(spark, sf_dir):
     return joined.select("url", F.md5(F.col("text")).alias("text_md5"))
 
 
+def _q_warp(spark, sf_dir):
+    from geofileops_spark import geoops as G
+    from geofileops_spark.functions.st import st_x, st_y
+    from geofileops_spark.sources import tpch_geo as T
+
+    out = G.warp(T.cust_points(spark, sf_dir), (2, 0, 3, 0, 1, 10))
+    return out.select(
+        "fid",
+        _bigint(st_x(F.col("geom_wkb"))).alias("wx"),
+        _bigint(st_y(F.col("geom_wkb"))).alias("wy"),
+    )
+
+
+def _q_union_full_self(spark, sf_dir):
+    from geofileops_spark.functions.st import st_area
+    from geofileops_spark.operators.union_full import union_full_self
+    from geofileops_spark.sources import tpch_geo as T
+
+    left = T.paired_left(spark, sf_dir).select("fid", "geom_wkb")
+    right = T.paired_right(spark, sf_dir).select(
+        (F.col("fid") + 1000).alias("fid"), "geom_wkb"
+    )
+    out = union_full_self(left.unionByName(right), agg_shape="LISTS", res=18)
+    return out.select(
+        _bigint(st_area(F.col("geom_wkb"))).alias("area"),
+        F.array_join(F.col("fids").cast("array<string>"), ",").alias("fids"),
+    )
+
+
+def _q_remove_slivers(spark, sf_dir):
+    from geofileops_spark import geoops as G
+    from geofileops_spark.functions.st import st_geomfromtext
+    from geofileops_spark.sources import tpch_geo as T
+
+    n = T.load(spark, sf_dir, "nation")
+    i = F.col("n_nationkey").cast("long")
+    x = (i * 500).cast("double")
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        x.cast("string"), F.lit(" 0, "),
+        (x + 100).cast("string"), F.lit(" 0, "),
+        (x + 100).cast("string"), F.lit(" 0.001, "),
+        x.cast("string"), F.lit(" 0.001, "),
+        x.cast("string"), F.lit(" 0))"),
+    )
+    slivers = n.select((i + 10000).alias("fid"), wkt.alias("_w")).withColumn(
+        "geom_wkb", st_geomfromtext(F.col("_w"))
+    ).drop("_w")
+    layer = T.supp_boxes(spark, sf_dir).select("fid", "geom_wkb").unionByName(slivers)
+    return G.remove_slivers(layer, tolerance=0.1).select("fid")
+
+
+def _q_explode_parts(spark, sf_dir):
+    from geofileops_spark import geoops as G
+    from geofileops_spark.functions.st import st_area, st_makevalid
+    from geofileops_spark.sources import tpch_geo as T
+
+    fixed = T.bowties(spark, sf_dir).withColumn(
+        "geom_wkb", st_makevalid(F.col("geom_wkb"))
+    )
+    out = G.explodecollections(fixed)
+    return out.select("fid", _bigint(st_area(F.col("geom_wkb")) * 100).alias("area_e2"))
+
+
 # --------------------------------------------------------------- text / ml
 def _q_token_stats(spark, sf_dir):
     from geofileops_spark.sources.tpch_geo import load
@@ -586,6 +650,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
         "multimodal_decode": _q_multimodal,
+        "warp_affine": _q_warp,
+        "union_full_self": _q_union_full_self,
+        "remove_slivers": _q_remove_slivers,
+        "explode_parts": _q_explode_parts,
         "agg_pricing": _q_agg_pricing,
         "join_orders_customers": _q_join_orders,
         "window_top3_orders": _q_window_topk,
@@ -828,6 +896,35 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.7"""
         SELECT doc_id FROM r WHERE rn = 1""",
         "dedup_ngram_jaccard": jacc_oracle,
         "dedup_minhash_lsh": jacc_oracle,
+        "warp_affine": with_ctes(
+            """SELECT fid, CAST(2*px + 3 AS BIGINT) AS wx, CAST(py + 10 AS BIGINT) AS wy
+            FROM cust_points""",
+            "cust_points",
+        ),
+        "union_full_self": with_ctes(
+            """SELECT CAST(6000 AS BIGINT) AS area,
+                   CAST(fid AS VARCHAR) || ',' || CAST(fid + 1000 AS VARCHAR) AS fids
+              FROM paired_left WHERE fid % 2 = 0
+            UNION ALL
+            SELECT CAST(12000 AS BIGINT), CAST(fid AS VARCHAR)
+              FROM paired_left WHERE fid % 2 = 0
+            UNION ALL
+            SELECT CAST(12000 AS BIGINT), CAST(fid + 1000 AS VARCHAR)
+              FROM paired_left WHERE fid % 2 = 0
+            UNION ALL
+            SELECT CAST(18000 AS BIGINT), CAST(fid AS VARCHAR)
+              FROM paired_left WHERE fid % 2 = 1""",
+            "paired_left",
+        ),
+        "remove_slivers": with_ctes(
+            "SELECT fid FROM supp_boxes", "supp_boxes"
+        ),
+        "explode_parts": with_ctes(
+            """SELECT fid, CAST(2500 AS BIGINT) AS area_e2 FROM bowties
+            UNION ALL
+            SELECT fid, CAST(2500 AS BIGINT) FROM bowties""",
+            "bowties",
+        ),
         "agg_pricing": """SELECT l_returnflag, l_linestatus, count(*) AS n,
                CAST(round(sum(l_quantity)) AS BIGINT) AS sum_qty,
                CAST(round(sum(l_extendedprice) * 100) AS BIGINT) AS price_cents

@@ -443,3 +443,41 @@ def register_sql_functions(spark) -> None:
     spark.udf.register("st_intersection", st_intersection)
     spark.udf.register("st_centroid", st_centroid)
     spark.udf.register("st_npoints", st_npoints)
+
+
+def st_affine(col, matrix) -> Column:
+    """Affine warp (a,b,c,d,e,f): x' = a*x+b*y+c, y' = d*x+e*y+f
+    (geofileops warp, geoops.py:1561; affine order-1 case)."""
+    from ..geometry.extra import affine_transform
+
+    m = tuple(float(v) for v in matrix)
+
+    @pandas_udf(BinaryType())
+    def _aff(wkb: pd.Series) -> pd.Series:
+        return pd.Series(_map_geom(wkb, lambda g: affine_transform(g, m)))
+
+    return _aff(col)
+
+
+def st_issliver(col, tolerance: float) -> Column:
+    """Sliver predicate (geofileops _geoops_sql.py:4059-4130)."""
+    from pyspark.sql.types import BooleanType
+
+    from ..geometry.extra import is_sliver
+
+    @pandas_udf(BooleanType())
+    def _sliv(wkb: pd.Series) -> pd.Series:
+        out = []
+        for b in wkb:
+            out.append(None if b is None else bool(is_sliver(W.loads(bytes(b)), tolerance)))
+        return pd.Series(out, dtype="boolean")
+
+    return _sliv(col)
+
+
+@pandas_udf(BinaryType())
+def st_linemerge(wkb: pd.Series) -> pd.Series:
+    """ST_LineMerge (geofileops _geoops_sql.py:4765-4771)."""
+    from ..geometry.extra import line_merge
+
+    return pd.Series(_map_geom(wkb, line_merge))

@@ -271,6 +271,51 @@ def _ring_bbox(r):
     return (r[:, 0].min(), r[:, 1].min(), r[:, 0].max(), r[:, 1].max())
 
 
+def _as_rect(open_ring: np.ndarray):
+    """(x0, y0, x1, y1) when the open ring is an axis-aligned rectangle."""
+    if len(open_ring) != 4:
+        return None
+    xs = np.unique(open_ring[:, 0])
+    ys = np.unique(open_ring[:, 1])
+    if len(xs) != 2 or len(ys) != 2:
+        return None
+    # all 4 corners present exactly once
+    want = {(x, y) for x in xs for y in ys}
+    got = {(p[0], p[1]) for p in open_ring}
+    if got != want:
+        return None
+    return (xs[0], ys[0], xs[1], ys[1])
+
+
+def _rect_ring(x0, y0, x1, y1) -> np.ndarray:
+    return np.array(
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1], [x0, y0]], dtype=np.float64
+    )
+
+
+def _rect_op(ra, rb, op: str) -> list[np.ndarray]:
+    """Exact rectangle intersection / difference (closed result rings)."""
+    ax0, ay0, ax1, ay1 = ra
+    bx0, by0, bx1, by1 = rb
+    ix0, iy0 = max(ax0, bx0), max(ay0, by0)
+    ix1, iy1 = min(ax1, bx1), min(ay1, by1)
+    if ix0 >= ix1 or iy0 >= iy1:  # no interior overlap
+        return [] if op == "intersection" else [_rect_ring(*ra)]
+    if op == "intersection":
+        return [_rect_ring(ix0, iy0, ix1, iy1)]
+    # difference a - b: up to 4 strips of a around the overlap
+    out = []
+    if ay0 < iy0:
+        out.append(_rect_ring(ax0, ay0, ax1, iy0))
+    if iy1 < ay1:
+        out.append(_rect_ring(ax0, iy1, ax1, ay1))
+    if ax0 < ix0:
+        out.append(_rect_ring(ax0, iy0, ix0, iy1))
+    if ix1 < ax1:
+        out.append(_rect_ring(ix1, iy0, ax1, iy1))
+    return out
+
+
 def _ring_op(ringA: np.ndarray, ringB: np.ndarray, op: str) -> list[np.ndarray]:
     """Boolean op on two simple closed rings -> list of closed result rings
     (hole rings, when produced by union, come out with opposite winding and
@@ -292,6 +337,12 @@ def _ring_op(ringA: np.ndarray, ringB: np.ndarray, op: str) -> list[np.ndarray]:
     ext = max(bb_a[2] - bb_a[0], bb_a[3] - bb_a[1], bb_b[2] - bb_b[0], bb_b[3] - bb_b[1], 1e-9)
     if not bbox_intersects(bb_a, bb_b):
         return _no_intersection_fallback(a, b, op, None)
+    # exact fast path: both rings axis-aligned rectangles. The GH clipper
+    # would hit its degeneracy retry on shared/collinear edges (ubiquitous
+    # for bbox-shaped data) and perturb; rect algebra is exact instead.
+    ra, rb = _as_rect(a), _as_rect(b)
+    if ra is not None and rb is not None and op in ("intersection", "difference"):
+        return _rect_op(ra, rb, op)
     # bboxes overlapping only in a degenerate line/point: interiors cannot
     # intersect (open 2-D sets can't fit in a measure-zero strip), so skip
     # the clipper — its perturbation retry would manufacture slivers here.

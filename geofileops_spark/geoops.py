@@ -1,0 +1,273 @@
+"""Public operator façade mirroring the reference API surface
+(geofileops ``geoops.py`` + ``fileops.py``), re-expressed as
+``DataFrame -> DataFrame`` transforms.
+
+A geofileops user maps each call 1:1: file paths become DataFrames
+(``spark.read.parquet``/Iceberg), ``output_path`` becomes the returned
+DataFrame (write it wherever), and per-row invariants (fid stability,
+MULTI-forced geometry, empty-drop) follow the reference semantics
+documented on each wrapped operator. Parameter names follow the
+reference where they exist.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .functions import st
+from .operators.dissolve import dissolve, dissolve_within_distance  # noqa: F401
+from .operators.join import (  # noqa: F401
+    delete_duplicate_geometries,
+    export_by_distance,
+    export_by_location,
+    join,
+    join_by_location,
+    join_nearest,
+    join_points_in_polygons,
+)
+from .operators.overlay import (  # noqa: F401
+    clip,
+    difference,
+    erase,
+    identity,
+    intersection,
+    symmetric_difference,
+    union,
+)
+from .operators.union_full import union_full_self  # noqa: F401
+
+GEOM = "geom_wkb"
+
+
+# ------------------------------------------------ single-layer transforms
+def buffer(
+    df: DataFrame,
+    distance: float,
+    quadrantsegments: int = 5,
+    endcap_style: str = "round",
+    join_style: str = "round",
+    mitre_limit: float = 5.0,
+    single_sided: bool = False,
+    keep_empty_geoms: bool = False,
+    where_post: str | None = None,
+    geom_col: str = GEOM,
+) -> DataFrame:
+    """geofileops ``geoops.py:637-854``; negative distance keeps polygons
+    only (ST_CollectionExtract(...,3) semantics)."""
+    out = df.withColumn(
+        geom_col,
+        st.st_buffer(
+            F.col(geom_col), distance, quadrantsegments, endcap_style,
+            join_style, mitre_limit, single_sided,
+        ),
+    )
+    return _tail(out, geom_col, keep_empty_geoms, where_post)
+
+
+def convexhull(df: DataFrame, geom_col: str = GEOM, **kw) -> DataFrame:
+    """geofileops ``geoops.py:908-982``."""
+    return _tail(df.withColumn(geom_col, st.st_convexhull(F.col(geom_col))), geom_col, **kw)
+
+
+def simplify(
+    df: DataFrame,
+    tolerance: float,
+    algorithm: str = "rdp",
+    geom_col: str = GEOM,
+    **kw,
+) -> DataFrame:
+    """geofileops ``geoops.py:1787``; algorithms: rdp (default), vw."""
+    return _tail(
+        df.withColumn(geom_col, st.st_simplify(F.col(geom_col), tolerance, algorithm)),
+        geom_col, **kw,
+    )
+
+
+def makevalid(df: DataFrame, geom_col: str = GEOM, **kw) -> DataFrame:
+    """geofileops ``geoops.py:1420``: fix only invalid geometries."""
+    return _tail(df.withColumn(geom_col, st.st_makevalid(F.col(geom_col))), geom_col, **kw)
+
+
+def isvalid(df: DataFrame, geom_col: str = GEOM) -> DataFrame:
+    """geofileops ``geoops.py:1315``: report layer of invalid rows."""
+    out = df.withColumn("isvalid", st.st_isvalid(F.col(geom_col))).withColumn(
+        "isvalidreason", st.st_isvalidreason(F.col(geom_col))
+    )
+    return out.where(~F.col("isvalid"))
+
+
+def apply_vectorized(df: DataFrame, func, geom_col: str = GEOM, **kw) -> DataFrame:
+    """geofileops ``geoops.py:524-634``: user function over the decoded
+    geometry array — THE extension point. ``func(Geometry) -> Geometry``
+    runs inside one Arrow batch (no per-row Python API is offered, per
+    the input_hint ban on row-at-a-time UDFs)."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.types import BinaryType
+
+    from .functions.st import _map_geom
+
+    @pandas_udf(BinaryType())
+    def _apply(wkb: pd.Series) -> pd.Series:
+        return pd.Series(_map_geom(wkb, func))
+
+    return _tail(df.withColumn(geom_col, _apply(F.col(geom_col))), geom_col, **kw)
+
+
+def warp(df: DataFrame, matrix, geom_col: str = GEOM, **kw) -> DataFrame:
+    """geofileops ``geoops.py:1561`` (affine order-1 case)."""
+    return _tail(df.withColumn(geom_col, st.st_affine(F.col(geom_col), matrix)), geom_col, **kw)
+
+
+def reduceprecision(df: DataFrame, gridsize: float, geom_col: str = GEOM, **kw) -> DataFrame:
+    """gridsize snap (GFO_ReducePrecision twin)."""
+    return _tail(
+        df.withColumn(geom_col, st.st_reduceprecision(F.col(geom_col), gridsize)),
+        geom_col, **kw,
+    )
+
+
+def collection_extract(df: DataFrame, primitivetype: int, geom_col: str = GEOM, **kw) -> DataFrame:
+    """Keep only parts of the primitive type (1=point,2=line,3=poly)."""
+    return _tail(
+        df.withColumn(geom_col, st.st_collectionextract(F.col(geom_col), primitivetype)),
+        geom_col, **kw,
+    )
+
+
+def explodecollections(df: DataFrame, geom_col: str = GEOM) -> DataFrame:
+    """multi -> single parts, one output row per part."""
+    return (
+        df.where(F.col(geom_col).isNotNull())
+        .withColumn("_parts", st.st_parts(F.col(geom_col)))
+        .withColumn(geom_col, F.explode("_parts"))
+        .drop("_parts")
+    )
+
+
+def remove_slivers(df: DataFrame, tolerance: float, geom_col: str = GEOM) -> DataFrame:
+    """Drop sliver polygons (geofileops sliver filter,
+    ``_geoops_sql.py:4059-4130``)."""
+    return df.where(~F.coalesce(st.st_issliver(F.col(geom_col), tolerance), F.lit(False)))
+
+
+def clip_by_geometry(df: DataFrame, clip_wkt: str, geom_col: str = GEOM, **kw) -> DataFrame:
+    """Clip against one literal WKT geometry (geofileops ``geoops.py:857``)."""
+    spark = df.sparkSession
+    blade = spark.createDataFrame([(1, clip_wkt)], "fid long, wkt string").withColumn(
+        geom_col, st.st_geomfromtext(F.col("wkt"))
+    ).drop("wkt")
+    return clip(df, blade, geom_col=geom_col, **kw)
+
+
+def export_by_bounds(df: DataFrame, bounds, geom_col: str = GEOM) -> DataFrame:
+    """bbox prefilter + exact intersects (geofileops ``_geoops_ogr.py:17-78``)."""
+    minx, miny, maxx, maxy = bounds
+    wkt = (
+        f"POLYGON (({minx} {miny}, {maxx} {miny}, {maxx} {maxy}, "
+        f"{minx} {maxy}, {minx} {miny}))"
+    )
+    spark = df.sparkSession
+    blade = spark.createDataFrame([(1, wkt)], "fid long, wkt string").withColumn(
+        geom_col, st.st_geomfromtext(F.col("wkt"))
+    ).drop("wkt")
+    return export_by_location(df, blade, "intersects is True", geom_col=geom_col)
+
+
+# --------------------------------------------------- table/layer utilities
+def concat_layers(dfs: list[DataFrame]) -> DataFrame:
+    """geofileops ``geoops.py:2029-2137``: union-by-name, NULL-fill for
+    missing columns."""
+    from functools import reduce
+
+    return reduce(lambda a, b: a.unionByName(b, allowMissingColumns=True), dfs)
+
+
+def copy_layer(df: DataFrame, dst_path: str, mode: str = "overwrite", fmt: str = "parquet") -> None:
+    """geofileops ``fileops.py:3043`` — format conversion / append."""
+    df.write.mode(mode).format(fmt).save(dst_path)
+
+
+def get_layerinfo(df: DataFrame, geom_col: str = GEOM) -> dict:
+    """geofileops ``fileops.py:322`` LayerInfo analogue: featurecount,
+    total_bounds, geometry types, columns."""
+    from .functions.st import st_geometrytype, st_maxx, st_maxy, st_minx, st_miny
+
+    stats = df.agg(
+        F.count("*").alias("n"),
+        F.min(st_minx(F.col(geom_col))).alias("minx"),
+        F.min(st_miny(F.col(geom_col))).alias("miny"),
+        F.max(st_maxx(F.col(geom_col))).alias("maxx"),
+        F.max(st_maxy(F.col(geom_col))).alias("maxy"),
+    ).collect()[0]
+    gtypes = [
+        r[0]
+        for r in df.select(st_geometrytype(F.col(geom_col)).alias("t")).distinct().collect()
+        if r[0] is not None
+    ]
+    return {
+        "featurecount": stats["n"],
+        "total_bounds": (stats["minx"], stats["miny"], stats["maxx"], stats["maxy"]),
+        "geometrytypes": sorted(gtypes),
+        "columns": [c for c in df.columns if c != geom_col],
+        "geometrycolumn": geom_col,
+    }
+
+
+def add_column(df: DataFrame, name: str, expression: str) -> DataFrame:
+    """geofileops ``fileops.py:1000`` (SQL expression)."""
+    return df.withColumn(name, F.expr(expression))
+
+
+def drop_column(df: DataFrame, name: str) -> DataFrame:
+    return df.drop(name)
+
+
+def rename_column(df: DataFrame, old: str, new: str) -> DataFrame:
+    return df.withColumnRenamed(old, new)
+
+
+def update_column(df: DataFrame, name: str, expression: str, where: str | None = None) -> DataFrame:
+    """geofileops ``fileops.py:1522``: UPDATE col = expr [WHERE ...]."""
+    val = F.expr(expression)
+    if where:
+        val = F.when(F.expr(where), val).otherwise(F.col(name))
+    return df.withColumn(name, val)
+
+
+def read_file(
+    spark,
+    path: str,
+    columns: list[str] | None = None,
+    where: str | None = None,
+    bbox=None,
+    geom_col: str = GEOM,
+) -> DataFrame:
+    """geofileops ``fileops.py:1621-1743``: read with column/attribute/bbox
+    pushdown (columns + where reach the parquet scan via Catalyst)."""
+    df = spark.read.parquet(path)
+    if where:
+        df = df.where(F.expr(where))
+    if bbox is not None:
+        df = export_by_bounds(df, bbox, geom_col=geom_col)
+    if columns is not None:
+        keep = list(columns) + ([geom_col] if geom_col in df.columns else [])
+        df = df.select(*keep)
+    return df
+
+
+# ----------------------------------------------------------------- shared
+def _tail(
+    df: DataFrame,
+    geom_col: str,
+    keep_empty_geoms: bool = False,
+    where_post: str | None = None,
+) -> DataFrame:
+    """Reference output conventions: drop NULL/EMPTY geometries unless
+    keep_empty_geoms (``_geoops_sql.py:731-738``), then where_post."""
+    if not keep_empty_geoms:
+        df = df.where(F.col(geom_col).isNotNull() & ~st.st_isempty(F.col(geom_col)))
+    if where_post:
+        df = df.where(F.expr(where_post))
+    return df

@@ -1,0 +1,184 @@
+"""union_full_self: planar "flat union" of ONE layer (geofileops
+``geoops.py:3871`` -> ``geoops_sql/_union_full.py:25-416``).
+
+The output is the set of non-overlapping faces induced by the layer's
+geometries; each face carries the attributes of every input feature that
+contains it, shaped per ``agg_shape``:
+
+- ``LISTS``: one row per face, contributing fids as a sorted array;
+- ``ROWS``: one row per (face, contributing feature);
+- ``COLUMNS``: one row per face, contributors pivoted to fid_1..fid_k.
+
+Algorithm — the reference's iterative passes as a driver-side DataFrame
+loop (``_union_full.py:104-236``):
+
+    cur = input
+    repeat:
+        lonely  = rows of cur with no overlapping partner -> OUT
+        diff    = each row minus union(overlapping partners)    -> OUT
+        inters  = pairwise intersections, deduped by geometry -> cur
+    until cur is empty
+
+Every pass shrinks the maximum overlap depth by one, so the loop runs
+depth(overlap) times. Each pass is a cell join + grouped combine —
+fully distributed; only the loop control is on the driver.
+
+Attribute attach runs once at the end: a spatial join of face interior
+points against the ORIGINAL layer ("intersects is True and touches is
+False" in the reference, ``_union_full.py:317-416``; an interior-point
+in polygon test is the same predicate, vectorized).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import BinaryType
+
+from ..geometry import clip as C
+from ..geometry import wkb as W
+from .celljoin import candidate_pairs, drop_helper_columns
+from .join import delete_duplicate_geometries, query_match_udf
+from .relation import SpatialQuery
+
+_INTERSECTS = SpatialQuery("intersects is True")
+
+
+@pandas_udf(BinaryType())
+def _interior_point_udf(wkb: pd.Series) -> pd.Series:
+    from ..geometry import predicates as P
+    from ..geometry.geom import Geometry
+
+    out = []
+    for b in wkb:
+        if b is None:
+            out.append(None)
+            continue
+        g = W.loads(bytes(b))
+        pts = P.geom_interior_points(g)
+        if len(pts) == 0:
+            out.append(None)
+        else:
+            out.append(W.dumps(Geometry.point(float(pts[0, 0]), float(pts[0, 1]))))
+    return pd.Series(out)
+
+
+def _overlap_pairs(cur: DataFrame, geom_col: str, res: int | None) -> DataFrame:
+    """Candidate self-pairs (id1 != id2) whose interiors overlap (area>0
+    intersection), as l1_/l2_ prefixed rows."""
+    pairs, _ = candidate_pairs(cur, cur, res=res, geom_col1=geom_col, geom_col2=geom_col)
+    pairs = pairs.where(F.col("l1__uid") != F.col("l2__uid"))
+    g1, g2 = f"l1_{geom_col}", f"l2_{geom_col}"
+
+    @pandas_udf("boolean")
+    def _overlaps_area(wkb1: pd.Series, wkb2: pd.Series) -> pd.Series:
+        from ..geometry import kernels as K
+
+        out = []
+        for b1, b2 in zip(wkb1, wkb2):
+            if b1 is None or b2 is None:
+                out.append(False)
+                continue
+            inter = C.intersection(W.loads(bytes(b1)), W.loads(bytes(b2)))
+            out.append(K.area(inter) > 0.0)
+        return pd.Series(out, dtype="boolean")
+
+    return pairs.where(_overlaps_area(F.col(g1), F.col(g2)))
+
+
+def union_full_self(
+    df: DataFrame,
+    agg_shape: str = "LISTS",
+    id_col: str = "fid",
+    geom_col: str = "geom_wkb",
+    res: int | None = None,
+    max_passes: int = 8,
+) -> DataFrame:
+    """Flat planar union of one polygon layer. Returns faces with the
+    contributing ``{id_col}`` attributes shaped per ``agg_shape``."""
+    spark = df.sparkSession
+    original = df.select(id_col, geom_col)
+
+    cur = df.select(
+        F.monotonically_increasing_id().alias("_uid"), F.col(geom_col)
+    ).where(F.col(geom_col).isNotNull())
+    faces: DataFrame | None = None
+
+    for _ in range(max_passes):
+        cur = cur.persist()
+        if cur.limit(1).count() == 0:
+            break
+        pairs = _overlap_pairs(cur, geom_col, res)
+        partners = pairs.groupBy(F.col("l1__uid").alias("_uid")).agg(
+            F.collect_list(F.col(f"l2_{geom_col}")).alias("_others")
+        )
+        joined = cur.join(partners, on="_uid", how="left")
+
+        # lonely rows + (row minus partners) -> faces
+        from .overlay import _combine_vs_union_udf
+
+        diffed = joined.withColumn(
+            "_face",
+            F.when(F.col("_others").isNull(), F.col(geom_col)).otherwise(
+                _combine_vs_union_udf("difference")(F.col(geom_col), F.col("_others"))
+            ),
+        )
+        new_faces = diffed.where(F.col("_face").isNotNull()).select(
+            F.col("_face").alias(geom_col)
+        )
+        faces = new_faces if faces is None else faces.unionByName(new_faces)
+
+        # pairwise intersections (each unordered pair once), deduped by
+        # normalized geometry -> next pass input
+        from .overlay import _pair_intersection_udf
+
+        inters = (
+            pairs.where(F.col("l1__uid") < F.col("l2__uid"))
+            .withColumn(
+                geom_col,
+                _pair_intersection_udf(
+                    F.col(f"l1_{geom_col}"), F.col(f"l2_{geom_col}")
+                ),
+            )
+            .where(F.col(geom_col).isNotNull())
+            .select(geom_col)
+        )
+        inters = delete_duplicate_geometries(inters, geom_col=geom_col)
+        cur = inters.select(
+            F.monotonically_increasing_id().alias("_uid"), geom_col
+        )
+
+    if faces is None:
+        return spark.createDataFrame([], f"{geom_col} binary, fids array<bigint>")
+
+    # attach contributing attributes via interior-point-in-original test
+    faces = faces.withColumn("_ip", _interior_point_udf(F.col(geom_col)))
+    faces = faces.withColumn("_face_id", F.monotonically_increasing_id())
+    ip_layer = faces.select(
+        F.col("_face_id").alias("fid"), F.col("_ip").alias(geom_col)
+    ).where(F.col(geom_col).isNotNull())
+    pairs, _ = candidate_pairs(ip_layer, original, res=res, geom_col1=geom_col, geom_col2=geom_col)
+    hit = pairs.where(
+        query_match_udf(_INTERSECTS)(
+            F.col(f"l1_{geom_col}"), F.col(f"l2_{geom_col}")
+        )
+    )
+    contrib = hit.groupBy(F.col("l1_fid").alias("_face_id")).agg(
+        F.array_sort(F.collect_list(F.col(f"l2_{id_col}"))).alias("fids")
+    )
+    out = faces.join(contrib, on="_face_id", how="inner").select(geom_col, "fids")
+
+    if agg_shape.upper() == "LISTS":
+        return out
+    if agg_shape.upper() == "ROWS":
+        return out.withColumn(id_col, F.explode("fids")).drop("fids")
+    if agg_shape.upper() == "COLUMNS":
+        max_k = out.agg(F.max(F.size("fids"))).collect()[0][0] or 0
+        cols = [F.col(geom_col)] + [
+            F.element_at(F.col("fids"), i + 1).alias(f"{id_col}_{i + 1}")
+            for i in range(max_k)
+        ]
+        return out.select(*cols)
+    raise ValueError(f"unknown agg_shape: {agg_shape}")

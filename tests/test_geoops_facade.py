@@ -1,0 +1,112 @@
+"""Public façade (geoops.py) + union_full_self + new kernels."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from geofileops_spark import geoops as gfo
+from geofileops_spark.functions.st import st_area, st_geomfromtext, st_npoints
+
+
+def box_wkt(x0, y0, x1, y1):
+    return f"POLYGON (({x0} {y0}, {x1} {y0}, {x1} {y1}, {x0} {y1}, {x0} {y0}))"
+
+
+def layer(spark, rows):
+    df = spark.createDataFrame(rows, "fid long, wkt string")
+    return df.withColumn("geom_wkb", st_geomfromtext(F.col("wkt"))).drop("wkt")
+
+
+@pytest.fixture(scope="module")
+def boxes(spark):
+    return layer(spark, [(i, box_wkt(i * 200, 0, i * 200 + 120, 150)) for i in range(6)])
+
+
+def test_warp_affine(spark, boxes):
+    # scale x by 2, translate y by +10: area doubles
+    out = gfo.warp(boxes, (2, 0, 0, 0, 1, 10))
+    areas = {r["fid"]: round(r["a"], 6) for r in out.withColumn("a", st_area("geom_wkb")).collect()}
+    assert areas == {i: 36000.0 for i in range(6)}
+
+
+def test_remove_slivers(spark):
+    df = layer(spark, [
+        (1, box_wkt(0, 0, 100, 100)),          # real polygon
+        (2, box_wkt(200, 0, 300, 0.001)),       # sliver: avg width ~0.002
+    ])
+    out = gfo.remove_slivers(df, tolerance=0.1)
+    assert [r["fid"] for r in out.collect()] == [1]
+
+
+def test_linemerge(spark):
+    from geofileops_spark.functions.st import st_linemerge
+
+    df = spark.createDataFrame(
+        [(1, "MULTILINESTRING ((0 0, 1 0), (1 0, 2 0), (5 5, 6 6))")],
+        "fid long, wkt string",
+    ).withColumn("geom_wkb", st_geomfromtext(F.col("wkt")))
+    out = df.withColumn("m", st_linemerge(F.col("geom_wkb")))
+    n = out.select(st_npoints(F.col("m"))).collect()[0][0]
+    assert n == 5  # 3-point merged path + 2-point lone segment
+
+
+def test_clip_by_geometry_and_export_by_bounds(spark, boxes):
+    clipped = gfo.clip_by_geometry(boxes, box_wkt(100, 0, 500, 150))
+    total = clipped.agg(F.sum(st_area("geom_wkb"))).collect()[0][0]
+    # fid0: x[100,120]=20w, fid1: full 120w, fid2: x[400,500]=100w
+    assert round(total, 6) == (20 + 120 + 100) * 150
+    kept = gfo.export_by_bounds(boxes, (100, 0, 500, 150))
+    assert sorted(r["fid"] for r in kept.collect()) == [0, 1, 2]
+
+
+def test_layer_utilities(spark, boxes):
+    info = gfo.get_layerinfo(boxes)
+    assert info["featurecount"] == 6
+    assert info["total_bounds"] == (0.0, 0.0, 1120.0, 150.0)
+    assert info["geometrytypes"] == ["POLYGON"]
+
+    df2 = gfo.add_column(boxes, "double_fid", "fid * 2")
+    assert df2.where("double_fid = fid * 2").count() == 6
+    df3 = gfo.update_column(df2, "double_fid", "0", where="fid > 3")
+    # fids 4,5 zeroed by the update; fid 0 is zero already
+    assert df3.where("double_fid = 0").count() == 3
+    df4 = gfo.rename_column(gfo.drop_column(df3, "double_fid"), "fid", "id")
+    assert "id" in df4.columns and "double_fid" not in df4.columns
+
+    cat = gfo.concat_layers([boxes, boxes.withColumn("extra", F.lit(1))])
+    assert cat.count() == 12 and "extra" in cat.columns
+
+
+def test_apply_vectorized(spark, boxes):
+    from geofileops_spark.geometry.extra import affine_transform
+
+    out = gfo.apply_vectorized(boxes, lambda g: affine_transform(g, (1, 0, 5, 0, 1, 5)))
+    info = gfo.get_layerinfo(out)
+    assert info["total_bounds"] == (5.0, 5.0, 1125.0, 155.0)
+
+
+def test_union_full_self_paired(spark):
+    # even i: left + right overlap (faces 12000/12000/6000); odd: single 18000
+    rows = [(i, box_wkt(i * 200, 0, i * 200 + 120, 150)) for i in range(4)]
+    rows += [(100 + i, box_wkt(i * 200 + 60, 50, i * 200 + 180, 200)) for i in (0, 2)]
+    df = layer(spark, rows)
+    from geofileops_spark.operators.union_full import union_full_self
+
+    out = union_full_self(df, agg_shape="LISTS", res=18).persist()
+    rows_out = out.withColumn("a", F.round(st_area("geom_wkb"), 6)).collect()
+    # faces: 2 overlapping pairs -> 3 faces each; 2 lone -> 1 face each
+    assert len(rows_out) == 8
+    by_nfids = {}
+    for r in rows_out:
+        by_nfids.setdefault(len(r["fids"]), []).append(r["a"])
+    assert sorted(by_nfids[2]) == [6000.0, 6000.0]
+    # single-contributor faces: 2x18000 (lone) + 4x12000 (trimmed)
+    assert sorted(by_nfids[1]) == [12000.0] * 4 + [18000.0] * 2
+    # area partition: total == union area
+    assert round(sum(r["a"] for r in rows_out), 4) == 2 * (18000 + 18000 - 6000) + 2 * 18000
+
+    cols = union_full_self(df, agg_shape="COLUMNS", res=18)
+    assert "fid_1" in cols.columns and "fid_2" in cols.columns
+    rows_mode = union_full_self(df, agg_shape="ROWS", res=18)
+    assert rows_mode.count() == 6 + 4  # 6 single-contrib + 2 faces x 2 contribs
