@@ -157,6 +157,8 @@ def estimate_res(
     reference's featurecount probe, ``_geoops_sql.py:4376-4515``)."""
     rows = df.select(geom_col).limit(sample).collect()
     extents = []
+    xs: list[float] = []
+    ys: list[float] = []
     for r in rows:
         b = r[0]
         if b is None:
@@ -167,12 +169,21 @@ def estimate_res(
         b0, b1, b2, b3 = g_bounds(g)
         if np.isfinite(b0):
             extents.append(max(b2 - b0, b3 - b1))
+            xs += [b0, b2]
+            ys += [b1, b3]
     if not extents:
         return 20
     med = float(np.median(extents))
     if med <= 0:
-        # points: pick something fine but not extreme
-        return 14
+        # point layer: pick a density-derived resolution — roughly one
+        # sampled point per cell over the sampled bbox (a fixed fallback
+        # would put unit-scale planes into one giant cell: skew disaster)
+        ext = max(max(xs) - min(xs), max(ys) - min(ys))
+        if ext <= 0:
+            return 20
+        cells_axis = max(4.0, float(np.sqrt(len(extents))))
+        size = ext / cells_axis
+        return int(np.clip(np.floor(np.log2(2.0 * X.WORLD / size)), 0, X.MAX_RES))
     return X.res_for_extent(med, target_cells_per_geom)
 
 
@@ -182,6 +193,59 @@ def pick_join_res(df1: DataFrame, df2: DataFrame, geom1: str, geom2: str) -> int
     r1 = estimate_res(df1, geom1)
     r2 = estimate_res(df2, geom2)
     return min(r1, r2)
+
+
+def _find_hot_cells(covered: DataFrame, threshold: int) -> list[int]:
+    """Cells whose row count exceeds the threshold (one cheap count agg)."""
+    rows = (
+        covered.groupBy("_cell")
+        .count()
+        .where(F.col("count") > threshold)
+        .select("_cell")
+        .collect()
+    )
+    return [r[0] for r in rows]
+
+
+def _split_hot(df: DataFrame, hot: list[int], res: int, fine_res: int,
+               geom_col: str) -> DataFrame:
+    """Adaptive cell splitting (north-rule dense-cell skew handling):
+    rows landing in a hot cell are RE-covered at ``fine_res`` (children
+    of the hot cell only); everyone else keeps their coarse cell. Both
+    join sides apply the same deterministic split, so cell ids still
+    match. The fine cover is restricted to children of hot parents —
+    pair dedup stays valid because the reference-point rule below uses
+    the same adaptive mapping."""
+
+    @pandas_udf("array<long>")
+    def _children(minx: pd.Series, miny: pd.Series, maxx: pd.Series,
+                  maxy: pd.Series, parent: pd.Series) -> pd.Series:
+        out = []
+        for x0, y0, x1, y1, par in zip(minx, miny, maxx, maxy, parent):
+            if x0 is None:
+                out.append(None)
+                continue
+            cells = X.cover_bbox(x0, y0, x1, y1, fine_res)
+            keep = cells[X.parent(cells, res) == par]
+            out.append(keep.tolist())
+        return pd.Series(out)
+
+    hot_lit = F.array(*[F.lit(h) for h in hot])
+    cold = df.where(~F.array_contains(hot_lit, F.col("_cell")))
+    hotdf = df.where(F.array_contains(hot_lit, F.col("_cell")))
+    hotdf = (
+        hotdf.withColumn(
+            "_fine",
+            _children(
+                F.col("_minx"), F.col("_miny"), F.col("_maxx"), F.col("_maxy"),
+                F.col("_cell"),
+            ),
+        )
+        .drop("_cell")
+        .withColumn("_cell", F.explode("_fine"))
+        .drop("_fine")
+    )
+    return cold.unionByName(hotdf)
 
 
 def candidate_pairs(
@@ -194,6 +258,9 @@ def candidate_pairs(
     prefix2: str = "l2_",
     bbox_margin: float = 0.0,
     broadcast_right: bool | None = None,
+    adaptive: bool = False,
+    hot_threshold: int = 100_000,
+    split_levels: int = 3,
 ) -> tuple[DataFrame, int]:
     """Candidate pairs whose bboxes overlap (within ``bbox_margin``).
 
@@ -203,8 +270,19 @@ def candidate_pairs(
     """
     if res is None:
         res = pick_join_res(df1, df2, geom_col1, geom_col2)
-    e1 = prefix_columns(with_cover(df1, res, geom_col1), prefix1)
-    e2 = prefix_columns(with_cover(df2, res, geom_col2), prefix2)
+    c1 = with_cover(df1, res, geom_col1)
+    c2 = with_cover(df2, res, geom_col2)
+    hot: list[int] = []
+    fine_res = res
+    if adaptive:
+        fine_res = min(res + 2 * split_levels, X.MAX_RES)
+        c1 = c1.persist()
+        hot = _find_hot_cells(c1, hot_threshold)
+        if hot:
+            c1 = _split_hot(c1, hot, res, fine_res, geom_col1)
+            c2 = _split_hot(c2, hot, res, fine_res, geom_col2)
+    e1 = prefix_columns(c1, prefix1)
+    e2 = prefix_columns(c2, prefix2)
     if bbox_margin > 0.0:
         # margin is applied by expanding side-2 bboxes before covering:
         # simpler to re-cover with margin via SQL on the exploded side is
@@ -223,10 +301,18 @@ def candidate_pairs(
         & (F.col(f"{prefix2}_miny") <= F.col(f"{prefix1}_maxy"))
     )
     # reference-point dedup: keep the pair only in the cell holding the
-    # lower-left corner of the bbox intersection (pure codegen arithmetic)
+    # lower-left corner of the bbox intersection (pure codegen arithmetic);
+    # with adaptive splitting the reference cell uses the same hot-cell
+    # mapping (fine cell inside hot parents, coarse elsewhere)
     rx = F.greatest(F.col(f"{prefix1}_minx"), F.col(f"{prefix2}_minx"))
     ry = F.greatest(F.col(f"{prefix1}_miny"), F.col(f"{prefix2}_miny"))
-    joined = joined.where(F.col(f"{prefix1}_cell") == cell_expr(rx, ry, res))
+    ref_cell = cell_expr(rx, ry, res)
+    if hot:
+        hot_lit = F.array(*[F.lit(h) for h in hot])
+        ref_cell = F.when(
+            F.array_contains(hot_lit, ref_cell), cell_expr(rx, ry, fine_res)
+        ).otherwise(ref_cell)
+    joined = joined.where(F.col(f"{prefix1}_cell") == ref_cell)
     return joined.drop(f"{prefix2}_cell"), res
 
 
