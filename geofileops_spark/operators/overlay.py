@@ -147,6 +147,37 @@ def _postprocess(
     return df
 
 
+def subdivide_layer(
+    df: DataFrame, max_coords: int, geom_col: str = "geom_wkb"
+) -> DataFrame:
+    """Explode complex geometries into parts of <= max_coords vertices
+    (geofileops ``_geoops_sql.py:1358-1444``): all attribute columns are
+    retained on every part; downstream re-union groups on the stable id."""
+    from ..functions.st import st_subdivide_array
+
+    return (
+        df.withColumn("_subparts", st_subdivide_array(F.col(geom_col), max_coords))
+        .withColumn(geom_col, F.explode("_subparts"))
+        .drop("_subparts")
+    )
+
+
+def _union_parts_udf():
+    @pandas_udf(BinaryType())
+    def _u(parts: pd.Series) -> pd.Series:
+        out = []
+        for arr in parts:
+            if arr is None or len(arr) == 0:
+                out.append(None)
+                continue
+            geoms = [W.loads(bytes(b)) for b in arr if b is not None]
+            merged = C.union_geoms(geoms)
+            out.append(None if merged.is_empty() else W.dumps(merged.force_multi()))
+        return pd.Series(out)
+
+    return _u
+
+
 def intersection(
     df1: DataFrame,
     df2: DataFrame,
@@ -155,15 +186,33 @@ def intersection(
     gridsize: float = 0.0,
     explodecollections: bool = False,
     where_post: str | None = None,
+    subdivide_coords: int | None = None,
+    id_col: str = "fid",
 ) -> DataFrame:
     """Pairwise overlay intersection (geofileops ``geoops.py:2777`` ->
     ``_geoops_sql.py:1805-2102``): one output row per intersecting
-    (l1, l2) pair carrying both sides' attributes prefixed l1_/l2_."""
-    pairs, _ = candidate_pairs(df1, df2, res=res, geom_col1=geom_col, geom_col2=geom_col)
+    (l1, l2) pair carrying both sides' attributes prefixed l1_/l2_.
+
+    ``subdivide_coords``: complex geometries are first exploded into
+    parts (bounded vertex count — the reference's signature optimization
+    for huge polygons), pairwise-intersected per part, then re-unioned
+    ``GROUP BY (l1_id, l2_id)`` (``_geoops_sql.py:2027-2070``)."""
+    sub = subdivide_coords is not None
+    s1 = subdivide_layer(df1, subdivide_coords, geom_col) if sub else df1
+    s2 = subdivide_layer(df2, subdivide_coords, geom_col) if sub else df2
+    pairs, _ = candidate_pairs(s1, s2, res=res, geom_col1=geom_col, geom_col2=geom_col)
     g1, g2 = f"l1_{geom_col}", f"l2_{geom_col}"
     matched = pairs.where(query_match_udf(_INTERSECTS)(F.col(g1), F.col(g2)))
     out = matched.withColumn(geom_col, _pair_intersection_udf(F.col(g1), F.col(g2)))
     out = drop_helper_columns(out).drop(g1, g2)
+    if sub:
+        out = out.where(F.col(geom_col).isNotNull())
+        keys = [f"l1_{id_col}", f"l2_{id_col}"]
+        attrs = [c for c in out.columns if c not in keys and c != geom_col]
+        out = out.groupBy(*keys).agg(
+            _union_parts_udf()(F.collect_list(geom_col)).alias(geom_col),
+            *[F.first(c).alias(c) for c in attrs],
+        )
     return _postprocess(out, geom_col, gridsize, explodecollections, where_post)
 
 
@@ -192,11 +241,31 @@ def difference(
     gridsize: float = 0.0,
     explodecollections: bool = False,
     where_post: str | None = None,
+    subdivide_coords: int | None = None,
 ) -> DataFrame:
     """g1 minus the union of all intersecting layer-2 geometries
     (geofileops ``geoops.py:2138`` -> ``_geoops_sql.py:1058-1355``).
     Non-matching layer-1 rows pass through unchanged; rows whose
-    difference is EMPTY are dropped (DIFF_EMPTY sentinel semantics)."""
+    difference is EMPTY are dropped (DIFF_EMPTY sentinel semantics).
+
+    ``subdivide_coords``: layer-1 geometries are exploded into bounded-
+    vertex parts, each part diffed against ITS candidates only, then
+    parts re-unioned ``GROUP BY {id_col}`` (``_geoops_sql.py:1279-1324``)
+    — difference distributes over the parts' union, so the result is
+    identical while the per-pair kernel cost stays bounded."""
+    if subdivide_coords is not None:
+        s1 = subdivide_layer(df1, subdivide_coords, geom_col).withColumn(
+            "_pid", F.monotonically_increasing_id()
+        )
+        parts = difference(
+            s1, df2, res=res, geom_col=geom_col, id_col="_pid"
+        ).drop("_pid")
+        attrs = [c for c in parts.columns if c not in (id_col, geom_col)]
+        out = parts.groupBy(id_col).agg(
+            _union_parts_udf()(F.collect_list(geom_col)).alias(geom_col),
+            *[F.first(c).alias(c) for c in attrs],
+        )
+        return _postprocess(out, geom_col, gridsize, explodecollections, where_post)
     others = _collect_candidates(df1, df2, res, geom_col, id_col)
     joined = df1.join(others, on=id_col, how="left")
     diffed = joined.withColumn(
@@ -227,10 +296,22 @@ def clip(
     gridsize: float = 0.0,
     explodecollections: bool = False,
     where_post: str | None = None,
+    subdivide_coords: int | None = None,
 ) -> DataFrame:
     """g1 intersected with the union of intersecting clip geometries;
     clip layer contributes no attributes, non-intersecting rows dropped
     (geofileops ``geoops.py:1908`` -> ``_geoops_sql.py:942-1055``)."""
+    if subdivide_coords is not None:
+        s1 = subdivide_layer(df1, subdivide_coords, geom_col).withColumn(
+            "_pid", F.monotonically_increasing_id()
+        )
+        parts = clip(s1, df2, res=res, geom_col=geom_col, id_col="_pid").drop("_pid")
+        attrs = [c for c in parts.columns if c not in (id_col, geom_col)]
+        out = parts.groupBy(id_col).agg(
+            _union_parts_udf()(F.collect_list(geom_col)).alias(geom_col),
+            *[F.first(c).alias(c) for c in attrs],
+        )
+        return _postprocess(out, geom_col, gridsize, explodecollections, where_post)
     others = _collect_candidates(df1, df2, res, geom_col, id_col)
     joined = df1.join(others, on=id_col, how="inner")
     out = joined.withColumn(
