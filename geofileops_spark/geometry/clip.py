@@ -480,6 +480,32 @@ def _poly_bbox(poly):
     return (ext[:, 0].min(), ext[:, 1].min(), ext[:, 0].max(), ext[:, 1].max())
 
 
+def _subtract_ring(pieces: list[list[np.ndarray]], hole: np.ndarray) -> list[list[np.ndarray]]:
+    """Subtract one CCW ring from each piece, iteratively (NEVER recurses
+    back into poly_difference — a piece already carrying this ring as a
+    hole would otherwise regenerate itself forever). Existing holes of a
+    piece are re-attached to whichever result polygon contains them."""
+    from .kernels import points_in_ring
+
+    out: list[list[np.ndarray]] = []
+    hb = _ring_bbox(hole)
+    for piece in pieces:
+        if not bbox_intersects(_poly_bbox(piece), hb):
+            out.append(piece)
+            continue
+        polys = _reassemble(_ring_op(piece[0], hole, "difference"))
+        old_holes = piece[1:]
+        for rp in polys:
+            keep = list(rp)
+            for ph in old_holes:
+                # attach the old hole to the result polygon containing it
+                probe = ph[0:1]
+                if points_in_ring(probe, rp[0])[0] >= 1:
+                    keep.append(ph)
+            out.append(keep)
+    return out
+
+
 def poly_intersection(pa: list[np.ndarray], pb: list[np.ndarray]) -> list[list[np.ndarray]]:
     if not bbox_intersects(_poly_bbox(pa), _poly_bbox(pb)):
         return []
@@ -488,7 +514,7 @@ def poly_intersection(pa: list[np.ndarray], pb: list[np.ndarray]) -> list[list[n
     for h in list(pa[1:]) + list(pb[1:]):
         if not pieces:
             return []
-        pieces = mp_difference(pieces, [[_ccw(h)]])
+        pieces = _subtract_ring(pieces, _ccw(h))
     return pieces
 
 
@@ -503,7 +529,7 @@ def poly_difference(pa: list[np.ndarray], pb: list[np.ndarray]) -> list[list[np.
     for h in pa[1:]:
         if not pieces:
             return []
-        pieces = mp_difference(pieces, [[_ccw(h)]])
+        pieces = _subtract_ring(pieces, _ccw(h))
     return pieces
 
 

@@ -123,8 +123,10 @@ def buffer_geom(
                 pieces.extend(
                     _path_sausage(ring, d, quad_segs, "round", "round", closed=True)
                 )
-        sausage = union_all_polys([[p] for p in pieces])
-        eroded = mp_difference(polys, sausage)
+        # subtract each sausage piece individually: pre-unioning the
+        # sausage can drop pieces on collinear-degenerate retries, leaving
+        # boundary strips un-eroded
+        eroded = mp_difference(polys, [[p if ring_signed_area(p) > 0 else p[::-1].copy()] for p in pieces])
         return _mp_to_geom(eroded)
 
     d = float(distance)

@@ -271,3 +271,32 @@ def _tail(
     if where_post:
         df = df.where(F.expr(where_post))
     return df
+
+
+def create_spatial_index(df: DataFrame, res: int = 12, geom_col: str = GEOM) -> DataFrame:
+    """The Spark-native 'spatial index' (geofileops ``fileops.py:621``):
+    a cell-id column + repartition-and-sort clustering so a written table
+    is physically co-located by cell (write-time z-order analogue).
+    Downstream cell joins and bbox predicates prune on it."""
+    from .operators.dissolve import _cell_of_bbox_center
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _cell(wkb: pd.Series) -> pd.Series:
+        return _cell_of_bbox_center(wkb, res)
+
+    out = df.withColumn("cell", _cell(F.col(geom_col)))
+    return out.repartition("cell").sortWithinPartitions("cell")
+
+
+def has_spatial_index(df: DataFrame) -> bool:
+    return "cell" in df.columns
+
+
+def remove_spatial_index(df: DataFrame) -> DataFrame:
+    return df.drop("cell")
+
+
+def get_layer_geometrytypes(df: DataFrame, geom_col: str = GEOM) -> list[str]:
+    """geofileops ``fileops.py:287``."""
+    return get_layerinfo(df, geom_col)["geometrytypes"]

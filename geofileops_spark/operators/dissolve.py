@@ -51,6 +51,15 @@ def _union_all_wkb(blobs) -> bytes | None:
     merged = C.union_geoms(geoms)
     if merged.is_empty():
         return None
+    # line layers: ST_LineMerge(ST_Union(...)) (geofileops
+    # _geoops_sql.py:4765-4771); point layers: distinct points
+    if merged.dim() == 1:
+        from ..geometry.extra import line_merge
+
+        merged = line_merge(merged)
+    elif merged.dim() == 0:
+        pts = np.unique(merged.points(), axis=0)
+        merged = G.Geometry(G.MULTIPOINT, pts)
     return W.dumps(merged.force_multi())
 
 
