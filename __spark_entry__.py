@@ -430,6 +430,43 @@ def _q_explode_parts(spark, sf_dir):
     return out.select("fid", _bigint(st_area(F.col("geom_wkb")) * 100).alias("area_e2"))
 
 
+def _q_rasterize(spark, sf_dir):
+    from geofileops_spark.operators.raster import rasterize
+    from geofileops_spark.sources import tpch_geo as T
+
+    r = rasterize(T.paired_left(spark, sf_dir), pixel_size=10.0)
+    return r.select("px", "py", _bigint(F.col("value")).alias("value"))
+
+
+def _q_zonal_stats(spark, sf_dir):
+    from geofileops_spark.functions.st import st_geomfromtext
+    from geofileops_spark.operators.raster import rasterize, zonal_stats
+    from geofileops_spark.sources import tpch_geo as T
+
+    base = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 5000 0, 5000 1000, 0 1000, 0 0))")],
+        "fid long, wkt string",
+    ).withColumn("geom_wkb", st_geomfromtext(F.col("wkt"))).drop("wkt")
+    ras = rasterize(base, pixel_size=10.0)
+    out = zonal_stats(T.paired_left(spark, sf_dir), ras, pixel_size=10.0)
+    return out.select(
+        "fid",
+        F.col("n_pixels").cast("long").alias("n_pixels"),
+        _bigint(F.col("sum_value")).alias("sum_value"),
+    )
+
+
+def _q_sample_raster(spark, sf_dir):
+    from geofileops_spark.operators.raster import rasterize, sample_raster
+    from geofileops_spark.sources.pages import extract_points
+    from geofileops_spark.sources.tpch_geo import geo_zones, pages_from_documents
+
+    ras = rasterize(geo_zones(spark, sf_dir), pixel_size=1.0, value_col="fid")
+    pts = extract_points(pages_from_documents(spark, sf_dir), res=12)
+    out = sample_raster(pts, ras, pixel_size=1.0, how="left")
+    return out.select("url", _bigint(F.col("value")).alias("zone_val"))
+
+
 # --------------------------------------------------------------- text / ml
 def _q_token_stats(spark, sf_dir):
     from geofileops_spark.sources.tpch_geo import load
@@ -650,6 +687,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
         "multimodal_decode": _q_multimodal,
+        "rasterize_boxes": _q_rasterize,
+        "zonal_stats": _q_zonal_stats,
+        "sample_raster_pages": _q_sample_raster,
         "warp_affine": _q_warp,
         "union_full_self": _q_union_full_self,
         "remove_slivers": _q_remove_slivers,
@@ -896,6 +936,29 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.7"""
         SELECT doc_id FROM r WHERE rn = 1""",
         "dedup_ngram_jaccard": jacc_oracle,
         "dedup_minhash_lsh": jacc_oracle,
+        "rasterize_boxes": with_ctes(
+            """SELECT CAST(xmin/10 + i AS BIGINT) AS px,
+                   CAST(ymin/10 + j AS BIGINT) AS py,
+                   CAST(1 AS BIGINT) AS value
+            FROM paired_left,
+                 unnest(generate_series(0, 11)) AS t1(i),
+                 unnest(generate_series(0, 14)) AS t2(j)""",
+            "paired_left",
+        ),
+        "zonal_stats": with_ctes(
+            """SELECT fid, CAST(180 AS BIGINT) AS n_pixels,
+                   CAST(180 AS BIGINT) AS sum_value
+            FROM paired_left""",
+            "paired_left",
+        ),
+        "sample_raster_pages": with_ctes(
+            """SELECT p.url,
+                   (SELECT CAST(sum(z.fid) AS BIGINT) FROM geo_zones z
+                    WHERE floor(p.lon) + 0.5 BETWEEN z.xmin AND z.xmax
+                      AND floor(p.lat) + 0.5 BETWEEN z.ymin AND z.ymax) AS zone_val
+            FROM page_points p""",
+            "pages", "page_points", "geo_zones",
+        ),
         "warp_affine": with_ctes(
             """SELECT fid, CAST(2*px + 3 AS BIGINT) AS wx, CAST(py + 10 AS BIGINT) AS wy
             FROM cust_points""",
