@@ -582,6 +582,16 @@ def _q_ann_lsh(spark, sf_dir):
     return out.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id")
 
 
+def _q_ann_ivf(spark, sf_dir):
+    from geofileops_spark.ml.similarity import ivf_topk
+    from geofileops_spark.sources.tpch_geo import load
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") % 50 == 0)
+    out = ivf_topk(queries, emb, k=5, n_centroids=8, nprobe=4)
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id")
+
+
 def _q_multimodal(spark, sf_dir):
     from geofileops_spark.ml.multimodal import decode_images, synth_media
 
@@ -640,6 +650,20 @@ def _q_window_topk(spark, sf_dir):
     )
 
 
+def _q_sessionize(spark, sf_dir):
+    from geofileops_spark.operators.events import session_stats
+    from geofileops_spark.sources.tpch_geo import load
+
+    out = session_stats(load(spark, sf_dir, "events"), gap_seconds=1800)
+    return out.select(
+        "user_id",
+        F.col("session_idx").cast("long").alias("session_idx"),
+        "n_events",
+        F.col("duration_us").cast("long").alias("duration_us"),
+        _bigint(F.col("value_sum") * 100).alias("value_cents"),
+    )
+
+
 def _q_events_agg(spark, sf_dir):
     from geofileops_spark.sources.tpch_geo import load
 
@@ -686,6 +710,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _q_simhash,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
+        "ann_ivf_topk": _q_ann_ivf,
         "multimodal_decode": _q_multimodal,
         "rasterize_boxes": _q_rasterize,
         "zonal_stats": _q_zonal_stats,
@@ -698,6 +723,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_orders_customers": _q_join_orders,
         "window_top3_orders": _q_window_topk,
         "events_agg": _q_events_agg,
+        "sessionize_events": _q_sessionize,
     }
 
 
@@ -1001,6 +1027,23 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.7"""
                  row_number() OVER (PARTITION BY o_custkey
                                     ORDER BY o_totalprice DESC, o_orderkey) AS rnk
           FROM orders) WHERE rnk <= 3""",
+        "sessionize_events": """WITH g AS (
+          SELECT user_id, ts, value,
+                 CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts)
+                        > 1800000000
+                      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events),
+        s AS (
+          SELECT user_id, ts, value,
+                 sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_idx
+          FROM g)
+        SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+               count(*) AS n_events,
+               CAST(max(epoch_us(ts)) - min(epoch_us(ts)) AS BIGINT) AS duration_us,
+               CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
+        FROM s GROUP BY user_id, session_idx""",
         "events_agg": """SELECT event_type, count(*) AS n,
                CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
         FROM events GROUP BY event_type""",

@@ -137,3 +137,75 @@ def lsh_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "rank", "neighbor_id", "cosine")
     )
+
+
+def _train_centroids(corpus: DataFrame, vec_col: str, n_centroids: int,
+                     seed: int, sample: int = 4096, iters: int = 8) -> np.ndarray:
+    """Deterministic mini-kmeans on a driver-side sample — the coarse
+    quantizer of a classic IVF index. At 100 TB the sample is a bounded
+    collect (the index 'training' step); assignment stays distributed."""
+    rows = corpus.select(vec_col).limit(sample).collect()
+    mat = np.asarray([r[0] for r in rows if r[0] is not None], dtype=np.float64)
+    rng = np.random.RandomState(seed)
+    cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    for _ in range(iters):
+        d = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for k in range(len(cent)):
+            members = mat[assign == k]
+            if len(members):
+                cent[k] = members.mean(axis=0)
+    return cent
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    include_self: bool = False,
+) -> DataFrame:
+    """IVF-style approximate top-k: corpus rows are bucketed by nearest
+    coarse centroid; each query scores only its ``nprobe`` nearest
+    centroids' buckets. The scale path when SRP buckets are too blunt:
+    recall is tunable via nprobe, work is ~nprobe/n_centroids of exact."""
+    cent = _train_centroids(corpus, vec_col, n_centroids, seed)
+
+    def _assign_udf(top: int):
+        @pandas_udf("array<int>")
+        def _assign(vecs: pd.Series) -> pd.Series:
+            out = []
+            for v in vecs:
+                if v is None:
+                    out.append(None)
+                    continue
+                d = ((cent - np.asarray(v, dtype=np.float64)) ** 2).sum(axis=1)
+                out.append([int(i) for i in np.argsort(d)[:top]])
+            return pd.Series(out)
+
+        return _assign
+
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
+    ).withColumn("_bucket", F.element_at(_assign_udf(1)(F.col("_cv")), 1))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
+    ).withColumn("_bucket", F.explode(_assign_udf(nprobe)(F.col("_qv"))))
+    pairs = F.broadcast(q).join(c, "_bucket")
+    if not include_self:
+        pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
+    scored = pairs.withColumn(
+        "cosine",
+        _dot(F.col("_qv"), F.col("_cv")) / (_norm(F.col("_qv")) * _norm(F.col("_cv"))),
+    ).drop("_qv", "_cv", "_bucket")
+    scored = scored.dropDuplicates(["query_id", "neighbor_id"])
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "rank", "neighbor_id", "cosine")
+    )

@@ -142,3 +142,15 @@ def test_frame_sample(spark):
     frames = MM.frame_sample(media, every_n=1)
     assert frames.count() >= 8
     assert frames.where(F.col("frame").isNull()).count() == 0
+
+
+def test_ivf_topk_recall(spark, emb):
+    queries = emb.where(F.col("vec_id") % 100 == 0)
+    exact = SIM.cosine_topk(queries, emb, k=5)
+    approx = SIM.ivf_topk(queries, emb, k=5, n_centroids=8, nprobe=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    # probing half the centroids should recover a solid share of true top-5
+    assert len(e & a) >= len(e) // 2
+    counts = approx.groupBy("query_id").count().collect()
+    assert all(r["count"] <= 5 for r in counts)
