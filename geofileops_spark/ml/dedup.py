@@ -117,21 +117,43 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     grams: DataFrame, num_perm: int = 64
 ) -> DataFrame:
-    """(id, sig array<long>) — permutation i's value = min over grams of
-    xxhash64(i, gram). One explode + one groupBy — all JVM-side."""
-    perms = F.sequence(F.lit(0), F.lit(num_perm - 1))
-    exploded = grams.withColumn("perm", F.explode(perms)).withColumn(
-        "h", F.xxhash64(F.col("perm"), F.col("gram"))
+    """(id, sig array<long>) — classic affine-permutation MinHash: one
+    base 64-bit hash per gram, ``num_perm`` permutations (a_i*h + b_i)
+    mod p, minimum per permutation. ONE grouped-array UDF per doc — no
+    num_perm-fold row explosion (the naive explode shape shuffles
+    grams x perms rows; this shuffles grams once)."""
+    import numpy as np
+
+    P = (1 << 61) - 1  # Mersenne prime
+    rng = np.random.RandomState(0xC0FFEE)
+    A = rng.randint(1, P, size=num_perm, dtype=np.int64).astype(np.uint64)
+    B = rng.randint(0, P, size=num_perm, dtype=np.int64).astype(np.uint64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def _sig(gram_lists: pd.Series) -> pd.Series:
+        out = []
+        for grams_arr in gram_lists:
+            if grams_arr is None or len(grams_arr) == 0:
+                out.append(None)
+                continue
+            import zlib
+
+            base = np.empty(len(grams_arr), dtype=np.uint64)
+            for i, g in enumerate(grams_arr):
+                b = g.encode("utf-8")
+                # two C-speed CRCs -> deterministic 64-bit base hash
+                base[i] = (np.uint64(zlib.crc32(b)) << np.uint64(32)) | np.uint64(
+                    zlib.crc32(b[::-1])
+                )
+            # (num_perm, n_grams) affine permutations mod p, min per row
+            vals = (A[:, None] * (base[None, :] % P) + B[:, None]) % P
+            out.append([int(v) for v in vals.min(axis=1).astype(np.int64)])
+        return pd.Series(out)
+
+    doc_grams = grams.groupBy("id").agg(F.collect_list("gram").alias("_grams"))
+    return doc_grams.select("id", _sig(F.col("_grams")).alias("sig")).where(
+        F.col("sig").isNotNull()
     )
-    sigs = (
-        exploded.groupBy("id", "perm")
-        .agg(F.min("h").alias("mh"))
-        .groupBy("id")
-        .agg(F.array_sort(F.collect_list(F.struct("perm", "mh"))).alias("_s"))
-        .withColumn("sig", F.transform(F.col("_s"), lambda s: s["mh"]))
-        .drop("_s")
-    )
-    return sigs
 
 
 def minhash_lsh_pairs(
