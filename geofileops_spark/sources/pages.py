@@ -29,7 +29,7 @@ from pyspark.sql.types import (
     TimestampType,
 )
 
-from ..functions.st import gq_cell, st_point
+from ..functions.st import st_point
 
 PAGES_SCHEMA = StructType(
     [
@@ -139,6 +139,7 @@ def synth_pages(spark: SparkSession, n_rows: int, partitions: int | None = None)
 
 
 GEO_RE = r"geo:(-?\d+\.\d+),(-?\d+\.\d+)"
+GEO_RE_TOKEN = r"geo:(-?\d+\.\d+,-?\d+\.\d+)"
 
 
 def extract_points(pages: DataFrame, res: int = 12, with_geom: bool = True) -> DataFrame:
@@ -152,17 +153,26 @@ def extract_points(pages: DataFrame, res: int = 12, with_geom: bool = True) -> D
     invariant). fid = xxhash64(url): stable, join-preserving row identity
     (SURVEY.md §1.2 fid mapping).
     """
+    # cheap substring prefilter first, ONE regex per row (Catalyst
+    # collapses projects, so chaining extract+filter would re-evaluate
+    # the regex up to 4x); cell id is pure JVM arithmetic (cell_expr),
+    # so with_geom=False runs with ZERO Python in the pipeline
+    from ..operators.celljoin import cell_expr
+
+    tok = F.regexp_extract("text", GEO_RE_TOKEN, 1)
     df = (
         pages.select("url", "text")
-        .withColumn("_lat", F.regexp_extract("text", GEO_RE, 1))
-        .withColumn("_lon", F.regexp_extract("text", GEO_RE, 2))
-        .where((F.col("_lat") != "") & (F.col("_lon") != ""))
-        .withColumn("lat", F.col("_lat").cast("double"))
-        .withColumn("lon", F.col("_lon").cast("double"))
-        .drop("_lat", "_lon")
+        .where(F.col("text").contains("geo:"))
+        .select("url", tok.alias("_t"))
+        .where(F.col("_t") != "")
+        .select(
+            "url",
+            F.split(F.col("_t"), ",")[0].cast("double").alias("lat"),
+            F.split(F.col("_t"), ",")[1].cast("double").alias("lon"),
+        )
         .withColumn("fid", F.xxhash64(F.col("url")))
     )
-    df = df.withColumn("cell", gq_cell(F.col("lon"), F.col("lat"), res))
+    df = df.withColumn("cell", cell_expr(F.col("lon"), F.col("lat"), res))
     if with_geom:
         df = df.withColumn("geom_wkb", st_point(F.col("lon"), F.col("lat")))
         return df.select("url", "fid", "lon", "lat", "geom_wkb", "cell")

@@ -1,0 +1,87 @@
+"""Physical-plan shape regressions: the optimizations we rely on at
+100 TB must be visible in the executed plan, not assumed.
+
+Checks (via explain strings): parquet pushdown + column pruning reach
+the scan; small spatial dims broadcast; the flagship PIP pipeline stays
+map-side (no shuffle before the final rollup); whole-stage codegen wraps
+the JVM parts of UDF pipelines.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pushdown_reaches_scan(spark):
+    from geofileops_spark import geoops as gfo
+
+    df = gfo.read_file(
+        spark, f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_totalprice"],
+        where="o_totalprice > 100000", geom_col="none",
+    )
+    p = plan_of(df)
+    assert "o_totalprice" in p and "PushedFilters" in p or "DataFilters" in p
+    # column pruning: the scan must NOT read o_orderpriority / o_orderdate
+    scan_line = [l for l in p.splitlines() if "FileScan" in l][0]
+    assert "o_orderpriority" not in scan_line and "o_orderdate" not in scan_line
+
+
+def test_join_by_location_broadcasts_small_side(spark):
+    from geofileops_spark.operators.join import join_by_location
+    from geofileops_spark.sources import tpch_geo as T
+
+    out = join_by_location(
+        T.cust_points(spark, SF), T.nation_boxes(spark, SF),
+        "intersects is True", res=18, broadcast_right=True,
+    )
+    assert "BroadcastHashJoin" in plan_of(out)
+
+
+def test_flagship_pip_is_map_side(spark):
+    """extract -> bitmask PIP -> explode must be ONE stage: the only
+    exchange allowed is the final 5-group rollup."""
+    from geofileops_spark.operators.join import join_points_in_polygons
+    from geofileops_spark.sources.pages import extract_points, synth_pages, synth_zones
+
+    pages = synth_pages(spark, 2000, partitions=4)
+    pts = extract_points(pages, res=12, with_geom=False)
+    zones = synth_zones(spark).withColumnRenamed("fid", "zone_fid")
+    j = join_points_in_polygons(pts, zones, "lon", "lat", "zone_fid")
+    agg = j.groupBy("zone_fid").agg(F.count("*").alias("n"))
+    p = plan_of(agg)
+    # exactly one shuffle exchange (the rollup); no join exchange at all
+    n_exchanges = p.count("Exchange hashpartitioning")
+    assert n_exchanges <= 1, p
+    assert "SortMergeJoin" not in p
+
+
+def test_equi_join_uses_hash_join(spark):
+    from geofileops_spark.operators.join import join as equi_join
+    from geofileops_spark.sources.tpch_geo import load
+
+    j = equi_join(
+        load(spark, SF, "orders"), load(spark, SF, "customer"),
+        on=[("o_custkey", "c_custkey")],
+    )
+    p = plan_of(j)
+    assert "HashJoin" in p  # broadcast or shuffled hash, never NLJ
+    assert "CartesianProduct" not in p
+
+
+def test_wholestage_codegen_present(spark):
+    from geofileops_spark.sources.pages import extract_points, synth_pages
+
+    pts = extract_points(synth_pages(spark, 1000, partitions=2), res=12, with_geom=False)
+    p = plan_of(pts)
+    # codegen spans show as *(N) markers in executedPlan.toString
+    assert "*(" in p
+    # with_geom=False: the whole extraction is JVM-side — no python eval
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
