@@ -385,16 +385,15 @@ def st_dwithin(col1, col2, dist: float) -> Column:
 
 # --------------------------------------------------------------- cell index
 def gq_cell(col_x, col_y, res: int) -> Column:
-    """Point cell id from x/y columns (vectorized, no WKB decode)."""
+    """Point cell id from x/y columns — pure JVM arithmetic (whole-stage
+    codegen; delegates to operators.celljoin.cell_expr, which is the
+    single source of truth for the id layout). NULL-in -> NULL-out."""
+    from ..operators.celljoin import cell_expr
+    from pyspark.sql import functions as F
 
-    @pandas_udf(LongType())
-    def _cell(xs: pd.Series, ys: pd.Series) -> pd.Series:
-        x = xs.to_numpy(dtype=np.float64, na_value=np.nan)
-        y = ys.to_numpy(dtype=np.float64, na_value=np.nan)
-        cells = X.cell_of_points(np.nan_to_num(x), np.nan_to_num(y), res)
-        return pd.Series(np.where(np.isnan(x), None, cells), dtype="Int64")
-
-    return _cell(col_x, col_y)
+    return F.when(
+        col_x.isNotNull() & col_y.isNotNull(), cell_expr(col_x, col_y, res)
+    )
 
 
 def gq_cover(col, res: int, cap: int = 4096) -> Column:

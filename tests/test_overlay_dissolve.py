@@ -162,3 +162,30 @@ def test_dissolve_concat_median(spark):
     r = out.collect()[0]
     assert r["names"] == "n1|n2|n3|n4|n5"
     assert r["med"] == 3.0
+
+
+def test_dissolve_parcels_gewasgroep_golden(spark):
+    """Reference golden shape: dissolve parcels by GEWASGROEP -> 6 groups
+    (test_geoops_dissolve.py:278-296); area conservation within overlap."""
+    from tests import fixtures as FX
+    from geofileops_spark.operators.dissolve import dissolve
+
+    rows = [
+        (r["fid"], r["GEWASGROEP"], r["wkt"])
+        for r in FX.parcels_rows()
+        if "EMPTY" not in r["wkt"]
+    ]
+    df = spark.createDataFrame(rows, "fid long, GEWASGROEP string, wkt string")
+    df = df.withColumn("geom_wkb", st_geomfromtext(F.col("wkt"))).drop("wkt")
+    from geofileops_spark.functions.st import st_makevalid
+
+    df = df.withColumn("geom_wkb", st_makevalid(F.col("geom_wkb")))
+    out = dissolve(df, ["GEWASGROEP"], agg_columns={"columns": [
+        {"column": "fid", "agg": "count", "as": "n"}]})
+    rows_out = out.collect()
+    assert len(rows_out) == 6  # 6 distinct crop groups (reference golden)
+    assert sum(r["n"] for r in rows_out) == 47
+    # union area <= sum of parts, > half (overlaps exist but are modest)
+    tot = out.agg(F.sum(st_area("geom_wkb"))).collect()[0][0]
+    per_row = df.agg(F.sum(st_area("geom_wkb"))).collect()[0][0]
+    assert 0.5 * per_row < tot <= per_row + 1e-6
