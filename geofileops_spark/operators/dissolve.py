@@ -174,7 +174,7 @@ def dissolve(
     agg_columns: dict | None = None,
     explodecollections: bool = False,
     res: int | None = None,
-    merge_rounds: int = 2,
+    merge_rounds: int | None = None,
     geom_col: str = "geom_wkb",
     gridsize: float = 0.0,
 ) -> DataFrame:
@@ -183,11 +183,19 @@ def dissolve(
     ``groupby_columns=None`` dissolves everything into one geometry
     (exploded to touching clusters when ``explodecollections``), matching
     geofileops dissolve goldens (no-groupby -> 1 row, SURVEY.md §5).
+
+    ``merge_rounds=None`` sizes the hierarchical-merge cascade from the
+    input: small inputs go straight from the per-cell partial union to
+    the per-group final (each intermediate round costs a shuffle + a
+    grouped UDF pass — pure overhead when the final fan-in is small).
     """
     groups = list(groupby_columns or [])
     gdf = df.where(F.col(geom_col).isNotNull())
     if res is None:
         res = _pick_res(gdf, geom_col)
+    if merge_rounds is None:
+        n_rows = gdf.count()
+        merge_rounds = 0 if n_rows <= 300_000 else 2
 
     def _cell_udf_at(r: int):
         @F.pandas_udf("long")
