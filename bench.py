@@ -186,11 +186,11 @@ def main():
     for cpus in (SCALING_LO, SCALING_MID, CPUS):
         spark = make_spark(cpus)
         flagship(spark, pages_path)  # warm workers + JIT
-        # the sandbox VM shows multi-second jitter at high thread
-        # counts: take the min of 3 runs at the measured levels
-        reps = 1 if cpus == SCALING_LO else 3
+        # the sandbox VM shows multi-second jitter: min of 3 at EVERY
+        # level (same rep count at numerator and denominator, so the
+        # reported scaling efficiency isn't flattered by asymmetry)
         best = None
-        for _ in range(reps):
+        for _ in range(3):
             t0 = time.time()
             flagship(spark, pages_path)
             dt = time.time() - t0

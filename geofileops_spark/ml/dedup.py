@@ -117,11 +117,15 @@ def ngram_jaccard_pairs(
 def minhash_signatures(
     grams: DataFrame, num_perm: int = 64
 ) -> DataFrame:
-    """(id, sig array<long>) — classic affine-permutation MinHash: one
-    base 64-bit hash per gram, ``num_perm`` permutations (a_i*h + b_i)
-    mod p, minimum per permutation. ONE grouped-array UDF per doc — no
-    num_perm-fold row explosion (the naive explode shape shuffles
-    grams x perms rows; this shuffles grams once)."""
+    """(id, sig array<long>) — classic affine-permutation MinHash.
+
+    The base 64-bit gram hash is computed JVM-side (``xxhash64`` inside
+    whole-stage codegen, BEFORE the collect_list shuffle), so the only
+    Python work left is the numpy affine-min over an int64 array — no
+    per-gram Python loop, no string transfer into the UDF. ONE grouped-
+    array UDF per doc — no num_perm-fold row explosion (the naive
+    explode shape shuffles grams x perms rows; this shuffles hashes
+    once)."""
     import numpy as np
 
     P = (1 << 61) - 1  # Mersenne prime
@@ -130,28 +134,23 @@ def minhash_signatures(
     B = rng.randint(0, P, size=num_perm, dtype=np.int64).astype(np.uint64)
 
     @pandas_udf(ArrayType(LongType()))
-    def _sig(gram_lists: pd.Series) -> pd.Series:
+    def _sig(hash_lists: pd.Series) -> pd.Series:
         out = []
-        for grams_arr in gram_lists:
-            if grams_arr is None or len(grams_arr) == 0:
+        for arr in hash_lists:
+            if arr is None or len(arr) == 0:
                 out.append(None)
                 continue
-            import zlib
-
-            base = np.empty(len(grams_arr), dtype=np.uint64)
-            for i, g in enumerate(grams_arr):
-                b = g.encode("utf-8")
-                # two C-speed CRCs -> deterministic 64-bit base hash
-                base[i] = (np.uint64(zlib.crc32(b)) << np.uint64(32)) | np.uint64(
-                    zlib.crc32(b[::-1])
-                )
-            # (num_perm, n_grams) affine permutations mod p, min per row
+            base = np.asarray(arr, dtype=np.int64).view(np.uint64)
+            # (num_perm, n_grams) affine permutations mod p (uint64
+            # wraparound is part of the deterministic hash), min per row
             vals = (A[:, None] * (base[None, :] % P) + B[:, None]) % P
             out.append([int(v) for v in vals.min(axis=1).astype(np.int64)])
         return pd.Series(out)
 
-    doc_grams = grams.groupBy("id").agg(F.collect_list("gram").alias("_grams"))
-    return doc_grams.select("id", _sig(F.col("_grams")).alias("sig")).where(
+    doc_grams = grams.withColumn("_gh", F.xxhash64("gram")).groupBy("id").agg(
+        F.collect_list("_gh").alias("_ghs")
+    )
+    return doc_grams.select("id", _sig(F.col("_ghs")).alias("sig")).where(
         F.col("sig").isNotNull()
     )
 

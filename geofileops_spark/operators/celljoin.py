@@ -217,6 +217,11 @@ def _split_hot(df: DataFrame, hot: list[int], res: int, fine_res: int,
     pair dedup stays valid because the reference-point rule below uses
     the same adaptive mapping."""
 
+    # worst case after clipping to the parent cell: the parent spans
+    # 2^(fine_res-res) fine cells per axis, +1 for boundary-straddle
+    worst = (1 << (fine_res - res)) + 1
+    no_coarsen_cap = worst * worst + 1
+
     @pandas_udf("array<long>")
     def _children(minx: pd.Series, miny: pd.Series, maxx: pd.Series,
                   maxy: pd.Series, parent: pd.Series) -> pd.Series:
@@ -225,7 +230,16 @@ def _split_hot(df: DataFrame, hot: list[int], res: int, fine_res: int,
             if x0 is None:
                 out.append(None)
                 continue
-            cells = X.cover_bbox(x0, y0, x1, y1, fine_res)
+            # clip the bbox to the hot parent's bounds FIRST: the fine
+            # cover is then bounded by construction, so cover_bbox can
+            # never hit its cap and silently coarsen (which would emit
+            # mixed-resolution ids that match neither the other side nor
+            # the fine-res reference cell -> silently dropped pairs)
+            px0, py0, px1, py1 = X.cell_bounds(int(par))
+            cells = X.cover_bbox(
+                max(x0, px0), max(y0, py0), min(x1, px1), min(y1, py1),
+                fine_res, cap=no_coarsen_cap,
+            )
             keep = cells[X.parent(cells, res) == par]
             out.append(keep.tolist())
         return pd.Series(out)

@@ -185,17 +185,19 @@ def dissolve(
     geofileops dissolve goldens (no-groupby -> 1 row, SURVEY.md §5).
 
     ``merge_rounds=None`` sizes the hierarchical-merge cascade from the
-    input: small inputs go straight from the per-cell partial union to
-    the per-group final (each intermediate round costs a shuffle + a
-    grouped UDF pass — pure overhead when the final fan-in is small).
+    DATA, not from a count of the input (a full extra scan at 100 TB):
+    after the per-cell partial union, the (small) per-cell result is
+    measured — while any group still holds more than ``max_final_fanin``
+    pre-unioned pieces, another 2-level-coarser merge round runs. Each
+    round's per-task fan-in is bounded (a parent cell gathers <= ~16
+    child pieces), so no single task — including the final per-group
+    union — ever receives unbounded input.
     """
     groups = list(groupby_columns or [])
     gdf = df.where(F.col(geom_col).isNotNull())
     if res is None:
         res = _pick_res(gdf, geom_col)
-    if merge_rounds is None:
-        n_rows = gdf.count()
-        merge_rounds = 0 if n_rows <= 300_000 else 2
+    max_final_fanin = 64
 
     def _cell_udf_at(r: int):
         @F.pandas_udf("long")
@@ -203,6 +205,15 @@ def dissolve(
             return _cell_of_bbox_center(wkb, r)
 
         return _cell_udf
+
+    def _max_pieces_per_group(mdf: DataFrame) -> int:
+        # measures the per-cell PARTIAL RESULT (one row per (group,
+        # cell) — orders of magnitude smaller than the input), never the
+        # raw input
+        if groups:
+            row = mdf.groupBy(*groups).count().agg(F.max("count")).first()
+            return int(row[0] or 0)
+        return mdf.count()
 
     # phase 1: union per (groups, cell)
     work = gdf.select(*groups, geom_col).withColumn(
@@ -212,12 +223,23 @@ def dissolve(
 
     # merge rounds at coarser cells, then final union per group
     cur_res = res
-    for _ in range(merge_rounds):
-        cur_res = max(0, cur_res - 2)
-        merged = merged.withColumn("_cell", _cell_udf_at(cur_res)(F.col(geom_col)))
-        merged = _partial_union(merged, groups + ["_cell"], geom_col)
-        if cur_res == 0:
-            break
+    if merge_rounds is not None:
+        for _ in range(merge_rounds):
+            cur_res = max(0, cur_res - 2)
+            merged = merged.withColumn("_cell", _cell_udf_at(cur_res)(F.col(geom_col)))
+            merged = _partial_union(merged, groups + ["_cell"], geom_col)
+            if cur_res == 0:
+                break
+    else:
+        while cur_res > 0:
+            merged = merged.persist()
+            if _max_pieces_per_group(merged) <= max_final_fanin:
+                break
+            cur_res = max(0, cur_res - 2)
+            merged = merged.withColumn(
+                "_cell", _cell_udf_at(cur_res)(F.col(geom_col))
+            )
+            merged = _partial_union(merged, groups + ["_cell"], geom_col)
     merged = merged.drop("_cell")
     if groups:
         final = _partial_union(merged, groups, geom_col)

@@ -255,6 +255,9 @@ def join_points_in_polygons(
             f"polygon side has {len(rows)} rows; use join_by_location instead"
         )
     payload = [(r[0], bytes(r[1])) for r in rows if r[1] is not None]
+    # ship the polygon payload as a Spark broadcast variable (sent to
+    # each executor once) instead of in every task's UDF closure
+    bc_payload = points.sparkSession.sparkContext.broadcast(payload)
 
     # all-rectangle polygon side (bbox zones, tiles): containment is a
     # BETWEEN chain — pure JVM codegen, ZERO Python in the entire join.
@@ -304,7 +307,7 @@ def join_points_in_polygons(
                 [xs.to_numpy(np.float64), ys.to_numpy(np.float64)]
             )
             out = np.zeros(len(pts), dtype=np.int64)
-            for z, (pid, blob) in enumerate(payload):
+            for z, (pid, blob) in enumerate(bc_payload.value):
                 g = W.loads(blob)
                 bx0, by0, bx1, by1 = K.bounds(g)
                 bb = (
@@ -341,7 +344,7 @@ def join_points_in_polygons(
 
     @pandas_udf("array<long>")
     def _match(xs: pd.Series, ys: pd.Series) -> pd.Series:
-        geoms = [(pid, W.loads(b)) for pid, b in payload]
+        geoms = [(pid, W.loads(b)) for pid, b in bc_payload.value]
         pre = []
         for pid, g in geoms:
             b = K.bounds(g)
@@ -429,6 +432,36 @@ def _ring_cells_udf(k: int):
     return _ring
 
 
+def ring_cells_expr(x, y, res: int, k: int):
+    """All cell ids within Chebyshev distance ``k`` of the cell holding
+    point (x, y) — pure JVM codegen (sequence x sequence, flatten), must
+    produce the same ids as ``cells.kring``."""
+    size = X.cell_size(res)
+    n = (1 << res) - 1
+    ix = F.least(
+        F.greatest(F.floor((x + F.lit(X.WORLD)) / F.lit(size)).cast("long"), F.lit(0)),
+        F.lit(n),
+    )
+    iy = F.least(
+        F.greatest(F.floor((y + F.lit(X.WORLD)) / F.lit(size)).cast("long"), F.lit(0)),
+        F.lit(n),
+    )
+    xs = F.sequence(F.greatest(ix - k, F.lit(0)), F.least(ix + k, F.lit(n)))
+    ys = F.sequence(F.greatest(iy - k, F.lit(0)), F.least(iy + k, F.lit(n)))
+    res_bits = F.lit(res << 58).cast("long")
+    return F.flatten(
+        F.transform(
+            xs,
+            lambda gx: F.transform(
+                ys,
+                lambda gy: res_bits.bitwiseOR(
+                    F.shiftleft(gx, X._COORD_BITS)
+                ).bitwiseOR(gy),
+            ),
+        )
+    )
+
+
 def _res_for_distance(d: float) -> int:
     """Finest res whose cell size is >= d (so a 1-ring covers distance d)."""
     if d <= 0:
@@ -497,6 +530,14 @@ def join_nearest(
     ``expand=True`` grows the search ring (×4 per round) for rows that
     found fewer than k neighbours within ``distance``.
     Output adds ``pos`` (1..k) and ``distance`` columns like the reference.
+
+    The expansion ring is exploded on the REMAINING layer-1 side (which
+    shrinks every round) with a pure-JVM cell expression; layer 2 keeps
+    its one-time bbox-cover cells (computed once, persisted). Exploding
+    the full l2 side by (2k+1)^2 ring cells per round — the previous
+    shape — is a shuffle amplifier at scale: at round 3 (k=16) it would
+    inflate EVERY l2 row 1089x regardless of how few l1 rows still need
+    neighbours.
     """
     if distance is None:
         raise ValueError("join_nearest requires a search `distance`")
@@ -512,22 +553,23 @@ def join_nearest(
         .withColumn("_cy", st_y(F.col("_cent")))
         .drop("_cent")
     )
-    e2 = prefix_columns(with_cover(df2, res, geom_col), "l2_")
+    e2 = prefix_columns(with_cover(df2, res, geom_col), "l2_").withColumnRenamed(
+        "l2__cell", "_cell"
+    )
+    if expand:
+        e2 = e2.persist()
 
     results = None
     remaining = c1
     k_ring = 1
     for round_i in range(max_expand_rounds if expand else 1):
-        r1 = remaining.withColumn("_cell", cell_expr(F.col("_cx"), F.col("_cy"), res))
-        e2r = (
-            e2.withColumn(
-                "_ring", F.explode(_ring_cells_udf(k_ring)(F.col("l2__cell")))
-            )
-            .drop("l2__cell")
-            .withColumnRenamed("_ring", "_cell")
-            .dropDuplicates([f"l2_{id_col}", "_cell"])
+        r1 = remaining.withColumn(
+            "_cell",
+            F.explode(
+                ring_cells_expr(F.col("_cx"), F.col("_cy"), res, k_ring)
+            ),
         )
-        cand = r1.join(e2r, "_cell").dropDuplicates([f"l1_{id_col}", f"l2_{id_col}"])
+        cand = r1.join(e2, "_cell").dropDuplicates([f"l1_{id_col}", f"l2_{id_col}"])
         cand = cand.withColumn(
             "distance",
             _distance_udf(F.col(f"l1_{geom_col}"), F.col(f"l2_{geom_col}")),
@@ -588,15 +630,19 @@ def delete_duplicate_geometries(
 
     # hash JVM-side (xxhash64) over the normalized WKB
     tagged = df.withColumn("_gh", F.xxhash64(_normwkb(F.col(geom_col))))
+    # tiebreak by a deterministic whole-row hash, NOT
+    # monotonically_increasing_id: task retries must keep the SAME row
+    # (downstream checkpoint fingerprints assume hash-stable reruns)
+    row_hash = F.xxhash64(*[F.col(c) for c in df.columns])
     if priority_column is not None:
         order = (
             F.col(priority_column).asc()
             if priority_ascending
             else F.col(priority_column).desc()
         )
-        w = Window.partitionBy("_gh").orderBy(order)
+        w = Window.partitionBy("_gh").orderBy(order, row_hash)
     else:
-        w = Window.partitionBy("_gh").orderBy(F.monotonically_increasing_id())
+        w = Window.partitionBy("_gh").orderBy(row_hash)
     return (
         tagged.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)

@@ -148,17 +148,25 @@ def _postprocess(
 
 
 def subdivide_layer(
-    df: DataFrame, max_coords: int, geom_col: str = "geom_wkb"
+    df: DataFrame, max_coords: int, geom_col: str = "geom_wkb",
+    with_pos: bool = False,
 ) -> DataFrame:
     """Explode complex geometries into parts of <= max_coords vertices
     (geofileops ``_geoops_sql.py:1358-1444``): all attribute columns are
-    retained on every part; downstream re-union groups on the stable id."""
+    retained on every part; downstream re-union groups on the stable id.
+    ``with_pos`` adds a ``_subpos`` part-index column (deterministic —
+    posexplode order), for callers that need a stable per-part key."""
     from ..functions.st import st_subdivide_array
 
+    df = df.withColumn("_subparts", st_subdivide_array(F.col(geom_col), max_coords))
+    if with_pos:
+        df = df.select(
+            *[c for c in df.columns if c not in (geom_col, "_subparts")],
+            F.posexplode("_subparts").alias("_subpos", geom_col),
+        )
+        return df
     return (
-        df.withColumn("_subparts", st_subdivide_array(F.col(geom_col), max_coords))
-        .withColumn(geom_col, F.explode("_subparts"))
-        .drop("_subparts")
+        df.withColumn(geom_col, F.explode("_subparts")).drop("_subparts")
     )
 
 
@@ -254,9 +262,14 @@ def difference(
     — difference distributes over the parts' union, so the result is
     identical while the per-pair kernel cost stays bounded."""
     if subdivide_coords is not None:
-        s1 = subdivide_layer(df1, subdivide_coords, geom_col).withColumn(
-            "_pid", F.monotonically_increasing_id()
-        )
+        # deterministic per-part key (id, part index) — the id is
+        # referenced from two plan branches (candidate collect + join),
+        # so a non-deterministic id could pair parts with the wrong
+        # row's candidates on re-evaluation
+        s1 = subdivide_layer(df1, subdivide_coords, geom_col, with_pos=True)
+        s1 = s1.withColumn(
+            "_pid", F.xxhash64(F.col(id_col), F.col("_subpos"))
+        ).drop("_subpos")
         parts = difference(
             s1, df2, res=res, geom_col=geom_col, id_col="_pid"
         ).drop("_pid")
@@ -302,9 +315,10 @@ def clip(
     clip layer contributes no attributes, non-intersecting rows dropped
     (geofileops ``geoops.py:1908`` -> ``_geoops_sql.py:942-1055``)."""
     if subdivide_coords is not None:
-        s1 = subdivide_layer(df1, subdivide_coords, geom_col).withColumn(
-            "_pid", F.monotonically_increasing_id()
-        )
+        s1 = subdivide_layer(df1, subdivide_coords, geom_col, with_pos=True)
+        s1 = s1.withColumn(
+            "_pid", F.xxhash64(F.col(id_col), F.col("_subpos"))
+        ).drop("_subpos")
         parts = clip(s1, df2, res=res, geom_col=geom_col, id_col="_pid").drop("_pid")
         attrs = [c for c in parts.columns if c not in (id_col, geom_col)]
         out = parts.groupBy(id_col).agg(

@@ -106,12 +106,13 @@ def _compile(query: str) -> Callable[[str], bool]:
             parts.append(f"_rm(m, {len(masks) - 1})")
         else:
             raise ValueError(
-                f"Unexpected token in query (query is case sensitive!): {token}"
+                f"unknown token {token!r} in spatial relation query "
+                "(predicates and keywords are case-sensitive)"
             )
     if depth > 0:
-        raise ValueError(f"not all brackets are closed in query {query}")
+        raise ValueError(f"unbalanced query (missing ')'): {query}")
     if depth < 0:
-        raise ValueError(f"more closing brackets than opening ones in query {query}")
+        raise ValueError(f"unbalanced query (extra ')'): {query}")
     expr = "".join(parts)
     mask_tuple = tuple(masks)
 

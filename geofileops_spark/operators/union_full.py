@@ -94,10 +94,20 @@ def union_full_self(
     id_col: str = "fid",
     geom_col: str = "geom_wkb",
     res: int | None = None,
-    max_passes: int = 8,
+    max_passes: int = 64,
 ) -> DataFrame:
     """Flat planar union of one polygon layer. Returns faces with the
-    contributing ``{id_col}`` attributes shaped per ``agg_shape``."""
+    contributing ``{id_col}`` attributes shaped per ``agg_shape``.
+
+    The decomposition loop runs until no intersection pieces remain
+    (each pass reduces the max overlap depth by one, so passes are
+    bounded by the deepest overlap). ``max_passes`` is a runaway guard
+    only — hitting it raises instead of silently dropping faces.
+    Every pass ``localCheckpoint``s the working set: the loop input is
+    materialized (pinning ``monotonically_increasing_id`` against
+    re-evaluation) and the plan/retry lineage is truncated so pass count
+    doesn't grow the plan tree.
+    """
     spark = df.sparkSession
     original = df.select(id_col, geom_col)
 
@@ -106,10 +116,15 @@ def union_full_self(
     ).where(F.col(geom_col).isNotNull())
     faces: DataFrame | None = None
 
-    for _ in range(max_passes):
-        cur = cur.persist()
+    for pass_i in range(max_passes + 1):
+        cur = cur.localCheckpoint(eager=True)
         if cur.limit(1).count() == 0:
             break
+        if pass_i == max_passes:
+            raise RuntimeError(
+                f"union_full_self: overlap depth exceeds max_passes="
+                f"{max_passes}; pieces remain undecomposed"
+            )
         pairs = _overlap_pairs(cur, geom_col, res)
         partners = pairs.groupBy(F.col("l1__uid").alias("_uid")).agg(
             F.collect_list(F.col(f"l2_{geom_col}")).alias("_others")
@@ -153,9 +168,14 @@ def union_full_self(
     if faces is None:
         return spark.createDataFrame([], f"{geom_col} binary, fids array<bigint>")
 
-    # attach contributing attributes via interior-point-in-original test
+    # attach contributing attributes via interior-point-in-original test.
+    # _face_id is referenced from two plan branches (ip_layer join side
+    # and the faces side) — materialize so the non-deterministic id is
+    # evaluated exactly once.
     faces = faces.withColumn("_ip", _interior_point_udf(F.col(geom_col)))
-    faces = faces.withColumn("_face_id", F.monotonically_increasing_id())
+    faces = faces.withColumn(
+        "_face_id", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
     ip_layer = faces.select(
         F.col("_face_id").alias("fid"), F.col("_ip").alias(geom_col)
     ).where(F.col(geom_col).isNotNull())

@@ -47,15 +47,33 @@ def with_bucket(df: DataFrame, key_col: str, n_buckets: int) -> DataFrame:
 
 
 def input_fingerprint(df: DataFrame, key_col: str) -> DataFrame:
-    """Per-bucket content fingerprint: count + xor/sum of row key hashes.
+    """Per-bucket content fingerprint: count + sum of WHOLE-ROW hashes
+    (every column, not just the key), so a bucket whose row values change
+    while its key set stays identical is still detected as dirty.
     Order-insensitive, computed in one aggregation."""
+    cols = [c for c in df.columns if c != BUCKET_COL]
     # fold hashes to 32 bits before summing: ANSI mode (Spark 4 default)
     # would overflow a sum of full 64-bit hashes
-    h32 = F.xxhash64(F.col(key_col)).bitwiseAND(F.lit(0x7FFFFFFF))
+    h32 = F.xxhash64(*[F.col(c) for c in cols]).bitwiseAND(F.lit(0x7FFFFFFF))
     return df.groupBy(BUCKET_COL).agg(
         F.count("*").alias("rows_in"),
         F.sum(h32).alias("fp"),
     )
+
+
+def _clear_buckets(out_path: str, bucket_ids) -> None:
+    """Remove ``bucket=N`` directories for buckets about to be rewritten
+    (local-filesystem stand-in for a predicate overwrite)."""
+    import shutil
+    from pathlib import Path
+
+    root = Path(out_path.removeprefix("file://"))
+    if not root.exists():
+        return
+    for b in bucket_ids:
+        d = root / f"bucket={b}"
+        if d.exists():
+            shutil.rmtree(d)
 
 
 def _read_checkpoints(spark: SparkSession, ckpt_path: str) -> DataFrame | None:
@@ -133,7 +151,12 @@ def run_stage(
             "transform must preserve the bucket column "
             f"{BUCKET_COL!r} so output stays resumable"
         )
-    # idempotent per-bucket overwrite via partitioned layout
+    # idempotent per-bucket overwrite via partitioned layout. Dynamic
+    # overwrite only replaces partitions PRESENT in the result, so a
+    # recomputed bucket that now emits 0 rows would keep its stale
+    # bucket=N directory — explicitly clear every todo bucket first
+    # (the parquet stand-in for Iceberg's replaceWhere predicate).
+    _clear_buckets(out_path, todo_ids)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     result.withColumn("bucket", F.col(BUCKET_COL)).drop(BUCKET_COL).write.mode(
         "overwrite"
