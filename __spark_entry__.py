@@ -328,6 +328,101 @@ def _q_makevalid(spark, sf_dir):
     )
 
 
+# ----------------------------- non-rectangular geometry oracles
+# (integer triangles / convex polygons with closed-form exact answers:
+# the clipper's diagonal-edge and concave-result paths, oracle-graded)
+def _q_pip_tri_intersects(spark, sf_dir):
+    from geofileops_spark.operators.join import join_by_location
+    from geofileops_spark.sources import tpch_geo as T
+
+    out = join_by_location(
+        T.cust_points(spark, sf_dir), T.supp_triangles(spark, sf_dir),
+        "intersects is True", res=18,
+    )
+    return out.select(
+        F.col("l1_fid").alias("cust_fid"), F.col("l2_fid").alias("tri_fid")
+    )
+
+
+def _q_pip_tri_within(spark, sf_dir):
+    from geofileops_spark.operators.join import join_by_location
+    from geofileops_spark.sources import tpch_geo as T
+
+    out = join_by_location(
+        T.cust_points(spark, sf_dir), T.supp_triangles(spark, sf_dir),
+        "within is True", res=18,
+    )
+    return out.select(
+        F.col("l1_fid").alias("cust_fid"), F.col("l2_fid").alias("tri_fid")
+    )
+
+
+def _q_tri_clip_area(spark, sf_dir):
+    from geofileops_spark.functions.st import st_area
+    from geofileops_spark.operators.overlay import intersection
+    from geofileops_spark.sources import tpch_geo as T
+
+    out = intersection(T.tri_blades(spark, sf_dir), T.tri_squares(spark, sf_dir), res=18)
+    return out.select(
+        F.col("l1_fid").alias("tri_fid"),
+        F.col("l2_fid").alias("sq_fid"),
+        _bigint(st_area(F.col("geom_wkb"))).alias("area"),
+    )
+
+
+def _q_tri_difference(spark, sf_dir):
+    from geofileops_spark.functions.st import st_area
+    from geofileops_spark.operators.overlay import difference
+    from geofileops_spark.sources import tpch_geo as T
+
+    out = difference(T.tri_blades(spark, sf_dir), T.tri_squares(spark, sf_dir), res=18)
+    return out.select("fid", _bigint(st_area(F.col("geom_wkb"))).alias("area"))
+
+
+def _q_oct_intersection(spark, sf_dir):
+    from geofileops_spark.functions.st import st_area
+    from geofileops_spark.operators.overlay import intersection
+    from geofileops_spark.sources import tpch_geo as T
+
+    out = intersection(
+        T.diag_squares(spark, sf_dir), T.diag_diamonds(spark, sf_dir), res=18
+    )
+    return out.select(
+        F.col("l1_fid").alias("sq_fid"),
+        F.col("l2_fid").alias("di_fid"),
+        _bigint(st_area(F.col("geom_wkb"))).alias("area"),
+    )
+
+
+def _q_tri_dissolve(spark, sf_dir):
+    from geofileops_spark.functions.st import st_area, st_parts
+    from geofileops_spark.operators.dissolve import dissolve
+    from geofileops_spark.sources import tpch_geo as T
+
+    out = dissolve(T.tri_halves(spark, sf_dir), ["fid", "side"])
+    return out.select(
+        "fid",
+        "side",
+        _bigint(st_area(F.col("geom_wkb"))).alias("area"),
+        F.size(st_parts(F.col("geom_wkb"))).cast("long").alias("n_parts"),
+    )
+
+
+def _q_lshape_hull(spark, sf_dir):
+    from geofileops_spark.functions.st import st_area, st_convexhull, st_parts
+    from geofileops_spark.operators.dissolve import dissolve
+    from geofileops_spark.sources import tpch_geo as T
+
+    out = dissolve(T.lshape_tris(spark, sf_dir), ["fid", "side"])
+    return out.select(
+        "fid",
+        "side",
+        _bigint(st_area(F.col("geom_wkb"))).alias("area"),
+        F.size(st_parts(F.col("geom_wkb"))).cast("long").alias("n_parts"),
+        _bigint(st_area(st_convexhull(F.col("geom_wkb"))) * 2).alias("hull_area2"),
+    )
+
+
 def _q_page_cells(spark, sf_dir):
     from geofileops_spark.sources.pages import extract_points
     from geofileops_spark.sources.tpch_geo import pages_from_documents
@@ -697,6 +792,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "convexhull_stars": _q_convexhull,
         "simplify_zigzag": _q_simplify,
         "makevalid_bowties": _q_makevalid,
+        "pip_tri_intersects": _q_pip_tri_intersects,
+        "pip_tri_within": _q_pip_tri_within,
+        "tri_clip_area": _q_tri_clip_area,
+        "tri_difference_area": _q_tri_difference,
+        "oct_intersection": _q_oct_intersection,
+        "tri_dissolve_squares": _q_tri_dissolve,
+        "lshape_dissolve_hull": _q_lshape_hull,
         "page_cells": _q_page_cells,
         "pages_pip_join": _q_pages_pip,
         "pages_text_passthrough": _q_pages_passthrough,
@@ -897,6 +999,51 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.7"""
             """SELECT fid, 0 AS was_valid, CAST(50 AS BIGINT) AS area,
                    'MULTIPOLYGON' AS gtype FROM bowties""",
             "bowties",
+        ),
+        "pip_tri_intersects": with_ctes(
+            """SELECT c.fid AS cust_fid, t.fid AS tri_fid
+            FROM cust_points c JOIN supp_triangles t
+            ON 30*(c.py - t.ay) - 10*(c.px - t.ax) >= 0
+           AND -20*(c.py - t.ay - 10) - 30*(c.px - t.ax - 30) >= 0
+           AND -10*(c.py - t.ay - 40) + 40*(c.px - t.ax - 10) >= 0""",
+            "cust_points", "supp_triangles",
+        ),
+        "pip_tri_within": with_ctes(
+            """SELECT c.fid AS cust_fid, t.fid AS tri_fid
+            FROM cust_points c JOIN supp_triangles t
+            ON 30*(c.py - t.ay) - 10*(c.px - t.ax) > 0
+           AND -20*(c.py - t.ay - 10) - 30*(c.px - t.ax - 30) > 0
+           AND -10*(c.py - t.ay - 40) + 40*(c.px - t.ax - 10) > 0""",
+            "cust_points", "supp_triangles",
+        ),
+        "tri_clip_area": with_ctes(
+            """SELECT fid AS tri_fid, fid AS sq_fid, CAST(7 AS BIGINT) AS area
+            FROM tri_blades WHERE fid % 2 = 0""",
+            "tri_blades",
+        ),
+        "tri_difference_area": with_ctes(
+            """SELECT fid,
+                   CAST(CASE WHEN fid % 2 = 0 THEN 25 ELSE 32 END AS BIGINT) AS area
+            FROM tri_blades""",
+            "tri_blades",
+        ),
+        "oct_intersection": with_ctes(
+            """SELECT fid AS sq_fid, fid AS di_fid, CAST(56 AS BIGINT) AS area
+            FROM diag_squares""",
+            "diag_squares",
+        ),
+        "tri_dissolve_squares": with_ctes(
+            """SELECT fid, side, CAST(side*side AS BIGINT) AS area,
+                   CAST(1 AS BIGINT) AS n_parts
+            FROM tri_halves""",
+            "tri_halves",
+        ),
+        "lshape_dissolve_hull": with_ctes(
+            """SELECT fid, side, CAST(3*side*side AS BIGINT) AS area,
+                   CAST(1 AS BIGINT) AS n_parts,
+                   CAST(7*side*side AS BIGINT) AS hull_area2
+            FROM lshape_tris""",
+            "lshape_tris",
         ),
         "page_cells": with_ctes(
             """SELECT url,

@@ -611,6 +611,146 @@ def union_all_polys(polys: list[list[np.ndarray]]) -> list[list[np.ndarray]]:
     return out
 
 
+def _weld_pair(pa: list[np.ndarray], pb: list[np.ndarray]):
+    """EXACT union of two polygons whose interiors are disjoint but whose
+    boundaries share (whole or partial) edges — the case the GH clipper
+    cannot handle without perturbation (no proper crossings). Adjacent
+    parcels / triangulated fixtures are exactly this shape.
+
+    Method: node every boundary segment at the other ring's vertices
+    (splitting only AT existing vertices — no computed coordinates, so
+    float equality is exact), cancel segment pairs traversed in opposite
+    directions (interior boundaries), then walk the remaining directed
+    segments back into closed rings (most-counterclockwise-turn rule at
+    multi-degree vertices) and reassemble exterior/hole nesting.
+
+    Returns a list of polygons, or None when the configuration is not a
+    clean edge-adjacency (caller falls back to the clipper)."""
+    rings: list[np.ndarray] = [_ccw(pa[0]), _ccw(pb[0])]
+    holes = [_cw(h) for h in pa[1:]] + [_cw(h) for h in pb[1:]]
+    rings.extend(holes)  # holes CW: interior of the region still on the left
+
+    # global vertex set for noding
+    verts: set[tuple[float, float]] = set()
+    for r in rings:
+        for p in _open_ring(r):
+            verts.add((float(p[0]), float(p[1])))
+    vlist = np.asarray(sorted(verts), dtype=np.float64) if verts else None
+
+    def _split_segment(a, b):
+        """Yield sub-segments of a->b split at global vertices strictly
+        inside it (exact collinearity + betweenness on the raw floats)."""
+        ax, ay, bx, by = a[0], a[1], b[0], b[1]
+        dx, dy = bx - ax, by - ay
+        mids = []
+        lo_x, hi_x = min(ax, bx), max(ax, bx)
+        lo_y, hi_y = min(ay, by), max(ay, by)
+        cand = vlist[
+            (vlist[:, 0] >= lo_x) & (vlist[:, 0] <= hi_x)
+            & (vlist[:, 1] >= lo_y) & (vlist[:, 1] <= hi_y)
+        ]
+        for vx, vy in cand:
+            if (vx == ax and vy == ay) or (vx == bx and vy == by):
+                continue
+            if dx * (vy - ay) - dy * (vx - ax) != 0.0:
+                continue
+            t = (vx - ax) * dx + (vy - ay) * dy
+            if 0.0 < t < dx * dx + dy * dy:
+                mids.append((t, vx, vy))
+        mids.sort()
+        prev = (ax, ay)
+        for _, vx, vy in mids:
+            yield prev, (vx, vy)
+            prev = (vx, vy)
+        yield prev, (bx, by)
+
+    # count undirected segments; opposite-direction pairs cancel
+    seen: dict[tuple, list[tuple]] = {}
+    for r in rings:
+        o = _open_ring(r)
+        for i in range(len(o)):
+            a = (float(o[i][0]), float(o[i][1]))
+            b = (float(o[(i + 1) % len(o)][0]), float(o[(i + 1) % len(o)][1]))
+            if a == b:
+                continue
+            for sa, sb in _split_segment(a, b):
+                key = (sa, sb) if sa < sb else (sb, sa)
+                seen.setdefault(key, []).append((sa, sb))
+    boundary: list[tuple] = []
+    shared = 0
+    for key, dirs in seen.items():
+        if len(dirs) == 1:
+            boundary.append(dirs[0])
+        elif len(dirs) == 2 and dirs[0] == (dirs[1][1], dirs[1][0]):
+            shared += 1  # interior edge: cancels
+        else:
+            return None  # same-direction duplicate / >2: not a clean weld
+    if shared == 0 or not boundary:
+        return None
+
+    # walk remaining directed segments into closed rings
+    outgoing: dict[tuple, list[tuple]] = {}
+    for sa, sb in boundary:
+        outgoing.setdefault(sa, []).append(sb)
+    used: set[tuple] = set()
+    new_rings: list[np.ndarray] = []
+    import math
+
+    for sa, sb in boundary:
+        if (sa, sb) in used:
+            continue
+        ring_pts = [sa, sb]
+        used.add((sa, sb))
+        cur, prv = sb, sa
+        ok = True
+        for _ in range(len(boundary) + 1):
+            if cur == ring_pts[0]:
+                break
+            outs = [w for w in outgoing.get(cur, []) if (cur, w) not in used]
+            if not outs:
+                ok = False
+                break
+            if len(outs) == 1:
+                nxt = outs[0]
+            else:
+                # most-counterclockwise turn keeps the region on the left
+                din = math.atan2(cur[1] - prv[1], cur[0] - prv[0])
+
+                def turn(w):
+                    ang = math.atan2(w[1] - cur[1], w[0] - cur[0]) - din + math.pi
+                    while ang <= 0:
+                        ang += 2 * math.pi
+                    while ang > 2 * math.pi:
+                        ang -= 2 * math.pi
+                    return ang
+
+                nxt = max(outs, key=turn)
+            used.add((cur, nxt))
+            ring_pts.append(nxt)
+            prv, cur = cur, nxt
+        if not ok or cur != ring_pts[0]:
+            return None
+        new_rings.append(np.asarray(ring_pts, dtype=np.float64))
+    if len(used) != len(boundary):
+        return None
+    out = _reassemble(new_rings)
+    # conservation check: welding interiors-disjoint polygons must keep
+    # the total area exactly (up to float round-off)
+    def _area(polys):
+        tot = 0.0
+        for p in polys:
+            tot += abs(ring_signed_area(p[0]))
+            for h in p[1:]:
+                tot -= abs(ring_signed_area(h))
+        return tot
+
+    want = _area([pa]) + _area([pb])
+    got = _area(out)
+    if abs(got - want) > 1e-9 * max(want, 1.0):
+        return None
+    return out
+
+
 def _merge_pass(polys: list[list[np.ndarray]], max_rounds: int = 8):
     changed = True
     rounds = 0
@@ -622,7 +762,13 @@ def _merge_pass(polys: list[list[np.ndarray]], max_rounds: int = 8):
             merged = False
             for k in range(len(res)):
                 if bbox_intersects(_poly_bbox(res[k]), _poly_bbox(p)):
-                    u = poly_union(res[k], p)
+                    # exact weld FIRST: for edge-adjacent (interiors
+                    # disjoint) pairs the GH clipper can only merge via
+                    # perturbation (inexact area); the weld is exact and
+                    # returns None fast when boundaries share no edge
+                    u = _weld_pair(res[k], p)
+                    if u is None or len(u) != 1:
+                        u = poly_union(res[k], p)
                     if len(u) == 1:
                         res[k] = u[0]
                         merged = True

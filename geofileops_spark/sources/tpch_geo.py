@@ -261,6 +261,209 @@ BOWTIES_SQL = """bowties AS (
   SELECT CAST(n_nationkey AS BIGINT) AS fid FROM nation)"""
 
 
+# ------------------------------------------- non-rectangular layers
+# Integer-coordinate triangles / convex polygons whose joins, overlays
+# and dissolves have CLOSED-FORM exact answers (half-plane sign tests,
+# constant areas by construction) — so the hand-rolled clipper's
+# non-axis-aligned paths (diagonal edges, concave results) are graded by
+# the DuckDB oracle, not only by property tests.
+
+
+def _tri_wkt(ax, ay, bx, by, cx, cy):
+    return F.concat(
+        F.lit("POLYGON (("),
+        ax.cast("string"), F.lit(" "), ay.cast("string"), F.lit(", "),
+        bx.cast("string"), F.lit(" "), by.cast("string"), F.lit(", "),
+        cx.cast("string"), F.lit(" "), cy.cast("string"), F.lit(", "),
+        ax.cast("string"), F.lit(" "), ay.cast("string"), F.lit("))"),
+    )
+
+
+def supp_triangles(spark, sf_dir) -> DataFrame:
+    """One CCW triangle per supplier: A=(x0,y0), B=(x0+30,y0+10),
+    C=(x0+10,y0+40). Point-in-triangle is three integer cross-product
+    sign tests — exactly expressible in SQL."""
+    s = load(spark, sf_dir, "supplier")
+    x0 = ((F.col("s_suppkey") * 131) % 900).cast("double")
+    y0 = ((F.col("s_suppkey") * 173) % 880).cast("double")
+    df = s.select(
+        F.col("s_suppkey").cast("long").alias("fid"),
+        x0.alias("ax"), y0.alias("ay"),
+    )
+    return df.withColumn(
+        "geom_wkb",
+        st_geomfromtext(
+            _tri_wkt(
+                F.col("ax"), F.col("ay"),
+                F.col("ax") + 30, F.col("ay") + 10,
+                F.col("ax") + 10, F.col("ay") + 40,
+            )
+        ),
+    )
+
+
+SUPP_TRIANGLES_SQL = """supp_triangles AS (
+  SELECT CAST(s_suppkey AS BIGINT) AS fid,
+         CAST((s_suppkey * 131) % 900 AS DOUBLE) AS ax,
+         CAST((s_suppkey * 173) % 880 AS DOUBLE) AS ay
+  FROM supplier)"""
+
+
+# tri/square overlay pair: left = right triangle (0,0),(8,0),(0,8) at
+# offset (i*40, (i%5)*40); right = square [2,5]^2 at the same offset for
+# even i (intersection = pentagon of area exactly 7, difference = concave
+# hexagon of area 25), shifted +20 in x for odd i (disjoint).
+def tri_blades(spark, sf_dir) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    i = F.col("n_nationkey").cast("long")
+    ox = (i * 40).cast("double")
+    oy = ((i % 5) * 40).cast("double")
+    df = n.select(i.alias("fid"), ox.alias("ox"), oy.alias("oy"))
+    return df.withColumn(
+        "geom_wkb",
+        st_geomfromtext(
+            _tri_wkt(
+                F.col("ox"), F.col("oy"),
+                F.col("ox") + 8, F.col("oy"),
+                F.col("ox"), F.col("oy") + 8,
+            )
+        ),
+    )
+
+
+TRI_BLADES_SQL = """tri_blades AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS fid,
+         CAST(n_nationkey * 40 AS DOUBLE) AS ox,
+         CAST((n_nationkey % 5) * 40 AS DOUBLE) AS oy
+  FROM nation)"""
+
+
+def tri_squares(spark, sf_dir) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    i = F.col("n_nationkey").cast("long")
+    shift = F.when(i % 2 == 0, F.lit(0)).otherwise(F.lit(20))
+    x0 = (i * 40 + 2 + shift).cast("double")
+    y0 = ((i % 5) * 40 + 2).cast("double")
+    df = n.select(i.alias("fid"), x0.alias("xmin"), y0.alias("ymin"),
+                  (x0 + 3).alias("xmax"), (y0 + 3).alias("ymax"))
+    return df.withColumn(
+        "geom_wkb",
+        st_geomfromtext(
+            _box_wkt_cols(F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"))
+        ),
+    )
+
+
+TRI_SQUARES_SQL = """tri_squares AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS fid,
+         CAST(n_nationkey * 40 + 2 + CASE WHEN n_nationkey % 2 = 0 THEN 0 ELSE 20 END
+              AS DOUBLE) AS xmin,
+         CAST((n_nationkey % 5) * 40 + 2 AS DOUBLE) AS ymin,
+         CAST(n_nationkey * 40 + 5 + CASE WHEN n_nationkey % 2 = 0 THEN 0 ELSE 20 END
+              AS DOUBLE) AS xmax,
+         CAST((n_nationkey % 5) * 40 + 5 AS DOUBLE) AS ymax
+  FROM nation)"""
+
+
+# square x diamond pair: axis square [0,8]^2 and the diamond
+# |x-4|+|y-4| <= 6, both at offset (i*40, (i%5)*40). Their intersection
+# is an octagon of area exactly 64 - 4*2 = 56 (four corner triangles
+# with legs 2 cut off) — a convex/convex clip with diagonal edges.
+def diag_squares(spark, sf_dir) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    i = F.col("n_nationkey").cast("long")
+    x0 = (i * 40).cast("double")
+    y0 = ((i % 5) * 40).cast("double")
+    df = n.select(i.alias("fid"), x0.alias("xmin"), y0.alias("ymin"),
+                  (x0 + 8).alias("xmax"), (y0 + 8).alias("ymax"))
+    return df.withColumn(
+        "geom_wkb",
+        st_geomfromtext(
+            _box_wkt_cols(F.col("xmin"), F.col("ymin"), F.col("xmax"), F.col("ymax"))
+        ),
+    )
+
+
+DIAG_SQUARES_SQL = """diag_squares AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS fid,
+         CAST(n_nationkey * 40 AS DOUBLE) AS xmin,
+         CAST((n_nationkey % 5) * 40 AS DOUBLE) AS ymin,
+         CAST(n_nationkey * 40 + 8 AS DOUBLE) AS xmax,
+         CAST((n_nationkey % 5) * 40 + 8 AS DOUBLE) AS ymax
+  FROM nation)"""
+
+
+def diag_diamonds(spark, sf_dir) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    i = F.col("n_nationkey").cast("long")
+    ox = (i * 40).cast("double")
+    oy = ((i % 5) * 40).cast("double")
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        (ox + 4).cast("string"), F.lit(" "), (oy - 2).cast("string"), F.lit(", "),
+        (ox + 10).cast("string"), F.lit(" "), (oy + 4).cast("string"), F.lit(", "),
+        (ox + 4).cast("string"), F.lit(" "), (oy + 10).cast("string"), F.lit(", "),
+        (ox - 2).cast("string"), F.lit(" "), (oy + 4).cast("string"), F.lit(", "),
+        (ox + 4).cast("string"), F.lit(" "), (oy - 2).cast("string"), F.lit("))"),
+    )
+    return n.select(i.alias("fid"), wkt.alias("_w")).withColumn(
+        "geom_wkb", st_geomfromtext(F.col("_w"))
+    ).drop("_w")
+
+
+DIAG_DIAMONDS_SQL = """diag_diamonds AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS fid FROM nation)"""
+
+
+# two triangles forming the square [0,s]^2 along its diagonal (union must
+# weld the shared diagonal edge: area s^2, ONE part), s = (i%5+1)*6
+def tri_halves(spark, sf_dir) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    i = F.col("n_nationkey").cast("long")
+    s = ((i % 5 + 1) * 6).cast("double")
+    ox = (i * 40).cast("double")
+    lower = _tri_wkt(ox, F.lit(0), ox + s, F.lit(0), ox + s, s)
+    upper = _tri_wkt(ox, F.lit(0), ox + s, s, ox, s)
+    df = n.select(
+        i.alias("fid"), ((i % 5 + 1) * 6).alias("side"),
+        F.explode(F.array(lower, upper)).alias("_w"),
+    )
+    return df.withColumn("geom_wkb", st_geomfromtext(F.col("_w"))).drop("_w")
+
+
+TRI_HALVES_SQL = """tri_halves AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS fid,
+         CAST((n_nationkey % 5 + 1) * 6 AS BIGINT) AS side
+  FROM nation)"""
+
+
+# L-shape as 6 triangles (3 unit squares of side s, each split along its
+# diagonal): dissolve area = 3*s^2 in ONE part; hull of the L is a
+# pentagon of area 3.5*s^2 (s multiple of 4 keeps 3.5*s^2 integral)
+def lshape_tris(spark, sf_dir) -> DataFrame:
+    n = load(spark, sf_dir, "nation")
+    i = F.col("n_nationkey").cast("long")
+    s = ((i % 4 + 1) * 4).cast("double")
+    ox = (i * 50).cast("double")
+    zero = F.lit(0).cast("double")
+    tris = []
+    for qx, qy in ((zero, zero), (s, zero), (zero, s)):  # 3 squares of the L
+        x0, y0 = ox + qx, qy
+        tris.append(_tri_wkt(x0, y0, x0 + s, y0, x0 + s, y0 + s))
+        tris.append(_tri_wkt(x0, y0, x0 + s, y0 + s, x0, y0 + s))
+    df = n.select(
+        i.alias("fid"), ((i % 4 + 1) * 4).alias("side"),
+        F.explode(F.array(*tris)).alias("_w"),
+    )
+    return df.withColumn("geom_wkb", st_geomfromtext(F.col("_w"))).drop("_w")
+
+
+LSHAPE_TRIS_SQL = """lshape_tris AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS fid,
+         CAST((n_nationkey % 4 + 1) * 4 AS BIGINT) AS side
+  FROM nation)"""
+
+
 # ------------------------------------------------------- pages / zones
 # Common-Crawl-shaped pages derived from documents: a geo:<lat>,<lon>
 # token is appended for 90% of docs; lat = (doc_id*37)%160 + 0.5,
@@ -336,6 +539,13 @@ ALL_CTES = {
     "paired_left": PAIRED_LEFT_SQL,
     "paired_right": PAIRED_RIGHT_SQL,
     "star_polys": STAR_POLYS_SQL,
+    "supp_triangles": SUPP_TRIANGLES_SQL,
+    "tri_blades": TRI_BLADES_SQL,
+    "tri_squares": TRI_SQUARES_SQL,
+    "diag_squares": DIAG_SQUARES_SQL,
+    "diag_diamonds": DIAG_DIAMONDS_SQL,
+    "tri_halves": TRI_HALVES_SQL,
+    "lshape_tris": LSHAPE_TRIS_SQL,
     "zigzag": ZIGZAG_SQL,
     "bowties": BOWTIES_SQL,
     "pages": PAGES_SQL,

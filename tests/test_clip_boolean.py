@@ -139,3 +139,42 @@ def test_union_forms_hole():
 
     assert points_in_multipolygon(np.array([[5.5, 5.0]]), r)[0] == 0
     assert points_in_multipolygon(np.array([[1.0, 5.0]]), r)[0] == 2
+
+
+# ---------------------------------------------------------- edge welding
+def test_weld_triangles_sharing_diagonal():
+    # two halves of the unit-12 square: union must be ONE part, area 144
+    t1 = g("POLYGON ((0 0, 12 0, 12 12, 0 0))")
+    t2 = g("POLYGON ((0 0, 12 12, 0 12, 0 0))")
+    u = C.union_geoms([t1, t2])
+    assert K.area(u) == pytest.approx(144.0, rel=1e-9)
+    assert len(u.parts()) == 1
+
+
+def test_weld_partial_shared_edge():
+    # square + triangle attached to the middle third of its right edge
+    sq = g(A)
+    tri = g("POLYGON ((10 3, 16 5, 10 7, 10 3))")
+    u = C.union_geoms([sq, tri])
+    assert K.area(u) == pytest.approx(100.0 + 12.0, rel=1e-9)
+    assert len(u.parts()) == 1
+
+
+def test_corner_touching_squares_stay_two_parts():
+    s2 = g("POLYGON ((10 10, 20 10, 20 20, 10 20, 10 10))")
+    u = C.union_geoms([g(A), s2])
+    assert K.area(u) == pytest.approx(200.0, rel=1e-9)
+    assert len(u.parts()) == 2
+
+
+def test_weld_ring_of_triangles_forms_hole():
+    # four trapezoid "frame" pieces welding into a square ring with hole
+    pieces = [
+        g("POLYGON ((0 0, 12 0, 9 3, 3 3, 0 0))"),
+        g("POLYGON ((12 0, 12 12, 9 9, 9 3, 12 0))"),
+        g("POLYGON ((12 12, 0 12, 3 9, 9 9, 12 12))"),
+        g("POLYGON ((0 12, 0 0, 3 3, 3 9, 0 12))"),
+    ]
+    u = C.union_geoms(pieces)
+    assert K.area(u) == pytest.approx(144.0 - 36.0, rel=1e-9)
+    assert len(u.parts()) == 1
