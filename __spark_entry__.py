@@ -654,7 +654,10 @@ def _q_simhash(spark, sf_dir):
 
     docs = load(spark, sf_dir, "documents").select("doc_id", "text")
     doubled = docs.unionByName(docs.withColumn("doc_id", F.col("doc_id") + 100000))
-    return simhash_pairs(doubled, max_hamming=0).select("id_a", "id_b", "hamming")
+    out = simhash_pairs(doubled, max_hamming=3)
+    return out.select(
+        "id_a", "id_b", F.col("hamming").cast("long").alias("hamming")
+    )
 
 
 def _q_ann_cosine(spark, sf_dir):
@@ -673,7 +676,7 @@ def _q_ann_lsh(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
-    out = lsh_topk(queries, emb, k=5, nbits=4)
+    out = lsh_topk(queries, emb, k=5, nbits=4, dim=64)
     return out.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id")
 
 
@@ -683,7 +686,10 @@ def _q_ann_ivf(spark, sf_dir):
 
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") % 50 == 0)
-    out = ivf_topk(queries, emb, k=5, n_centroids=8, nprobe=4)
+    # pretrained coarse quantizer: the 8 lowest-id vectors (deterministic
+    # and SQL-reproducible; quantizer quality is orthogonal to the plan)
+    cents = emb.where(F.col("vec_id") < 8)
+    out = ivf_topk(queries, emb, k=5, nprobe=4, centroids=cents)
     return out.select("query_id", F.col("rank").cast("long").alias("rank"), "neighbor_id")
 
 
@@ -692,11 +698,14 @@ def _q_multimodal(spark, sf_dir):
 
     media = synth_media(spark, 256)
     out = decode_images(media)
+    # n_nonzero gates the byte-histogram feature kernel (normalization-
+    # independent, so float32 rounding can't cause oracle drift)
     return out.select(
         "media_id",
         F.col("width").cast("long").alias("width"),
         F.col("height").cast("long").alias("height"),
         F.size("features").cast("long").alias("feat_dim"),
+        F.size(F.filter("features", lambda x: x != 0)).cast("long").alias("n_nonzero"),
     )
 
 
@@ -1109,6 +1118,48 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.7"""
         SELECT doc_id FROM r WHERE rn = 1""",
         "dedup_ngram_jaccard": jacc_oracle,
         "dedup_minhash_lsh": jacc_oracle,
+        # simhash: the md5-derived 64-bit token hash, per-bit majority
+        # votes and banded pairing are all reproduced in SQL; with 4
+        # bands, hamming<=3 pairs ALWAYS share a band (pigeonhole), so
+        # the banded Spark result equals the plain cross-join filter
+        "dedup_simhash": """WITH both_docs AS (
+          SELECT doc_id, text FROM documents
+          UNION ALL SELECT doc_id + 100000, text FROM documents),
+        toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(
+                   string_split_regex(trim(lower(coalesce(text, ''))), '\\s+'),
+                   t -> t <> '')) AS tok
+          FROM both_docs),
+        th AS (
+          SELECT doc_id,
+            CAST(list_sum(list_transform(generate_series(1, 8),
+              k -> (strpos('0123456789abcdef', substr(md5(tok), k, 1)) - 1)
+                   * power(16, 8 - k))) AS BIGINT) AS hi,
+            CAST(list_sum(list_transform(generate_series(9, 16),
+              k -> (strpos('0123456789abcdef', substr(md5(tok), k, 1)) - 1)
+                   * power(16, 16 - k))) AS BIGINT) AS lo
+          FROM toks),
+        votes AS (
+          SELECT doc_id, b,
+                 2 * sum(CASE WHEN b < 32 THEN (lo >> b) & 1
+                              ELSE (hi >> (b - 32)) & 1 END) - count(*) AS v
+          FROM th, range(0, 64) AS t(b)
+          GROUP BY doc_id, b),
+        fp0 AS (
+          SELECT doc_id,
+                 CAST(sum(CASE WHEN v > 0 THEN
+                        CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                             ELSE (CAST(1 AS BIGINT) << b) END
+                      ELSE 0 END) AS BIGINT) AS fp
+          FROM votes GROUP BY doc_id),
+        fp AS (
+          SELECT d.doc_id, coalesce(f.fp, 0) AS fp
+          FROM both_docs d LEFT JOIN fp0 f USING (doc_id))
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+        FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 3""",
         "rasterize_boxes": with_ctes(
             """SELECT CAST(xmin/10 + i AS BIGINT) AS px,
                    CAST(ymin/10 + j AS BIGINT) AS py,
@@ -1207,6 +1258,91 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.7"""
           FROM scored)
         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
         FROM ranked WHERE rank <= 5""",
-        # dedup_simhash, ann_lsh_topk, multimodal_decode: no SQL-expressible
-        # oracle (fixed-seed hash kernels / synthetic media) -> rows-only check
+        # SRP-LSH: the hyperplane components are an exact integer formula
+        # (see similarity._plane_component) evaluated identically here
+        "ann_lsh_topk": """WITH b AS (
+          SELECT vec_id,
+                 list_sum(list_transform(generate_series(0, 3), bb ->
+                   CASE WHEN list_sum(list_transform(generate_series(1, 64), i ->
+                          CAST(embedding[i] AS DOUBLE) *
+                          (CAST((bb * 64 + i) * 2654435761 % 1000003 AS DOUBLE)
+                           / 1000003.0 - 0.5))) > 0
+                        THEN CAST(power(2, bb) AS BIGINT) ELSE 0 END)) AS bucket,
+                 embedding
+          FROM embeddings),
+        q AS (SELECT vec_id AS query_id, bucket, embedding AS qv FROM b
+              WHERE vec_id % 50 = 0),
+        cand AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+                 list_cosine_similarity(CAST(q.qv AS DOUBLE[]),
+                                        CAST(c.embedding AS DOUBLE[])) AS cos
+          FROM q JOIN b c USING (bucket)
+          WHERE c.vec_id <> q.query_id),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+          FROM cand)
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+        FROM ranked WHERE rank <= 5""",
+        # IVF: coarse quantizer = the 8 lowest-id vectors; nearest-centroid
+        # assignment by squared L2 with (distance, cid) tie-break
+        "ann_ivf_topk": """WITH cent AS (
+          SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+          FROM embeddings WHERE vec_id < 8),
+        assign AS (
+          SELECT e.vec_id, c.cid,
+                 row_number() OVER (PARTITION BY e.vec_id ORDER BY
+                   list_sum(list_transform(generate_series(1, 64), i ->
+                     (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])
+                     * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]))), c.cid) AS rnk
+          FROM embeddings e CROSS JOIN cent c),
+        cb AS (SELECT vec_id, cid FROM assign WHERE rnk = 1),
+        qp AS (SELECT vec_id AS query_id, cid FROM assign
+               WHERE rnk <= 4 AND vec_id % 50 = 0),
+        cand AS (
+          SELECT DISTINCT qp.query_id, cb.vec_id AS neighbor_id
+          FROM qp JOIN cb USING (cid)
+          WHERE cb.vec_id <> qp.query_id),
+        scored AS (
+          SELECT cand.query_id, cand.neighbor_id,
+                 list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                        CAST(b2.embedding AS DOUBLE[])) AS cos
+          FROM cand
+          JOIN embeddings a ON a.vec_id = cand.query_id
+          JOIN embeddings b2 ON b2.vec_id = cand.neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cos DESC, neighbor_id) AS rank
+          FROM scored)
+        SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
+        FROM ranked WHERE rank <= 5""",
+        # multimodal_decode: the synthetic blob is repeat(sha256-hex), so
+        # the fake header parse (LE int of the first 4/next 4 ASCII byte
+        # values) and byte-histogram nonzero count are exact SQL
+        "multimodal_decode": """WITH m AS (
+          SELECT t.range AS media_id,
+                 repeat(sha256(CAST(t.range AS VARCHAR)),
+                        CAST(2 + t.range % 8 AS INT)) AS s
+          FROM range(0, 256) AS t),
+        hdr AS (
+          SELECT media_id, s,
+                 16 + (ord(substr(s, 1, 1)) + ord(substr(s, 2, 1)) * 256
+                       + ord(substr(s, 3, 1)) * 65536
+                       + ord(substr(s, 4, 1)) * 16777216) % 1024 AS width,
+                 16 + (ord(substr(s, 5, 1)) + ord(substr(s, 6, 1)) * 256
+                       + ord(substr(s, 7, 1)) * 65536
+                       + ord(substr(s, 8, 1)) * 16777216) % 1024 AS height,
+                 length(regexp_replace(s, '[^0-7]', '', 'g')) AS c6,
+                 length(regexp_replace(s, '[^89]', '', 'g')) AS c7,
+                 length(regexp_replace(s, '[^a-f]', '', 'g')) AS c12
+          FROM m)
+        SELECT media_id, CAST(width AS BIGINT) AS width,
+               CAST(height AS BIGINT) AS height,
+               CAST(32 AS BIGINT) AS feat_dim,
+               CAST((CASE WHEN c6 > 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN c7 > 0 THEN 1 ELSE 0 END)
+                  + (CASE WHEN c12 > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_nonzero
+        FROM hdr""",
     }

@@ -215,38 +215,42 @@ def minhash_lsh_pairs(
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", out_col: str = "simhash"
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens (vectorized bit-vote kernel
-    in one Arrow batch UDF; token hashing is numpy, not per-row Python)."""
-
-    @pandas_udf(LongType())
-    def _simhash(texts: pd.Series) -> pd.Series:
-        out = np.zeros(len(texts), dtype=np.int64)
-        for i, t in enumerate(texts):
-            if t is None:
-                continue
-            toks = t.lower().split()
-            if not toks:
-                continue
-            hs = np.fromiter(
-                (hash_token(tok) for tok in toks), dtype=np.uint64, count=len(toks)
-            )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(np.int32)
-            votes = bits.sum(axis=0) * 2 - len(toks)
-            fp = np.uint64(0)
-            for b in range(64):
-                if votes[b] > 0:
-                    fp |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(fp.astype(np.int64))
-        return pd.Series(out)
-
-    def hash_token(tok: str) -> int:
-        # FNV-1a 64-bit, deterministic across processes (unlike hash())
-        h = 0xCBF29CE484222325
-        for ch in tok.encode("utf-8"):
-            h = ((h ^ ch) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-        return h
-
-    return df.withColumn(out_col, _simhash(F.col(text_col)))
+    """64-bit SimHash over whitespace tokens — 100% JVM codegen, zero
+    Python: the 64-bit token hash is the first 16 hex chars of
+    ``md5(token)`` (split into two 32-bit halves via ``conv``; md5 is
+    available in every engine, so the fingerprint is oracle-
+    reproducible), bit votes are 64 ``sum((half >> b) & 1)`` aggregates
+    per doc, and the fingerprint folds the majority votes back into one
+    int64. One explode + one shuffle on ``id_col``."""
+    toks = df.select(
+        F.col(id_col).alias("_sid"),
+        F.explode(
+            F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+        ).alias("_tok"),
+    ).where(F.col("_tok") != "")
+    hexed = toks.withColumn("_h", F.md5(F.col("_tok")))
+    hexed = hexed.withColumn(
+        "_hi", F.conv(F.substring("_h", 1, 8), 16, 10).cast("long")
+    ).withColumn("_lo", F.conv(F.substring("_h", 9, 8), 16, 10).cast("long"))
+    aggs = [F.count("*").alias("_n")]
+    for b in range(32):
+        aggs.append(
+            F.sum(F.shiftright(F.col("_lo"), b).bitwiseAND(F.lit(1))).alias(f"_o{b}")
+        )
+        aggs.append(
+            F.sum(F.shiftright(F.col("_hi"), b).bitwiseAND(F.lit(1))).alias(f"_o{b + 32}")
+        )
+    votes = hexed.groupBy("_sid").agg(*aggs)
+    fp = None
+    for b in range(64):
+        bit = F.lit(-(1 << 63)) if b == 63 else F.lit(1 << b)
+        term = F.when(2 * F.col(f"_o{b}") > F.col("_n"), bit).otherwise(F.lit(0))
+        fp = term if fp is None else (fp + term)
+    fps = votes.select(F.col("_sid"), fp.cast("long").alias(out_col))
+    # docs with no tokens keep fingerprint 0
+    return df.join(
+        fps, on=df[id_col] == fps["_sid"], how="left"
+    ).drop("_sid").withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0)))
 
 
 def simhash_pairs(

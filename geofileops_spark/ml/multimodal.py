@@ -148,11 +148,14 @@ def repartition_by_bytes(df: DataFrame, target_bytes: int = 64 << 20,
 
 
 def synth_media(spark, n_rows: int, media_type: str = "image") -> DataFrame:
-    """Deterministic fake media table for tests/benchmarks."""
+    """Deterministic fake media table for tests/benchmarks. The blob is
+    ``sha256(media_id)`` hex repeated (2 + media_id % 8) times as UTF-8
+    bytes — trivially reproducible in any engine, so the decode outputs
+    (header parse + byte histogram) are oracle-checkable in plain SQL."""
     base = spark.range(n_rows).withColumnRenamed("id", "media_id")
     blob = F.sha2(F.col("media_id").cast("string"), 256).cast("binary")
     # repeat the hash to a pseudo-blob of a deterministic size
-    body = F.repeat(F.sha2(F.col("media_id").cast("string"), 512), 1 + (F.col("media_id") % 8).cast("int"))
+    body = F.repeat(F.sha2(F.col("media_id").cast("string"), 256), 1 + (F.col("media_id") % 8).cast("int"))
     df = base.withColumn("media", F.concat(blob, body.cast("binary")))
     return (
         df.withColumn("media_type", F.lit(media_type))

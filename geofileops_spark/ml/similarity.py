@@ -4,23 +4,21 @@
   broadcast (small side), the corpus streams; the dot product is a
   JVM-side ``F.zip_with`` + ``F.aggregate`` (no Python in the hot path);
   ranking is a window per query.
-- ``lsh_topk``: the scale path — sign-random-projection (SRP) buckets:
-  ``h`` fixed pseudo-random hyperplanes (deterministic from the seed, no
-  stored model), each vector keyed by its sign-bit bucket; only same-
-  bucket (plus optional multi-probe) pairs are scored. At 100 TB this
+- ``lsh_topk``: the scale path — sign-random-projection (SRP) buckets
+  from formula-derived hyperplanes (exact integer arithmetic: no stored
+  model, no Python, SQL-oracle reproducible), each vector keyed by its
+  sign-bit bucket; only same-bucket pairs are scored. At 100 TB this
   turns the quadratic scan into a bucket-equi join.
-- ``ivf_topk``: IVF-style two-stage: k-means-free variant using SRP
-  bucket centroids as the coarse quantizer (nprobe buckets per query).
+- ``ivf_topk``: IVF two-stage: a tiny coarse quantizer (pretrained
+  centroid table, or driver-sample kmeans) inlined as JVM literals;
+  map-side nearest-centroid assignment, nprobe buckets per query.
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import LongType
 
 
 def _dot(a, b):
@@ -78,29 +76,34 @@ def cosine_topk(
     )
 
 
-def _srp_udf(dim: int, nbits: int, seed: int):
-    """Sign-random-projection bucket id. Hyperplanes are regenerated
-    deterministically from (dim, nbits, seed) in every task — nothing to
-    broadcast, nothing to store."""
+def _plane_component(b: int, dim: int, i):
+    """Pseudo-random hyperplane component in [-0.5, 0.5): an integer
+    Weyl-style sequence ((b*dim + i + 1) * 2654435761 mod 1000003) /
+    1000003 - 0.5 — every product stays < 2^53 so the value is exact in
+    double arithmetic and reproducible in ANY engine (the DuckDB oracle
+    evaluates the identical formula)."""
+    idx = (F.lit(b * dim) + i + 1).cast("long")
+    return ((idx * F.lit(2654435761)) % F.lit(1000003)).cast("double") / F.lit(
+        1000003.0
+    ) - F.lit(0.5)
 
-    @pandas_udf(LongType())
-    def _bucket(vecs: pd.Series) -> pd.Series:
-        rng = np.random.RandomState(seed)
-        planes = rng.standard_normal((dim, nbits))
-        out = np.zeros(len(vecs), dtype=np.int64)
-        mat = np.zeros((len(vecs), dim))
-        ok = np.zeros(len(vecs), dtype=bool)
-        for i, v in enumerate(vecs):
-            if v is not None and len(v) == dim:
-                mat[i] = np.asarray(v, dtype=np.float64)
-                ok[i] = True
-        bits = (mat @ planes) > 0
-        vals = (bits * (1 << np.arange(nbits, dtype=np.int64))).sum(axis=1)
-        out[ok] = vals[ok]
-        out[~ok] = -1
-        return pd.Series(out)
 
-    return _bucket
+def srp_bucket_expr(vec_col, dim: int, nbits: int):
+    """Sign-random-projection bucket id — pure JVM codegen: per bit b,
+    dot(vec, plane_b) with formula-derived plane components (no stored
+    model, no Python, nothing to broadcast), bucket = sign bits packed
+    into a long."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+
+    def _proj(b: int):
+        return lambda x, i: x.cast("double") * _plane_component(b, dim, i)
+
+    bucket = F.lit(0).cast("long")
+    for b in range(nbits):
+        prods = F.transform(v, _proj(b))
+        dot = F.aggregate(prods, F.lit(0.0), lambda acc, p: acc + p)
+        bucket = bucket + F.when(dot > 0, F.lit(1 << b)).otherwise(F.lit(0))
+    return bucket
 
 
 def lsh_topk(
@@ -108,22 +111,24 @@ def lsh_topk(
     corpus: DataFrame,
     k: int = 5,
     nbits: int = 8,
-    seed: int = 42,
+    dim: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     include_self: bool = False,
 ) -> DataFrame:
     """Approximate top-k: score only same-SRP-bucket pairs.
     Recall < 1 by design; the exactness knob is ``nbits`` (fewer bits →
-    bigger buckets → higher recall, more work)."""
-    dim = len(corpus.select(vec_col).first()[0])
-    bucket = _srp_udf(dim, nbits, seed)
+    bigger buckets → higher recall, more work). Bucketing is a JVM
+    expression over deterministic formula hyperplanes, so the whole
+    pipeline is a bucket-equi join + window — and SQL-oracle checkable."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    ).withColumn("_bucket", bucket(F.col("_qv")))
+    ).withColumn("_bucket", srp_bucket_expr("_qv", dim, nbits))
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
-    ).withColumn("_bucket", bucket(F.col("_cv")))
+    ).withColumn("_bucket", srp_bucket_expr("_cv", dim, nbits))
     pairs = F.broadcast(q).join(c, "_bucket")
     if not include_self:
         pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
@@ -158,6 +163,27 @@ def _train_centroids(corpus: DataFrame, vec_col: str, n_centroids: int,
     return cent
 
 
+def nearest_centroids_expr(vec_col, cents: list, top: int):
+    """``top`` nearest centroid ids by squared L2 — pure JVM codegen:
+    one fold per centroid, argmin via sorted (distance, cid) structs.
+    ``cents``: list of (cid, vector) with the centroid payload inlined
+    as literals (the coarse quantizer is tiny by construction)."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    structs = []
+    for cid, cv in cents:
+        arr = F.array(*[F.lit(float(x)) for x in cv])
+        d = F.aggregate(
+            F.zip_with(
+                v, arr, lambda x, c: (x.cast("double") - c) * (x.cast("double") - c)
+            ),
+            F.lit(0.0),
+            lambda acc, t: acc + t,
+        )
+        structs.append(F.struct(d.alias("d"), F.lit(int(cid)).alias("cid")))
+    ranked = F.array_sort(F.array(*structs))
+    return F.transform(F.slice(ranked, 1, top), lambda s: s["cid"])
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -165,6 +191,7 @@ def ivf_topk(
     n_centroids: int = 16,
     nprobe: int = 4,
     seed: int = 42,
+    centroids: DataFrame | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     include_self: bool = False,
@@ -172,29 +199,29 @@ def ivf_topk(
     """IVF-style approximate top-k: corpus rows are bucketed by nearest
     coarse centroid; each query scores only its ``nprobe`` nearest
     centroids' buckets. The scale path when SRP buckets are too blunt:
-    recall is tunable via nprobe, work is ~nprobe/n_centroids of exact."""
-    cent = _train_centroids(corpus, vec_col, n_centroids, seed)
+    recall is tunable via nprobe, work is ~nprobe/n_centroids of exact.
 
-    def _assign_udf(top: int):
-        @pandas_udf("array<int>")
-        def _assign(vecs: pd.Series) -> pd.Series:
-            out = []
-            for v in vecs:
-                if v is None:
-                    out.append(None)
-                    continue
-                d = ((cent - np.asarray(v, dtype=np.float64)) ** 2).sum(axis=1)
-                out.append([int(i) for i in np.argsort(d)[:top]])
-            return pd.Series(out)
-
-        return _assign
+    ``centroids``: optional (id, vector) DataFrame acting as a
+    pretrained coarse quantizer (the common production IVF setup — the
+    quantizer is trained offline/sampled); when None, a deterministic
+    mini-kmeans on a bounded driver sample trains one. Either way the
+    assignment runs distributed as a JVM expression (no Python, no
+    shuffle: map-side nearest-centroid per row)."""
+    if centroids is not None:
+        rows = centroids.select(id_col, vec_col).collect()
+        cents = [(int(r[0]), list(r[1])) for r in rows if r[1] is not None]
+    else:
+        cent = _train_centroids(corpus, vec_col, n_centroids, seed)
+        cents = [(i, list(map(float, cent[i]))) for i in range(len(cent))]
 
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
-    ).withColumn("_bucket", F.element_at(_assign_udf(1)(F.col("_cv")), 1))
+    ).withColumn(
+        "_bucket", F.element_at(nearest_centroids_expr("_cv", cents, 1), 1)
+    )
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
-    ).withColumn("_bucket", F.explode(_assign_udf(nprobe)(F.col("_qv"))))
+    ).withColumn("_bucket", F.explode(nearest_centroids_expr("_qv", cents, nprobe)))
     pairs = F.broadcast(q).join(c, "_bucket")
     if not include_self:
         pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
