@@ -70,10 +70,21 @@ class _Node:
         self.processed = False
 
 
+def _pts_close(p, q) -> bool:
+    """Scalar twin of np.allclose(p, q) for 2-vectors (allclose is ~0.2ms
+    per call from Python overhead — this is the clipper's hottest check)."""
+    bx = float(q[0])
+    by = float(q[1])
+    return (
+        abs(float(p[0]) - bx) <= 1e-8 + 1e-5 * abs(bx)
+        and abs(float(p[1]) - by) <= 1e-8 + 1e-5 * abs(by)
+    )
+
+
 def _open_ring(ring: np.ndarray) -> np.ndarray:
     """Drop the closing vertex and consecutive duplicates."""
     r = np.asarray(ring, dtype=np.float64)
-    if len(r) > 1 and np.allclose(r[0], r[-1]):
+    if len(r) > 1 and _pts_close(r[0], r[-1]):
         r = r[:-1]
     if len(r) > 1:
         keep = np.ones(len(r), dtype=bool)
@@ -167,32 +178,60 @@ def _gh_clip(subj: np.ndarray, clip: np.ndarray, s_entry: bool, c_entry: bool):
     s_first = _build_list(subj)
     c_first = _build_list(clip)
 
-    # --- phase 1: find & insert intersections
-    n_inters = 0
+    # --- phase 1: find & insert intersections — ONE numpy broadcast over
+    # all (subject edge, clip edge) pairs (the former per-pair Python
+    # loop dominated every overlay kernel's runtime). Semantics mirror
+    # _seg_intersect exactly, including the degeneracy triggers.
     s_nodes = [nd for nd in _iter_ring(s_first)]
     c_nodes = [nd for nd in _iter_ring(c_first)]
-    for si, s_nd in enumerate(s_nodes):
-        s_nxt = s_nodes[(si + 1) % len(s_nodes)]
-        for ci, c_nd in enumerate(c_nodes):
-            c_nxt = c_nodes[(ci + 1) % len(c_nodes)]
-            hit = _seg_intersect(
-                (s_nd.x, s_nd.y),
-                (s_nxt.x, s_nxt.y),
-                (c_nd.x, c_nd.y),
-                (c_nxt.x, c_nxt.y),
-            )
-            if hit is None:
-                continue
-            t, u, x, y = hit
-            a = _Node(x, y, alpha=t, intersect=True)
-            b = _Node(x, y, alpha=u, intersect=True)
-            a.neighbour = b
-            b.neighbour = a
-            _insert(a, s_nd, s_nxt)
-            _insert(b, c_nd, c_nxt)
-            n_inters += 1
+    sa = np.asarray(subj, dtype=np.float64)
+    ca = np.asarray(clip, dtype=np.float64)
+    d1 = np.roll(sa, -1, axis=0) - sa  # (n,2)
+    d2 = np.roll(ca, -1, axis=0) - ca  # (m,2)
+    denom = d1[:, None, 0] * d2[None, :, 1] - d1[:, None, 1] * d2[None, :, 0]
+    ex = ca[None, :, 0] - sa[:, None, 0]
+    ey = ca[None, :, 1] - sa[:, None, 1]
+    scale = np.maximum(np.abs(d1).sum(axis=1), EPS)[:, None] * np.maximum(
+        np.abs(d2).sum(axis=1), EPS
+    )[None, :]
+    par = np.abs(denom) <= 1e-14 * scale
+    cross = ex * d1[:, None, 1] - ey * d1[:, None, 0]
+    col = par & (np.abs(cross) <= 1e-11 * scale)
+    if col.any():
+        ii, jj = np.nonzero(col)
+        L2 = np.maximum((d1[ii] * d1[ii]).sum(axis=1), EPS * EPS)
+        t0 = ((ca[jj] - sa[ii]) * d1[ii]).sum(axis=1) / L2
+        q2 = np.roll(ca, -1, axis=0)[jj]
+        t1 = ((q2 - sa[ii]) * d1[ii]).sum(axis=1) / L2
+        lo = np.minimum(t0, t1)
+        hi = np.maximum(t0, t1)
+        if ((hi > _ALPHA_TOL) & (lo < 1 - _ALPHA_TOL)).any():
+            raise _Degenerate("collinear overlap")
+    safe = np.where(par, 1.0, denom)
+    t = (ex * d2[None, :, 1] - ey * d2[None, :, 0]) / safe
+    u = cross / safe
+    tol = 1e-10
+    near_t = (np.abs(t) < tol) | (np.abs(t - 1.0) < tol)
+    near_u = (np.abs(u) < tol) | (np.abs(u - 1.0) < tol)
+    in_range = (t >= -tol) & (t <= 1 + tol) & (u >= -tol) & (u <= 1 + tol)
+    if (~par & (near_t | near_u) & in_range).any():
+        raise _Degenerate("vertex touch")
+    hits = ~par & (t > 0) & (t < 1) & (u > 0) & (u < 1) & ~near_t & ~near_u
+    n_inters = int(hits.sum())
     if n_inters == 0:
         return None
+    hi_i, hi_j = np.nonzero(hits)
+    for si, ci in zip(hi_i.tolist(), hi_j.tolist()):
+        tt = float(t[si, ci])
+        uu = float(u[si, ci])
+        x = float(sa[si, 0] + tt * d1[si, 0])
+        y = float(sa[si, 1] + tt * d1[si, 1])
+        a = _Node(x, y, alpha=tt, intersect=True)
+        b = _Node(x, y, alpha=uu, intersect=True)
+        a.neighbour = b
+        b.neighbour = a
+        _insert(a, s_nodes[si], s_nodes[(si + 1) % len(s_nodes)])
+        _insert(b, c_nodes[ci], c_nodes[(ci + 1) % len(c_nodes)])
     if n_inters % 2 == 1:
         raise _Degenerate("odd intersection count")
 
@@ -252,7 +291,7 @@ def _gh_clip(subj: np.ndarray, clip: np.ndarray, s_entry: bool, c_entry: bool):
                 # revisiting a processed intersection that's not start
                 raise _Degenerate("traversal revisit")
         arr = np.asarray(ring, dtype=np.float64)
-        if not np.allclose(arr[0], arr[-1]):
+        if not _pts_close(arr[0], arr[-1]):
             arr = np.vstack([arr, arr[:1]])
         if abs(ring_signed_area(arr)) > _MIN_AREA:
             results.append(arr)
@@ -626,6 +665,32 @@ def _weld_pair(pa: list[np.ndarray], pb: list[np.ndarray]):
 
     Returns a list of polygons, or None when the configuration is not a
     clean edge-adjacency (caller falls back to the clipper)."""
+    # cheap necessary-condition precheck (one numpy broadcast per
+    # direction): edge cancellation requires some vertex of one polygon
+    # to lie EXACTLY on the other's boundary. Without this the weld
+    # attempt pays its noding cost on every overlapping merge candidate
+    # (e.g. the buffer fallback's piece unions) just to fail.
+    def _any_vertex_on(verts: np.ndarray, ring: np.ndarray) -> bool:
+        s = ring[:-1]
+        e = ring[1:]
+        d = e - s
+        cx = (verts[:, None, 0] - s[None, :, 0]) * d[None, :, 1] - (
+            verts[:, None, 1] - s[None, :, 1]
+        ) * d[None, :, 0]
+        on_line = cx == 0.0
+        if not on_line.any():
+            return False
+        t = (verts[:, None, 0] - s[None, :, 0]) * d[None, :, 0] + (
+            verts[:, None, 1] - s[None, :, 1]
+        ) * d[None, :, 1]
+        L2 = (d * d).sum(axis=1)[None, :]
+        return bool((on_line & (t >= 0.0) & (t <= L2)).any())
+
+    va = pa[0][:-1]
+    vb = pb[0][:-1]
+    if not _any_vertex_on(va, pb[0]) and not _any_vertex_on(vb, pa[0]):
+        return None
+
     rings: list[np.ndarray] = [_ccw(pa[0]), _ccw(pb[0])]
     holes = [_cw(h) for h in pa[1:]] + [_cw(h) for h in pb[1:]]
     rings.extend(holes)  # holes CW: interior of the region still on the left
@@ -820,7 +885,7 @@ def clip_line_by_polygons(line: np.ndarray, geom: Geometry, keep_inside=True):
             seg_s = p1 + a * d
             seg_e = p1 + b * d
             if inside == keep_inside:
-                if cur and np.allclose(cur[-1], seg_s):
+                if cur and _pts_close(cur[-1], seg_s):
                     cur.append(seg_e)
                 else:
                     if len(cur) >= 2:

@@ -243,19 +243,59 @@ def geom_segments(geom: Geometry):
     return np.vstack(starts), np.vstack(ends)
 
 
+def segment_sets_cross(sa, ea, sb, eb):
+    """All segments of set A vs all of set B in ONE numpy broadcast
+    ((n, m) element-wise, no Python loop). Returns (any_proper,
+    any_touch) booleans — the hot kernel behind every polygon-pair
+    ``intersects`` refine."""
+    d1 = ea - sa  # (n,2)
+    d2 = eb - sb  # (m,2)
+    denom = d1[:, None, 0] * d2[None, :, 1] - d1[:, None, 1] * d2[None, :, 0]
+    ex = sb[None, :, 0] - sa[:, None, 0]
+    ey = sb[None, :, 1] - sa[:, None, 1]
+    t_num = ex * d2[None, :, 1] - ey * d2[None, :, 0]
+    u_num = ex * d1[:, None, 1] - ey * d1[:, None, 0]
+    scale = np.maximum(np.abs(d1).sum(axis=1), EPS)[:, None] * np.maximum(
+        np.abs(d2).sum(axis=1), EPS
+    )[None, :]
+    nz = np.abs(denom) > EPS * scale
+    safe = np.where(nz, denom, 1.0)
+    t = t_num / safe
+    u = u_num / safe
+    tol = 1e-9
+    hit = nz & (t > -tol) & (t < 1 + tol) & (u > -tol) & (u < 1 + tol)
+    proper = nz & (t > tol) & (t < 1 - tol) & (u > tol) & (u < 1 - tol)
+    any_proper = bool(proper.any())
+    any_touch = bool((hit & ~proper).any())
+    if not any_touch:
+        # collinear overlap: parallel + collinear + 1-D range overlap
+        col = ~nz & (np.abs(t_num) <= 1e-9 * scale)
+        if col.any():
+            ai, bi = np.nonzero(col)
+            L2 = np.maximum((d1[ai] * d1[ai]).sum(axis=1), EPS)
+            s0 = ((sb[bi] - sa[ai]) * d1[ai]).sum(axis=1) / L2
+            s1 = ((eb[bi] - sa[ai]) * d1[ai]).sum(axis=1) / L2
+            lo = np.minimum(s0, s1)
+            hi = np.maximum(s0, s1)
+            any_touch = bool(((hi >= -tol) & (lo <= 1 + tol)).any())
+    return any_proper, any_touch
+
+
 def any_segment_intersection(ga: Geometry, gb: Geometry):
     """(any_proper_cross, any_touch) between segment sets of two geometries."""
     sa, ea = geom_segments(ga)
     sb, eb = geom_segments(gb)
     if len(sa) == 0 or len(sb) == 0:
         return False, False
+    if len(sa) * len(sb) <= 1_000_000:
+        return segment_sets_cross(sa, ea, sb, eb)
+    # huge pair: chunk set A to bound the broadcast allocation
     any_proper = any_touch = False
-    for i in range(len(sa)):
-        proper, touching = segments_cross(sa[i], ea[i], sb, eb)
-        if proper.any():
-            any_proper = True
-        if touching.any():
-            any_touch = True
+    step = max(1, 1_000_000 // max(len(sb), 1))
+    for i in range(0, len(sa), step):
+        p, t = segment_sets_cross(sa[i : i + step], ea[i : i + step], sb, eb)
+        any_proper = any_proper or p
+        any_touch = any_touch or t
         if any_proper and any_touch:
             break
     return any_proper, any_touch

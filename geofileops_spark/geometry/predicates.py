@@ -464,6 +464,31 @@ def relate_pattern(ga: Geometry, gb: Geometry, pattern: str) -> bool:
 
 
 def intersects(ga, gb) -> bool:
+    # area×area fast path (the spatial-join hot predicate): boundary
+    # segment-sets cross (one numpy broadcast), else either disjoint or
+    # one side wholly contains the other — decided by ONE representative
+    # vertex per polygon part (no crossing => a part is entirely in or
+    # entirely out). Avoids building the full DE-9IM matrix.
+    if ga.dim() == 2 and gb.dim() == 2 and not ga.is_empty() and not gb.is_empty():
+        from .kernels import (
+            any_segment_intersection,
+            bbox_intersects,
+            bounds,
+            points_in_multipolygon,
+        )
+
+        if not bbox_intersects(bounds(ga), bounds(gb), margin=_TOL):
+            return False
+        proper, touching = any_segment_intersection(ga, gb)
+        if proper or touching:
+            return True
+        reps_a = np.asarray([rings[0][0] for rings in ga.polygons()])
+        if len(reps_a) and (points_in_multipolygon(reps_a, gb) > 0).any():
+            return True
+        reps_b = np.asarray([rings[0][0] for rings in gb.polygons()])
+        return bool(len(reps_b)) and bool(
+            (points_in_multipolygon(reps_b, ga) > 0).any()
+        )
     m = relate_matrix(ga, gb)
     return m[0] != "F" or m[1] != "F" or m[3] != "F" or m[4] != "F"
 

@@ -94,6 +94,266 @@ def _path_sausage(
     return pieces
 
 
+def _offset_ring(
+    ring_open: np.ndarray, d: float, quad_segs: int, join_style: str
+) -> np.ndarray | None:
+    """Analytic offset of one simple ring by ``d`` (the classic offset-
+    curve construction GEOS's buffer is built on): every edge shifts
+    along its right-hand normal; at vertices where the shifted edges
+    diverge an arc (round) or miter point (mitre) is inserted, where
+    they cross the offset lines are trimmed to their intersection.
+
+    Convention: the region lies on the LEFT of travel (CCW exterior, CW
+    holes), so d > 0 always grows the region and d < 0 shrinks it —
+    for both exteriors and holes with the same code.
+
+    Returns the closed offset ring, or None when the construction is not
+    locally resolvable (caller falls back to the piece-union buffer).
+    The caller must still check global self-intersection.
+    """
+    p = np.asarray(ring_open, dtype=np.float64)
+    n = len(p)
+    if n < 3:
+        return None
+    u = np.roll(p, -1, axis=0) - p  # edge vectors
+    L = np.hypot(u[:, 0], u[:, 1])
+    if (L < EPS).any():
+        return None
+    u = u / L[:, None]
+    # right-hand normal scaled by d: moves the boundary away from the
+    # region for d > 0
+    nrm = np.stack([u[:, 1], -u[:, 0]], axis=1) * d
+    up = np.roll(u, 1, axis=0)  # incoming edge direction at each vertex
+    a = p + np.roll(nrm, 1, axis=0)  # end of previous offset edge
+    b = p + nrm  # start of next offset edge
+    c = up[:, 0] * u[:, 1] - up[:, 1] * u[:, 0]
+    dotdir = (up * u).sum(axis=1)
+
+    straight = (np.abs(c) < 1e-12) & (dotdir > 0)
+    arc = (~straight) & (c * d > 0) & (join_style != "mitre")
+    trim = ~straight & ~arc
+    parallel = trim & (np.abs(c) < 1e-12)
+    trim = trim & ~parallel
+
+    # trim / miter: intersection of the two offset lines (vectorized)
+    ex = b[:, 0] - a[:, 0]
+    ey = b[:, 1] - a[:, 1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t = (ex * u[:, 1] - ey * u[:, 0]) / np.where(np.abs(c) < 1e-12, 1.0, c)
+    m = a + t[:, None] * up
+
+    # arcs: ragged vectorization (one concatenated angle array)
+    two_pi = 2.0 * np.pi
+    ang_a = np.arctan2(a[:, 1] - p[:, 1], a[:, 0] - p[:, 0])
+    ang_b = np.arctan2(b[:, 1] - p[:, 1], b[:, 0] - p[:, 0])
+    if d > 0:
+        ang_b = np.where(arc & (ang_b < ang_a), ang_b + two_pi, ang_b)
+    else:
+        ang_b = np.where(arc & (ang_b > ang_a), ang_b - two_pi, ang_b)
+    span = np.abs(ang_b - ang_a)
+    steps = np.where(
+        arc, np.maximum(1, np.ceil(quad_segs * span / (np.pi / 2)).astype(np.int64)), 0
+    )
+
+    counts = np.where(straight, 1, np.where(arc, steps + 1, np.where(parallel, 2, 1)))
+    offsets = np.concatenate([[0], np.cumsum(counts)])
+    total = int(offsets[-1])
+    out = np.empty((total, 2), dtype=np.float64)
+    # single-point entries (straight -> a, trim -> m)
+    onep = straight | trim
+    out[offsets[:-1][onep]] = np.where(straight[onep, None], a[onep], m[onep])
+    # parallel fallback: a then b
+    if parallel.any():
+        po = offsets[:-1][parallel]
+        out[po] = a[parallel]
+        out[po + 1] = b[parallel]
+    if arc.any():
+        ai = np.nonzero(arc)[0]
+        st = steps[ai]
+        reps = st + 1
+        vid = np.repeat(ai, reps)
+        base = np.repeat(offsets[:-1][ai], reps)
+        within = np.arange(len(vid)) - np.repeat(
+            np.concatenate([[0], np.cumsum(reps)])[:-1], reps
+        )
+        frac = within / np.repeat(st, reps)
+        angs = ang_a[vid] + frac * (ang_b[vid] - ang_a[vid])
+        out[base + within, 0] = p[vid, 0] + abs(d) * np.cos(angs)
+        out[base + within, 1] = p[vid, 1] + abs(d) * np.sin(angs)
+    if total < 3:
+        return None
+    return np.vstack([out, out[:1]])
+
+
+def _proper_cross_matrix(closed_ring: np.ndarray) -> np.ndarray:
+    """(m, m) matrix of proper segment crossings of a ring with itself."""
+    s = closed_ring[:-1]
+    e = closed_ring[1:]
+    d = e - s
+    denom = d[:, None, 0] * d[None, :, 1] - d[:, None, 1] * d[None, :, 0]
+    ex = s[None, :, 0] - s[:, None, 0]
+    ey = s[None, :, 1] - s[:, None, 1]
+    scale = np.maximum(np.abs(d).sum(axis=1), EPS)[:, None] * np.maximum(
+        np.abs(d).sum(axis=1), EPS
+    )[None, :]
+    nz = np.abs(denom) > EPS * scale
+    safe = np.where(nz, denom, 1.0)
+    t = (ex * d[None, :, 1] - ey * d[None, :, 0]) / safe
+    u = (ex * d[:, None, 1] - ey * d[:, None, 0]) / safe
+    tol = 1e-9
+    return nz & (t > tol) & (t < 1 - tol) & (u > tol) & (u < 1 - tol)
+
+
+def _ring_is_simple(closed_ring: np.ndarray) -> bool:
+    if (len(closed_ring) - 1) ** 2 > 4_000_000:
+        return False  # too big to check cheaply: let caller fall back
+    return not _proper_cross_matrix(closed_ring).any()
+
+
+def _excise_loops(closed_ring: np.ndarray, max_frac: float = 0.2):
+    """Remove local self-intersection loops from an offset ring (the
+    spike artifacts trimming produces at short-edged reflex corners):
+    repeatedly find the tightest proper crossing (i, j), replace the
+    sub-path i+1..j with the crossing point. Bails (None) when the
+    excised loops amount to more than ``max_frac`` of the ring area —
+    that is a genuine topology change (split/collapse), not an artifact.
+    """
+    ring = closed_ring
+    total = abs(ring_signed_area(ring))
+    removed = 0.0
+    for _ in range(64):
+        if (len(ring) - 1) ** 2 > 4_000_000:
+            return None
+        cross = _proper_cross_matrix(ring)
+        ii, jj = np.nonzero(cross)
+        if len(ii) == 0:
+            return ring if removed <= max_frac * max(total, 1e-300) else None
+        up = ii < jj
+        ii, jj = ii[up], jj[up]
+        k = int(np.argmin(jj - ii))
+        i, j = int(ii[k]), int(jj[k])
+        s = ring[:-1]
+        e = ring[1:]
+        d1 = e[i] - s[i]
+        d2 = e[j] - s[j]
+        denom = d1[0] * d2[1] - d1[1] * d2[0]
+        t = ((s[j][0] - s[i][0]) * d2[1] - (s[j][1] - s[i][1]) * d2[0]) / denom
+        x = s[i] + t * d1
+        loop = np.vstack([ring[i + 1 : j + 1], x[None, :], ring[i + 1 : i + 2]])
+        rest = np.vstack([ring[: i + 1], x[None, :], ring[j + 1 :]])
+        a_loop = abs(ring_signed_area(loop))
+        a_rest = abs(ring_signed_area(rest))
+        # keep whichever side carries the area (a single crossing makes a
+        # figure-eight: the artifact is the SMALLER lobe, not always the
+        # excised index range)
+        if a_loop > a_rest:
+            removed += a_rest
+            ring = loop
+        else:
+            removed += a_loop
+            ring = rest
+        if len(ring) < 4:
+            return None
+    return None
+
+
+def _buffer_polygon_fast(
+    rings: list[np.ndarray], d: float, quad_segs: int, join_style: str
+):
+    """Offset-curve buffer of one polygon (list of closed rings, exterior
+    first). Returns list of polygons ([] = vanished), or None to request
+    the exact-but-slow piece-union fallback."""
+    from .kernels import points_to_segments_dist
+
+    ext = rings[0]
+    if ring_signed_area(ext) < 0:
+        ext = ext[::-1].copy()
+    a_in = ring_signed_area(ext)
+    open_ext = _dedup_ring(ext)
+    off = _offset_ring(open_ext, d, quad_segs, join_style)
+    if off is None:
+        return None
+    if not _ring_is_simple(off):
+        off = _excise_loops(off)
+        if off is None:
+            return None
+    a_out = ring_signed_area(off)
+    if d < 0 and a_out <= _min_area_tol(a_in):
+        return []  # fully eroded
+    if a_out <= 0 or (d > 0 and a_out < a_in) or (d < 0 and a_out > a_in):
+        return None
+    # distance guard: every offset vertex must sit >= |d| from the source
+    # boundary (catches "phantom" rings the trim construction can emit
+    # when |d| exceeds the local feature size, e.g. erosion past the
+    # inradius leaving a small inverted-but-CCW ring)
+    seg_s = open_ext
+    seg_e = np.roll(open_ext, -1, axis=0)
+    dist = points_to_segments_dist(off[:-1], seg_s, seg_e)
+    if (dist < abs(d) * _arc_tol(quad_segs, join_style) - 1e-9).any():
+        return None
+    new_rings = [off]
+    for hole in rings[1:]:
+        h = hole
+        if ring_signed_area(h) > 0:
+            h = h[::-1].copy()  # holes CW: region on the left of travel
+        ha_in = ring_signed_area(h)  # negative
+        open_h = _dedup_ring(h)
+        oh = _offset_ring(open_h, d, quad_segs, join_style)
+        if oh is None:
+            return None
+        ha_out = ring_signed_area(oh)
+        if d > 0 and ha_out >= -_MIN_HOLE:
+            continue  # hole closed up
+        if not _ring_is_simple(oh):
+            oh = _excise_loops(oh)
+            if oh is None:
+                return None
+            ha_out = ring_signed_area(oh)
+            if d > 0 and ha_out >= -_MIN_HOLE:
+                continue
+        if (d > 0 and ha_out < ha_in) or (d < 0 and ha_out > ha_in):
+            return None
+        hd = points_to_segments_dist(
+            oh[:-1], open_h, np.roll(open_h, -1, axis=0)
+        )
+        if (hd < abs(d) * _arc_tol(quad_segs, join_style) - 1e-9).any():
+            return None
+        new_rings.append(oh)
+    return [new_rings]
+
+
+_MIN_HOLE = 1e-12
+
+
+def _arc_tol(quad_segs: int, join_style: str) -> float:
+    """Distance-guard slack: arc CHORDS sit inside the true offset circle
+    by the sagitta (and chord-chord excision points up to ~4x that) —
+    legitimate discretization, not a phantom (phantoms violate by the
+    feature-size overshoot, orders of magnitude more)."""
+    if join_style == "mitre":
+        return 1.0 - 1e-6
+    sagitta = 1.0 - np.cos(np.pi / (4.0 * max(quad_segs, 1)))
+    return 1.0 - 4.0 * sagitta - 1e-6
+
+
+def _min_area_tol(a_in: float) -> float:
+    return max(1e-12, 1e-12 * abs(a_in))
+
+
+def _dedup_ring(closed: np.ndarray) -> np.ndarray:
+    """Open the ring and drop consecutive (near-)duplicate vertices."""
+    r = closed[:-1] if len(closed) > 1 and np.array_equal(closed[0], closed[-1]) else closed
+    if len(r) > 1:
+        keep = np.ones(len(r), dtype=bool)
+        keep[1:] = np.abs(np.diff(r, axis=0)).sum(axis=1) > 1e-12
+        if not keep[0]:
+            keep[0] = True
+        r = r[keep]
+        if len(r) > 1 and np.abs(r[0] - r[-1]).sum() <= 1e-12:
+            r = r[:-1]
+    return r
+
+
 def buffer_geom(
     geom: Geometry,
     distance: float,
@@ -116,6 +376,20 @@ def buffer_geom(
         polys = _geom_to_mp(geom)
         if not polys:
             return Geometry.empty(MULTIPOLYGON)
+        # analytic offset fast path (hole-free parts): ~100x cheaper than
+        # the sausage-difference construction below
+        fast: list | None = []
+        for rings in polys:
+            if len(rings) > 1:
+                fast = None
+                break
+            r = _buffer_polygon_fast(rings, -d, quad_segs, join_style)
+            if r is None:
+                fast = None
+                break
+            fast.extend(r)
+        if fast is not None:
+            return _mp_to_geom(fast)
         # erosion: P minus a sausage around its boundary rings
         pieces: list[np.ndarray] = []
         for rings in polys:
@@ -130,6 +404,22 @@ def buffer_geom(
         return _mp_to_geom(eroded)
 
     d = float(distance)
+    # purely-polygonal input: analytic offset fast path per part, then a
+    # (rarely needed) union of grown parts that now overlap
+    if geom.dim() == 2:
+        base0 = _geom_to_mp(geom)
+        fast2: list | None = []
+        for rings in base0:
+            r = _buffer_polygon_fast(rings, d, quad_segs, join_style)
+            if r is None:
+                fast2 = None
+                break
+            fast2.extend(r)
+        if fast2 is not None:
+            if len(fast2) > 1:
+                fast2 = union_all_polys(fast2)
+            return _mp_to_geom(fast2)
+
     pieces = []
     # points -> discs
     pts = geom.points()

@@ -124,6 +124,10 @@ def with_cover(
             {"minx": minx, "miny": miny, "maxx": maxx, "maxy": maxy, "cells": cells_col}
         )
 
+    # nondeterministic marking stops Catalyst's InferFiltersFromGenerate /
+    # filter-pushdown from DUPLICATING the UDF (measured: the cover ran
+    # twice per side, doubling the dominant Python cost of every join)
+    _cover = _cover.asNondeterministic()
     df = df.withColumn("_cov", _cover(F.col(geom_col)))
     df = (
         df.withColumn("_minx", F.col("_cov.minx"))

@@ -204,7 +204,7 @@ def dissolve(
         def _cell_udf(wkb: pd.Series) -> pd.Series:
             return _cell_of_bbox_center(wkb, r)
 
-        return _cell_udf
+        return _cell_udf.asNondeterministic()
 
     def _max_pieces_per_group(mdf: DataFrame) -> int:
         # measures the per-cell PARTIAL RESULT (one row per (group,

@@ -137,6 +137,9 @@ def _inters_area_udf(wkb1: pd.Series, wkb2: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="float64")
 
 
+_inters_area_udf = _inters_area_udf.asNondeterministic()
+
+
 @pandas_udf(DoubleType())
 def _distance_udf(wkb1: pd.Series, wkb2: pd.Series) -> pd.Series:
     # vectorized fast path: point-point batches (the kNN hot path)
@@ -154,6 +157,9 @@ def _distance_udf(wkb1: pd.Series, wkb2: pd.Series) -> pd.Series:
         else:
             out.append(K.distance(load(bytes(b1)), load(bytes(b2))))
     return pd.Series(out, dtype="float64")
+
+
+_distance_udf = _distance_udf.asNondeterministic()
 
 
 # -------------------------------------------------------------- equi join
@@ -325,6 +331,7 @@ def join_points_in_polygons(
             return pd.Series(out)
 
         ids_arr = F.array(*[F.lit(pid) for pid, _ in payload])
+        _matchbits = _matchbits.asNondeterministic()
         out = points.withColumn("_bits", _matchbits(F.col(x_col), F.col(y_col)))
         out = out.where(F.col("_bits") != 0)
         idxs = F.array_compact(
@@ -368,6 +375,7 @@ def join_points_in_polygons(
                 hit_lists[i].append(pid)
         return pd.Series([h if h else None for h in hit_lists])
 
+    _match = _match.asNondeterministic()
     out = points.withColumn("_hits", _match(F.col(x_col), F.col(y_col)))
     out = out.where(F.col("_hits").isNotNull())
     return out.withColumn(poly_id_col, F.explode("_hits")).drop("_hits")
@@ -629,7 +637,8 @@ def delete_duplicate_geometries(
         return pd.Series(out)
 
     # hash JVM-side (xxhash64) over the normalized WKB
-    tagged = df.withColumn("_gh", F.xxhash64(_normwkb(F.col(geom_col))))
+    _normwkb_nd = _normwkb.asNondeterministic()
+    tagged = df.withColumn("_gh", F.xxhash64(_normwkb_nd(F.col(geom_col))))
     # tiebreak by a deterministic whole-row hash, NOT
     # monotonically_increasing_id: task retries must keep the SAME row
     # (downstream checkpoint fingerprints assume hash-stable reruns)

@@ -85,6 +85,10 @@ def _pair_intersection_udf(wkb1: pd.Series, wkb2: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
+# see _combine_vs_union_udf: prevent double evaluation by the optimizer
+_pair_intersection_udf = _pair_intersection_udf.asNondeterministic()
+
+
 def _combine_vs_union_udf(mode: str):
     """(g1, array<g2>) -> g1 <op> union_all(g2s); None when empty.
 
@@ -116,7 +120,9 @@ def _combine_vs_union_udf(mode: str):
             out.append(None if res.is_empty() else W.dumps(res.force_multi()))
         return pd.Series(out)
 
-    return _combine
+    # nondeterministic: stop Catalyst duplicating the kernel into both a
+    # Filter and a Project (it would run the Python op twice per row)
+    return _combine.asNondeterministic()
 
 
 def _postprocess(
@@ -183,7 +189,7 @@ def _union_parts_udf():
             out.append(None if merged.is_empty() else W.dumps(merged.force_multi()))
         return pd.Series(out)
 
-    return _u
+    return _u.asNondeterministic()
 
 
 def intersection(
@@ -210,8 +216,11 @@ def intersection(
     s2 = subdivide_layer(df2, subdivide_coords, geom_col) if sub else df2
     pairs, _ = candidate_pairs(s1, s2, res=res, geom_col1=geom_col, geom_col2=geom_col)
     g1, g2 = f"l1_{geom_col}", f"l2_{geom_col}"
-    matched = pairs.where(query_match_udf(_INTERSECTS)(F.col(g1), F.col(g2)))
-    out = matched.withColumn(geom_col, _pair_intersection_udf(F.col(g1), F.col(g2)))
+    # no separate `intersects` refine: the intersection kernel itself
+    # yields NULL for non-intersecting candidates (running the predicate
+    # first would pay the polygon-pair Python cost twice)
+    out = pairs.withColumn(geom_col, _pair_intersection_udf(F.col(g1), F.col(g2)))
+    out = out.where(F.col(geom_col).isNotNull())
     out = drop_helper_columns(out).drop(g1, g2)
     if sub:
         out = out.where(F.col(geom_col).isNotNull())

@@ -1,0 +1,117 @@
+"""Synthetic parcel layers — the reference-comparable polygon workload.
+
+The reference's published benchmark numbers are all measured on the
+Flanders agricultural-parcel layers (~515k / ~521k irregular polygons,
+``/root/reference/benchmark/results/benchmark_results.csv:76-96``).
+This module synthesizes a workload of the same SHAPE so buffer /
+dissolve / intersection / join_by_location can be benchmarked at the
+same row count with reference-hard geometry:
+
+- one concave "parcel" per grid cell: a star-shaped polygon around the
+  jittered cell centre with 10..40 vertices and per-vertex radius noise
+  (deterministic integer hashing — no RNG state, same output at any
+  partitioning);
+- ``layer=1`` is the same grid shifted by half a cell, so every parcel
+  overlaps ~4 parcels of layer 0 — the all-pairs-local join/overlay
+  pattern of two national parcel registrations;
+- a ``grp`` column groups parcels into 16x16-cell blocks
+  ("municipalities") for dissolve groupby.
+
+Generation is distributed (mapInPandas over ``spark.range``) and is NOT
+part of any timed benchmark — bench.py materializes the layers to
+parquet once, like the reference pre-builds its input GeoPackage.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from ..geometry import geom as G
+from ..geometry import wkb as W
+
+PARCEL_SCHEMA = StructType(
+    [
+        StructField("fid", LongType()),
+        StructField("grp", LongType()),
+        StructField("geom_wkb", BinaryType()),
+    ]
+)
+
+
+def _u01(ids: np.ndarray, salt: int) -> np.ndarray:
+    """Deterministic uniform [0,1) from int64 ids (splitmix-style)."""
+    x = (ids.astype(np.uint64) + np.uint64(salt)) * np.uint64(0x9E3779B97F4A7C15)
+    x ^= x >> np.uint64(29)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(32)
+    return (x >> np.uint64(11)).astype(np.float64) / float(1 << 53)
+
+
+def synth_parcels(
+    spark: SparkSession,
+    n_rows: int,
+    layer: int = 0,
+    spacing: float = 100.0,
+    partitions: int = 64,
+) -> DataFrame:
+    grid_w = int(np.ceil(np.sqrt(n_rows)))
+    half = spacing / 2.0
+
+    def _gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy(np.int64)
+            gx = ids % grid_w
+            gy = ids // grid_w
+            cx = gx * spacing + half + (_u01(ids, 11 + layer) - 0.5) * 0.3 * spacing
+            cy = gy * spacing + half + (_u01(ids, 23 + layer) - 0.5) * 0.3 * spacing
+            if layer == 1:
+                cx = cx + half
+                cy = cy + half
+            nv = (10 + (_u01(ids, 37 + layer) * 31).astype(np.int64)).astype(int)
+            blobs = []
+            for r in range(len(ids)):
+                k = nv[r]
+                j = np.arange(k, dtype=np.int64)
+                theta = 2.0 * np.pi * j / k
+                radius = half * (0.55 + 0.40 * _u01(ids[r] * 64 + j, 57 + layer))
+                xs = cx[r] + radius * np.cos(theta)
+                ys = cy[r] + radius * np.sin(theta)
+                ring = np.empty((k + 1, 2), dtype=np.float64)
+                ring[:k, 0] = xs
+                ring[:k, 1] = ys
+                ring[k] = ring[0]
+                blobs.append(W.dumps(G.Geometry(G.POLYGON, [ring])))
+            yield pd.DataFrame(
+                {
+                    "fid": ids,
+                    "grp": (gx // 16) * 4096 + gy // 16,
+                    "geom_wkb": blobs,
+                }
+            )
+
+    return (
+        spark.range(n_rows)
+        .repartition(partitions)
+        .mapInPandas(_gen, schema=PARCEL_SCHEMA)
+    )
+
+
+def materialize_parcels(
+    spark: SparkSession, n_rows: int, layer: int, path: str, partitions: int = 64
+) -> str:
+    """Write the layer to parquet once (cached across bench runs)."""
+    import os
+
+    if not os.path.exists(path):
+        synth_parcels(spark, n_rows, layer, partitions=partitions).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
