@@ -36,7 +36,7 @@ def entry(spark: SparkSession) -> DataFrame:
     pages = pages_from_documents(spark, sf)
     pts = extract_points(pages, res=12)
     zones = geo_zones(spark, sf)
-    joined = join_by_location(pts, zones, "intersects is True", res=20)
+    joined = join_by_location(pts, zones, "intersects is True", res=20, broadcast_right=True)
     return (
         joined.groupBy(F.col("l2_fid").alias("zone_fid"), F.col("l2_naam").alias("zone"))
         .agg(F.count("*").alias("n_pages"))
@@ -442,7 +442,10 @@ def _q_pages_pip(spark, sf_dir):
     from geofileops_spark.sources.tpch_geo import geo_zones, pages_from_documents
 
     pts = extract_points(pages_from_documents(spark, sf_dir), res=12)
-    out = join_by_location(pts, geo_zones(spark, sf_dir), "intersects is True", res=20)
+    out = join_by_location(
+        pts, geo_zones(spark, sf_dir), "intersects is True", res=20,
+        broadcast_right=True,
+    )
     return out.select(
         F.col("l1_url").alias("url"),
         F.col("l2_fid").alias("zone_fid"),

@@ -58,11 +58,16 @@ class Geometry:
     """Tagged geometry value: ``typ`` is a WKB type code, ``data`` the
     representation documented in the module docstring."""
 
-    __slots__ = ("typ", "data")
+    # _segs_cache/_bounds_cache: per-instance memo slots for the hot
+    # kernels (segment arrays / bbox) — decoded geometries are reused
+    # across many candidate pairs by the refine UDF's cache
+    __slots__ = ("typ", "data", "_segs_cache", "_bounds_cache")
 
     def __init__(self, typ: int, data):
         self.typ = typ
         self.data = data
+        self._segs_cache = None
+        self._bounds_cache = None
 
     # ---------------------------------------------------------------- basics
     def is_empty(self) -> bool:

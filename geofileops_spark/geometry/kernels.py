@@ -28,17 +28,26 @@ EPS = 1e-12
 
 # -------------------------------------------------------------------- bounds
 def bounds(geom: Geometry) -> tuple[float, float, float, float]:
-    """(minx, miny, maxx, maxy); NaNs for empty."""
+    """(minx, miny, maxx, maxy); NaNs for empty. Memoized per instance."""
+    cached = getattr(geom, "_bounds_cache", None)
+    if cached is not None:
+        return cached
     c = geom.coords()
     c = c[~np.isnan(c[:, 0])]
     if len(c) == 0:
-        return (np.nan, np.nan, np.nan, np.nan)
-    return (
-        float(c[:, 0].min()),
-        float(c[:, 1].min()),
-        float(c[:, 0].max()),
-        float(c[:, 1].max()),
-    )
+        out = (np.nan, np.nan, np.nan, np.nan)
+    else:
+        out = (
+            float(c[:, 0].min()),
+            float(c[:, 1].min()),
+            float(c[:, 0].max()),
+            float(c[:, 1].max()),
+        )
+    try:
+        geom._bounds_cache = out
+    except AttributeError:
+        pass
+    return out
 
 
 def bbox_intersects(b1, b2, margin: float = 0.0) -> bool:
@@ -227,7 +236,13 @@ def path_segments(arr: np.ndarray):
 
 
 def geom_segments(geom: Geometry):
-    """All boundary/line segments of a geometry as (starts, ends)."""
+    """All boundary/line segments of a geometry as (starts, ends).
+    Memoized on the Geometry instance: the pair-refine UDF's geometry
+    cache reuses decoded objects across candidate pairs, so each
+    geometry's segment arrays are built once per task, not per pair."""
+    cached = getattr(geom, "_segs_cache", None)
+    if cached is not None:
+        return cached
     starts, ends = [], []
     for ls in geom.lines():
         s, e = path_segments(ls)
@@ -239,8 +254,14 @@ def geom_segments(geom: Geometry):
             starts.append(s)
             ends.append(e)
     if not starts:
-        return np.empty((0, 2)), np.empty((0, 2))
-    return np.vstack(starts), np.vstack(ends)
+        out = (np.empty((0, 2)), np.empty((0, 2)))
+    else:
+        out = (np.vstack(starts), np.vstack(ends))
+    try:
+        geom._segs_cache = out
+    except AttributeError:
+        pass
+    return out
 
 
 def segment_sets_cross(sa, ea, sb, eb):

@@ -279,17 +279,48 @@ def candidate_pairs(
     adaptive: bool = False,
     hot_threshold: int = 100_000,
     split_levels: int = 3,
+    light_ids: tuple[str, str] | None = None,
 ) -> tuple[DataFrame, int]:
     """Candidate pairs whose bboxes overlap (within ``bbox_margin``).
 
     Output columns: every column of df1 prefixed ``l1_``, every column of
     df2 prefixed ``l2_`` (bbox helper columns ``{p}_minx``.. retained for
     downstream refine). Returns (pairs, res).
+
+    ``light_ids=(id1, id2)`` (both columns ROW-UNIQUE in their layer)
+    enables the payload-light plan: only (id, bbox, cell) flows through
+    the cover explode + cell shuffle — the geometry blob and attribute
+    payload of each side is attached AFTER pair dedup by one equi-join
+    per side on the unshuffled base table. With a cover factor of k and
+    payload of p bytes/row this shuffles k*40 + p bytes per row instead
+    of k*p — the difference between a ~40 MB and a ~1.3 GB shuffle per
+    100k parcels, and the only shape that survives 100 TB.
     """
     if res is None:
         res = pick_join_res(df1, df2, geom_col1, geom_col2)
-    c1 = with_cover(df1, res, geom_col1)
-    c2 = with_cover(df2, res, geom_col2)
+    import os
+
+    light = (
+        light_ids is not None
+        and not adaptive
+        and not broadcast_right  # broadcast path streams df1 shuffle-free
+        and light_ids[0] in df1.columns
+        and light_ids[1] in df2.columns
+        # default OFF in this single-node sandbox: shuffle lands on tmpfs,
+        # so replicating payloads through the cover explode (3.4 GB at
+        # 500k parcels) measures FASTER than the two extra join barriers
+        # of the light plan (101 s vs 138 s). On a real cluster shuffle
+        # crosses the network and the payload-light plan wins — flip
+        # GFO_LIGHT_PAIRS=1 there.
+        and os.environ.get("GFO_LIGHT_PAIRS", "0") == "1"
+    )
+    if light:
+        id1, id2 = light_ids
+        c1 = with_cover(df1.select(id1, geom_col1), res, geom_col1).drop(geom_col1)
+        c2 = with_cover(df2.select(id2, geom_col2), res, geom_col2).drop(geom_col2)
+    else:
+        c1 = with_cover(df1, res, geom_col1)
+        c2 = with_cover(df2, res, geom_col2)
     hot: list[int] = []
     fine_res = res
     if adaptive:
@@ -307,10 +338,20 @@ def candidate_pairs(
         # not possible, so margin>0 callers should pre-buffer bboxes; the
         # ring-expansion join in join_nearest handles distance joins.
         raise NotImplementedError("use ring-expansion join for distance joins")
-    right = e2
     if broadcast_right:
         right = F.broadcast(e2)
-    joined = e1.join(right, e1[f"{prefix1}_cell"] == right[f"{prefix2}_cell"])
+        joined = e1.join(right, e1[f"{prefix1}_cell"] == right[f"{prefix2}_cell"])
+    else:
+        # force a SHUFFLED hash join: Catalyst cannot size the cover
+        # UDF + explode output (it reuses the scan estimate), so it
+        # happily broadcasts a multi-hundred-MB exploded polygon side —
+        # a serial build that flatlines the whole join (measured: the
+        # 100k-parcel join ran at the same speed on 4 and 32 cores).
+        # Callers with a genuinely small side pass broadcast_right=True.
+        right = e2
+        joined = e1.hint("shuffle_hash").join(
+            right, e1[f"{prefix1}_cell"] == right[f"{prefix2}_cell"]
+        )
     # bbox overlap test (cheap prefilter)
     joined = joined.where(
         (F.col(f"{prefix1}_minx") <= F.col(f"{prefix2}_maxx"))
@@ -331,7 +372,15 @@ def candidate_pairs(
             F.array_contains(hot_lit, ref_cell), cell_expr(rx, ry, fine_res)
         ).otherwise(ref_cell)
     joined = joined.where(F.col(f"{prefix1}_cell") == ref_cell)
-    return joined.drop(f"{prefix2}_cell"), res
+    joined = joined.drop(f"{prefix2}_cell")
+    if light:
+        # attach the payloads (geometry + attributes) by id — the base
+        # tables shuffle once, un-exploded
+        full1 = prefix_columns(df1, prefix1)
+        full2 = prefix_columns(df2, prefix2)
+        joined = joined.join(full1.hint("shuffle_hash"), on=f"{prefix1}{light_ids[0]}")
+        joined = joined.join(full2.hint("shuffle_hash"), on=f"{prefix2}{light_ids[1]}")
+    return joined, res
 
 
 def drop_helper_columns(df: DataFrame) -> DataFrame:

@@ -204,7 +204,7 @@ def join_by_location(
     sq = SpatialQuery(spatial_relations_query).avoid_disjoint()
     pairs, res = candidate_pairs(
         df1, df2, res=res, geom_col1=geom_col, geom_col2=geom_col,
-        broadcast_right=broadcast_right,
+        broadcast_right=broadcast_right, light_ids=(id_col, id_col),
     )
     g1, g2 = f"l1_{geom_col}", f"l2_{geom_col}"
     matched = pairs.where(query_match_udf(sq)(F.col(g1), F.col(g2)))
@@ -397,7 +397,8 @@ def export_by_location(
     disjoint De-Morgan branch at ``:1617-1630``)."""
     sq = SpatialQuery(spatial_relations_query)
     pairs, res = candidate_pairs(
-        df1, df2, res=res, geom_col1=geom_col, geom_col2=geom_col
+        df1, df2, res=res, geom_col1=geom_col, geom_col2=geom_col,
+        light_ids=(id_col, id_col),
     )
     g1, g2 = f"l1_{geom_col}", f"l2_{geom_col}"
 
@@ -503,7 +504,9 @@ def export_by_distance(
         .drop("l2__cell")
         .withColumnRenamed("_ring", "l2__cell")
     )
-    cand = e1.join(e2, F.col("l1__cell") == F.col("l2__cell")).where(
+    cand = e1.hint("shuffle_hash").join(
+        e2, F.col("l1__cell") == F.col("l2__cell")
+    ).where(
         (F.col("l1__minx") <= F.col("l2__maxx") + max_distance)
         & (F.col("l2__minx") <= F.col("l1__maxx") + max_distance)
         & (F.col("l1__miny") <= F.col("l2__maxy") + max_distance)
@@ -577,7 +580,9 @@ def join_nearest(
                 ring_cells_expr(F.col("_cx"), F.col("_cy"), res, k_ring)
             ),
         )
-        cand = r1.join(e2, "_cell").dropDuplicates([f"l1_{id_col}", f"l2_{id_col}"])
+        cand = r1.hint("shuffle_hash").join(e2, "_cell").dropDuplicates(
+            [f"l1_{id_col}", f"l2_{id_col}"]
+        )
         cand = cand.withColumn(
             "distance",
             _distance_udf(F.col(f"l1_{geom_col}"), F.col(f"l2_{geom_col}")),

@@ -214,7 +214,10 @@ def intersection(
     sub = subdivide_coords is not None
     s1 = subdivide_layer(df1, subdivide_coords, geom_col) if sub else df1
     s2 = subdivide_layer(df2, subdivide_coords, geom_col) if sub else df2
-    pairs, _ = candidate_pairs(s1, s2, res=res, geom_col1=geom_col, geom_col2=geom_col)
+    pairs, _ = candidate_pairs(
+        s1, s2, res=res, geom_col1=geom_col, geom_col2=geom_col,
+        light_ids=None if sub else (id_col, id_col),
+    )
     g1, g2 = f"l1_{geom_col}", f"l2_{geom_col}"
     # no separate `intersects` refine: the intersection kernel itself
     # yields NULL for non-intersecting candidates (running the predicate
@@ -241,7 +244,10 @@ def _collect_candidates(
     id_col: str,
 ) -> DataFrame:
     """(l1_id, collect_list(l2 geom)) for exactly-intersecting candidates."""
-    pairs, _ = candidate_pairs(df1, df2, res=res, geom_col1=geom_col, geom_col2=geom_col)
+    pairs, _ = candidate_pairs(
+        df1, df2, res=res, geom_col1=geom_col, geom_col2=geom_col,
+        light_ids=(id_col, id_col),
+    )
     g1, g2 = f"l1_{geom_col}", f"l2_{geom_col}"
     matched = pairs.where(query_match_udf(_INTERSECTS)(F.col(g1), F.col(g2)))
     return matched.groupBy(F.col(f"l1_{id_col}").alias(id_col)).agg(

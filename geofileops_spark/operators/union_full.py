@@ -68,7 +68,10 @@ def _interior_point_udf(wkb: pd.Series) -> pd.Series:
 def _overlap_pairs(cur: DataFrame, geom_col: str, res: int | None) -> DataFrame:
     """Candidate self-pairs (id1 != id2) whose interiors overlap (area>0
     intersection), as l1_/l2_ prefixed rows."""
-    pairs, _ = candidate_pairs(cur, cur, res=res, geom_col1=geom_col, geom_col2=geom_col)
+    pairs, _ = candidate_pairs(
+        cur, cur, res=res, geom_col1=geom_col, geom_col2=geom_col,
+        light_ids=("_uid", "_uid"),
+    )
     pairs = pairs.where(F.col("l1__uid") != F.col("l2__uid"))
     g1, g2 = f"l1_{geom_col}", f"l2_{geom_col}"
 
