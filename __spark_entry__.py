@@ -308,6 +308,56 @@ def _q_simplify(spark, sf_dir):
     )
 
 
+def _q_simplify_lang(spark, sf_dir):
+    from geofileops_spark.functions.st import st_length, st_npoints, st_simplify
+    from geofileops_spark.sources import tpch_geo as T
+
+    out = T.zigzag_lines(spark, sf_dir).withColumn(
+        "simp", st_simplify(F.col("geom_wkb"), 0.5, algorithm="lang")
+    )
+    return out.select(
+        "fid",
+        st_npoints(F.col("simp")).cast("long").alias("npoints"),
+        _bigint(st_length(F.col("simp"))).alias("length"),
+    )
+
+
+def _q_gfo_split(spark, sf_dir):
+    """Split the side-10 squares by a full-crossing vertical blade at
+    x = xmin + 3 -> exactly two parts of areas 30 and 70 (integer-exact)."""
+    from geofileops_spark.functions.st import (
+        st_area,
+        st_geomfromtext,
+        st_parts,
+        st_split,
+    )
+    from geofileops_spark.sources import tpch_geo as T
+
+    n = T.load(spark, sf_dir, "nation")
+    i = F.col("n_nationkey").cast("long")
+    x0 = (i * 40).cast("double")
+    sq = F.concat(
+        F.lit("POLYGON (("),
+        x0.cast("string"), F.lit(" 0, "),
+        (x0 + 10).cast("string"), F.lit(" 0, "),
+        (x0 + 10).cast("string"), F.lit(" 10, "),
+        x0.cast("string"), F.lit(" 10, "),
+        x0.cast("string"), F.lit(" 0))"),
+    )
+    blade = F.concat(
+        F.lit("LINESTRING ("),
+        (x0 + 3).cast("string"), F.lit(" -5, "),
+        (x0 + 3).cast("string"), F.lit(" 15)"),
+    )
+    df = n.select(i.alias("fid"), sq.alias("_sq"), blade.alias("_bl"))
+    df = df.withColumn("geom_wkb", st_geomfromtext(F.col("_sq"))).withColumn(
+        "blade_wkb", st_geomfromtext(F.col("_bl"))
+    )
+    out = df.withColumn("split_wkb", st_split(F.col("geom_wkb"), F.col("blade_wkb")))
+    out = out.withColumn("part", F.explode(st_parts(F.col("split_wkb"))))
+    return out.select("fid", _bigint(st_area(F.col("part"))).alias("area"))
+
+
 def _q_makevalid(spark, sf_dir):
     from geofileops_spark.functions.st import (
         st_area,
@@ -470,6 +520,26 @@ def _q_warp(spark, sf_dir):
     from geofileops_spark.sources import tpch_geo as T
 
     out = G.warp(T.cust_points(spark, sf_dir), (2, 0, 3, 0, 1, 10))
+    return out.select(
+        "fid",
+        _bigint(st_x(F.col("geom_wkb"))).alias("wx"),
+        _bigint(st_y(F.col("geom_wkb"))).alias("wy"),
+    )
+
+
+def _q_warp_poly(spark, sf_dir):
+    """Order-2 GCP warp where the GCPs follow the exact quadratic
+    x' = x^2 - 3y, y' = y^2 + 2x — the fit recovers it to ~1e-10, so the
+    rounded outputs are integer-exact and SQL-checkable."""
+    from geofileops_spark import geoops as G
+    from geofileops_spark.functions.st import st_x, st_y
+    from geofileops_spark.sources import tpch_geo as T
+
+    gcps = []
+    for sx in (0.0, 250.0, 500.0, 750.0, 999.0):
+        for sy in (0.0, 250.0, 500.0, 750.0, 999.0):
+            gcps.append((sx, sy, sx * sx - 3 * sy, sy * sy + 2 * sx))
+    out = G.warp(T.cust_points(spark, sf_dir), gcps=gcps, order=2)
     return out.select(
         "fid",
         _bigint(st_x(F.col("geom_wkb"))).alias("wx"),
@@ -803,6 +873,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "buffer_round": _q_buffer_round,
         "convexhull_stars": _q_convexhull,
         "simplify_zigzag": _q_simplify,
+        "simplify_lang": _q_simplify_lang,
+        "gfo_split": _q_gfo_split,
         "makevalid_bowties": _q_makevalid,
         "pip_tri_intersects": _q_pip_tri_intersects,
         "pip_tri_within": _q_pip_tri_within,
@@ -830,6 +902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "zonal_stats": _q_zonal_stats,
         "sample_raster_pages": _q_sample_raster,
         "warp_affine": _q_warp,
+        "warp_polynomial": _q_warp_poly,
         "union_full_self": _q_union_full_self,
         "remove_slivers": _q_remove_slivers,
         "explode_parts": _q_explode_parts,
@@ -1006,6 +1079,17 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.7"""
         "simplify_zigzag": with_ctes(
             "SELECT fid, CAST(2 AS BIGINT) AS npoints, CAST(100 AS BIGINT) AS length FROM zigzag",
             "zigzag",
+        ),
+        "simplify_lang": with_ctes(
+            """SELECT fid, CAST(4 AS BIGINT) AS npoints,
+                   CAST(100 AS BIGINT) AS length FROM zigzag""",
+            "zigzag",
+        ),
+        "gfo_split": with_ctes(
+            """SELECT fid, CAST(30 AS BIGINT) AS area FROM bowties
+            UNION ALL
+            SELECT fid, CAST(70 AS BIGINT) AS area FROM bowties""",
+            "bowties",
         ),
         "makevalid_bowties": with_ctes(
             """SELECT fid, 0 AS was_valid, CAST(50 AS BIGINT) AS area,
@@ -1188,6 +1272,12 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.7"""
         ),
         "warp_affine": with_ctes(
             """SELECT fid, CAST(2*px + 3 AS BIGINT) AS wx, CAST(py + 10 AS BIGINT) AS wy
+            FROM cust_points""",
+            "cust_points",
+        ),
+        "warp_polynomial": with_ctes(
+            """SELECT fid, CAST(px*px - 3*py AS BIGINT) AS wx,
+                   CAST(py*py + 2*px AS BIGINT) AS wy
             FROM cust_points""",
             "cust_points",
         ),

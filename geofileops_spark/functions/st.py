@@ -211,6 +211,28 @@ def st_simplify(col, tolerance: float, algorithm: str = "rdp") -> Column:
 
 
 @pandas_udf(BinaryType())
+def st_split(wkb: pd.Series, blade: pd.Series) -> pd.Series:
+    """gfo_split twin (reference _sqlite_userdefined.py:158-214): split by
+    a blade geometry; NULL when the split removes everything, passthrough
+    on NULL/empty blade."""
+    from ..geometry.split import split_geom
+
+    out = []
+    for b1, b2 in zip(wkb, blade):
+        if b1 is None:
+            out.append(None)
+            continue
+        g = W.loads(bytes(b1))
+        bl = W.loads(bytes(b2)) if b2 is not None else None
+        r = split_geom(g, bl)
+        if r is None or r.is_empty():
+            out.append(None)
+        else:
+            out.append(W.dumps(r.force_multi()))
+    return pd.Series(out)
+
+
+@pandas_udf(BinaryType())
 def st_makevalid(wkb: pd.Series) -> pd.Series:
     return pd.Series(_map_geom(wkb, V.make_valid))
 
@@ -442,6 +464,25 @@ def register_sql_functions(spark) -> None:
     spark.udf.register("st_intersection", st_intersection)
     spark.udf.register("st_centroid", st_centroid)
     spark.udf.register("st_npoints", st_npoints)
+
+
+def st_warp_gcps(col, gcps: list, algorithm: str = "polynomial",
+                 order: int | None = None) -> Column:
+    """GCP warp twin of the reference's ogr-based warp
+    (``_geoops_ogr.py:80-110``): polynomial order 1-3 or thin-plate
+    spline, fitted once on the driver, applied vectorized per batch."""
+    from ..geometry.extra import coords_transform, fit_gcp_polynomial, fit_gcp_tps
+
+    if algorithm == "tps":
+        mapping = fit_gcp_tps(gcps)
+    else:
+        mapping = fit_gcp_polynomial(gcps, order)
+
+    @pandas_udf(BinaryType())
+    def _warp(wkb: pd.Series) -> pd.Series:
+        return pd.Series(_map_geom(wkb, lambda g: coords_transform(g, mapping)))
+
+    return _warp(col)
 
 
 def st_affine(col, matrix) -> Column:

@@ -783,9 +783,10 @@ def _weld_pair(pa: list[np.ndarray], pb: list[np.ndarray]):
 
                 def turn(w):
                     ang = math.atan2(w[1] - cur[1], w[0] - cur[0]) - din + math.pi
-                    while ang <= 0:
+                    # exact reversal (U-turn) maps to 0 = least preferred
+                    while ang < 0:
                         ang += 2 * math.pi
-                    while ang > 2 * math.pi:
+                    while ang >= 2 * math.pi:
                         ang -= 2 * math.pi
                     return ang
 

@@ -99,3 +99,85 @@ def line_merge(geom: Geometry) -> Geometry:
     if len(merged) == 1:
         return Geometry(LINESTRING, merged[0])
     return Geometry(MULTILINESTRING, merged)
+
+
+def coords_transform(geom: Geometry, fn) -> Geometry:
+    """Apply an arbitrary vectorized coordinate mapping ``fn: (n,2)->(n,2)``
+    to every vertex (the generic core under polynomial / TPS warps)."""
+    t, dd = geom.typ, geom.data
+    if t == POINT:
+        if geom.is_empty():
+            return geom
+        return Geometry(POINT, fn(dd.reshape(1, 2))[0])
+    if t in (MULTIPOINT, LINESTRING):
+        return Geometry(t, fn(np.asarray(dd)) if len(dd) else dd)
+    if t in (MULTILINESTRING, POLYGON):
+        return Geometry(t, [fn(x) for x in dd])
+    if t == MULTIPOLYGON:
+        return Geometry(t, [[fn(r) for r in p] for p in dd])
+    return Geometry(GEOMETRYCOLLECTION, [coords_transform(g, fn) for g in dd])
+
+
+def _poly_terms(x: np.ndarray, y: np.ndarray, order: int) -> np.ndarray:
+    """Design matrix columns x^i * y^j for i+j <= order (GDAL GCP
+    polynomial model)."""
+    cols = []
+    for deg in range(order + 1):
+        for i in range(deg, -1, -1):
+            j = deg - i
+            cols.append((x ** i) * (y ** j))
+    return np.stack(cols, axis=1)
+
+
+def fit_gcp_polynomial(gcps: list, order: int | None = None):
+    """Least-squares 2-D polynomial from GCPs ((sx, sy, dx, dy[, z])
+    tuples, the reference's warp input — ``_geoops_ogr.py:80-110``).
+    Returns a vectorized (n,2)->(n,2) mapping."""
+    sx = np.asarray([g[0] for g in gcps], dtype=np.float64)
+    sy = np.asarray([g[1] for g in gcps], dtype=np.float64)
+    dx = np.asarray([g[2] for g in gcps], dtype=np.float64)
+    dy = np.asarray([g[3] for g in gcps], dtype=np.float64)
+    if order is None:
+        # GDAL-style: the highest order the GCP count supports (max 3)
+        order = 3 if len(gcps) >= 10 else 2 if len(gcps) >= 6 else 1
+    A = _poly_terms(sx, sy, order)
+    cx, *_ = np.linalg.lstsq(A, dx, rcond=None)
+    cy, *_ = np.linalg.lstsq(A, dy, rcond=None)
+
+    def mapping(arr: np.ndarray) -> np.ndarray:
+        T = _poly_terms(arr[:, 0], arr[:, 1], order)
+        return np.stack([T @ cx, T @ cy], axis=1)
+
+    return mapping
+
+
+def fit_gcp_tps(gcps: list):
+    """Thin-plate-spline mapping from GCPs (the reference's
+    ``algorithm="tps"``): standard TPS system with kernel
+    U(r) = r^2 log r^2."""
+    src = np.asarray([[g[0], g[1]] for g in gcps], dtype=np.float64)
+    dst = np.asarray([[g[2], g[3]] for g in gcps], dtype=np.float64)
+    n = len(src)
+
+    def U(r2: np.ndarray) -> np.ndarray:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return np.where(r2 > 0, r2 * np.log(r2), 0.0)
+
+    d2 = ((src[:, None, :] - src[None, :, :]) ** 2).sum(axis=2)
+    K = U(d2)
+    P = np.hstack([np.ones((n, 1)), src])
+    L = np.zeros((n + 3, n + 3))
+    L[:n, :n] = K
+    L[:n, n:] = P
+    L[n:, :n] = P.T
+    rhs = np.zeros((n + 3, 2))
+    rhs[:n] = dst
+    sol = np.linalg.solve(L, rhs)
+    w, a = sol[:n], sol[n:]
+
+    def mapping(arr: np.ndarray) -> np.ndarray:
+        r2 = ((arr[:, None, :] - src[None, :, :]) ** 2).sum(axis=2)
+        base = np.hstack([np.ones((len(arr), 1)), arr])
+        return U(r2) @ w + base @ a
+
+    return mapping

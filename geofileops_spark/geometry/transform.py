@@ -500,6 +500,57 @@ def convex_hull(geom: Geometry) -> Geometry:
 
 
 # ----------------------------------------------------------------- simplify
+def _lang_mask(path: np.ndarray, tol: float, lookahead: int = 8) -> np.ndarray:
+    """LANG simplification keep-mask (fixed search window): from the
+    current key point, try the point ``lookahead`` ahead as the chord
+    end; while any intermediate point is farther than ``tol`` from the
+    chord, pull the end one step closer; the accepted end becomes the
+    next key (reference exposes this via pygeoops,
+    ``util/_geometry_util.py:32-38``)."""
+    n = len(path)
+    keep = np.zeros(n, dtype=bool)
+    keep[0] = keep[-1] = True
+    key = 0
+    while key < n - 1:
+        cand = min(key + lookahead, n - 1)
+        while cand > key + 1:
+            seg = path[cand] - path[key]
+            L = np.hypot(seg[0], seg[1])
+            pts = path[key + 1 : cand]
+            if L < EPS:
+                dist = np.hypot(pts[:, 0] - path[key][0], pts[:, 1] - path[key][1])
+            else:
+                dist = (
+                    np.abs(
+                        seg[0] * (path[key][1] - pts[:, 1])
+                        - seg[1] * (path[key][0] - pts[:, 0])
+                    )
+                    / L
+                )
+            if len(dist) and dist.max() > tol:
+                cand -= 1
+            else:
+                break
+        keep[cand] = True
+        key = cand
+    return keep
+
+
+def _lang_plus_mask(path: np.ndarray, tol: float, lookahead: int = 8) -> np.ndarray:
+    """LANG+ — LANG iterated to a fixpoint, so straight stretches longer
+    than one window keep shedding points (pygeoops' 'lang+': LANG without
+    the per-window elimination cap)."""
+    idx = np.arange(len(path))
+    while True:
+        m = _lang_mask(path[idx], tol, lookahead)
+        if m.all():
+            break
+        idx = idx[m]
+    keep = np.zeros(len(path), dtype=bool)
+    keep[idx] = True
+    return keep
+
+
 def _rdp_mask(path: np.ndarray, tol: float) -> np.ndarray:
     """Ramer-Douglas-Peucker keep-mask (iterative)."""
     n = len(path)
@@ -563,6 +614,10 @@ def simplify_geom(geom: Geometry, tolerance: float, algorithm: str = "rdp") -> G
     def simp(path, closed):
         if algorithm == "vw":
             out = _vw_path(path, tolerance)
+        elif algorithm == "lang":
+            out = path[_lang_mask(path, tolerance)]
+        elif algorithm in ("lang+", "langp"):
+            out = path[_lang_plus_mask(path, tolerance)]
         else:
             out = path[_rdp_mask(path, tolerance)]
         if closed:

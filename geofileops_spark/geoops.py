@@ -32,7 +32,9 @@ from .operators.overlay import (  # noqa: F401
     difference,
     erase,
     identity,
+    intersect,
     intersection,
+    split,
     symmetric_difference,
     union,
 )
@@ -115,8 +117,18 @@ def apply_vectorized(df: DataFrame, func, geom_col: str = GEOM, **kw) -> DataFra
     return _tail(df.withColumn(geom_col, _apply(F.col(geom_col))), geom_col, **kw)
 
 
-def warp(df: DataFrame, matrix, geom_col: str = GEOM, **kw) -> DataFrame:
-    """geofileops ``geoops.py:1561`` (affine order-1 case)."""
+def warp(df: DataFrame, matrix=None, gcps=None, algorithm: str = "polynomial",
+         order: int | None = None, geom_col: str = GEOM, **kw) -> DataFrame:
+    """geofileops ``geoops.py:1561`` -> ``_geoops_ogr.py:80-110``: either
+    an explicit affine ``matrix`` (a, b, c, d, e, f) or ``gcps`` with
+    ``algorithm`` polynomial (order 1-3) / tps."""
+    if gcps is not None:
+        return _tail(
+            df.withColumn(
+                geom_col, st.st_warp_gcps(F.col(geom_col), gcps, algorithm, order)
+            ),
+            geom_col, **kw,
+        )
     return _tail(df.withColumn(geom_col, st.st_affine(F.col(geom_col), matrix)), geom_col, **kw)
 
 

@@ -315,6 +315,30 @@ def difference(
 erase = difference
 
 
+def split(*args, **kwargs):
+    """DEPRECATED alias of identity (geofileops ``geoops.py:2683-2732``)."""
+    import warnings
+
+    warnings.warn(
+        "split is deprecated because it was renamed to identity",
+        FutureWarning,
+        stacklevel=2,
+    )
+    return identity(*args, **kwargs)
+
+
+def intersect(*args, **kwargs):
+    """DEPRECATED alias of intersection (geofileops ``geoops.py:2734-2776``)."""
+    import warnings
+
+    warnings.warn(
+        "intersect is deprecated because it was renamed to intersection",
+        FutureWarning,
+        stacklevel=2,
+    )
+    return intersection(*args, **kwargs)
+
+
 def clip(
     df1: DataFrame,
     df2: DataFrame,

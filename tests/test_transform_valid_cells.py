@@ -163,3 +163,84 @@ def test_cover_geometry_refines():
     cov = X.cover_geometry(tri, res)
     bbox_cov = X.cover_bbox(0, 0, 1000, 1000, res)
     assert 0 < len(cov) < len(bbox_cov)
+
+
+# ------------------------------------------------------- split / LANG
+def test_split_polygon_by_blade():
+    from geofileops_spark.geometry import kernels as K
+    from geofileops_spark.geometry import wkb as W
+    from geofileops_spark.geometry.split import split_geom
+
+    sq = W.from_wkt("POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")
+    parts = split_geom(sq, W.from_wkt("LINESTRING (3 -5, 3 15)")).parts()
+    assert sorted(round(K.area(p), 9) for p in parts) == [30.0, 70.0]
+    # zigzag blade
+    parts = split_geom(
+        sq, W.from_wkt("LINESTRING (3 -5, 3 5, 7 5, 7 15)")
+    ).parts()
+    assert sorted(round(K.area(p), 9) for p in parts) == [50.0, 50.0]
+    # dangling / missing blades leave the input unchanged
+    assert K.area(split_geom(sq, W.from_wkt("LINESTRING (3 -5, 3 5)"))) == 100.0
+    assert K.area(split_geom(sq, W.from_wkt("LINESTRING (20 0, 20 5)"))) == 100.0
+    # hole crossed by the blade
+    holed = W.from_wkt(
+        "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))"
+    )
+    parts = split_geom(holed, W.from_wkt("LINESTRING (5 -5, 5 15)")).parts()
+    assert sorted(round(K.area(p), 9) for p in parts) == [48.0, 48.0]
+
+
+def test_split_line_by_line():
+    from geofileops_spark.geometry import kernels as K
+    from geofileops_spark.geometry import wkb as W
+    from geofileops_spark.geometry.split import split_geom
+
+    ln = W.from_wkt("LINESTRING (0 0, 10 0)")
+    parts = split_geom(ln, W.from_wkt("LINESTRING (4 -1, 4 1)")).parts()
+    assert sorted(round(K.length(p), 9) for p in parts) == [4.0, 6.0]
+
+
+def test_simplify_lang_golden():
+    from geofileops_spark.geometry import kernels as K
+    from geofileops_spark.geometry import wkb as W
+    from geofileops_spark.geometry.transform import simplify_geom
+
+    zig = [
+        (k * 5, 0 if k in (0, 20) else (0.125 if k % 2 else -0.125))
+        for k in range(21)
+    ]
+    lz = W.from_wkt(
+        "LINESTRING (" + ", ".join(f"{x} {y}" for x, y in zig) + ")"
+    )
+    lang = simplify_geom(lz, 0.5, "lang")
+    # lookahead 8: keys at indices 0, 8, 16, 20
+    assert lang.num_coords() == 4
+    # lang+ iterates to a fixpoint: fully straightened
+    langp = simplify_geom(lz, 0.5, "lang+")
+    assert langp.num_coords() == 2
+    assert K.length(langp) == 100.0
+
+
+def test_gcp_warp_polynomial_and_tps():
+    import numpy as np
+
+    from geofileops_spark.geometry.extra import fit_gcp_polynomial, fit_gcp_tps
+
+    # GCPs following an exact quadratic: the order-2 fit must recover it
+    gcps = [
+        (sx, sy, sx * sx - 3 * sy, sy * sy + 2 * sx)
+        for sx in (0.0, 10.0, 20.0) for sy in (0.0, 10.0, 20.0)
+    ]
+    m = fit_gcp_polynomial(gcps, order=2)
+    pts = np.array([[5.0, 7.0], [13.0, 2.0]])
+    got = m(pts)
+    exp = np.array([[5 * 5 - 3 * 7, 7 * 7 + 2 * 5], [13 * 13 - 3 * 2, 2 * 2 + 2 * 13]])
+    assert np.allclose(got, exp, atol=1e-6)
+    # TPS interpolates the GCPs exactly and reproduces an affine map
+    gcps_aff = [(sx, sy, 2 * sx + 1, sy - 4)
+                for sx, sy in [(0, 0), (10, 0), (0, 10), (10, 10), (5, 3)]]
+    t = fit_gcp_tps(gcps_aff)
+    src = np.array([[g[0], g[1]] for g in gcps_aff], dtype=float)
+    dst = np.array([[g[2], g[3]] for g in gcps_aff], dtype=float)
+    assert np.allclose(t(src), dst, atol=1e-8)
+    assert np.allclose(t(np.array([[3.0, 8.0]])), [[7.0, 4.0]], atol=1e-6)
