@@ -274,34 +274,162 @@ def dissolve(
     return final
 
 
+def _shared_boundary_len_udf(col1, col2):
+    """Length of layer-1's boundary lying inside the layer-2 polygon —
+    the neighbour-contact statistic of the reference's gap-piece filter
+    (its sliver-intersection perimeter/length sums serve the same role,
+    ``geoops.py:296-346``)."""
+
+    @F.pandas_udf("double")
+    def _shared(wkb1: pd.Series, wkb2: pd.Series) -> pd.Series:
+        from ..geometry import clip as CC
+        from ..geometry.kernels import _path_length
+
+        out = []
+        for b1, b2 in zip(wkb1, wkb2):
+            if b1 is None or b2 is None:
+                out.append(0.0)
+                continue
+            g1 = W.loads(bytes(b1))
+            g2 = W.loads(bytes(b2))
+            total = 0.0
+            for rings in g1.polygons():
+                for ring in rings:
+                    for part in CC.clip_line_by_polygons(ring, g2, keep_inside=True):
+                        total += _path_length(np.asarray(part))
+            out.append(total)
+        return pd.Series(out, dtype="float64")
+
+    return _shared.asNondeterministic()(col1, col2)
+
+
 def dissolve_within_distance(
     df: DataFrame,
     distance: float,
     groupby_columns: list[str] | None = None,
+    close_internal_gaps: bool = False,
     geom_col: str = "geom_wkb",
     gridsize: float = 0.0,
 ) -> DataFrame:
     """Union geometries closer than ``distance`` (geofileops
-    ``geoops.py:37-396``): +buffer(d/2) -> dissolve -> -buffer(d/2),
-    composed from our buffer/dissolve transforms. The reference's
-    gap-piece repair heuristic (neighbour stats) is approximated by the
-    positive-then-negative buffer, which already closes sub-``distance``
-    gaps; sliver artifacts are snapped away via ``gridsize``."""
-    from ..functions.st import st_buffer
+    ``geoops.py:37-396``, the 9-step macro).
+
+    Reference shape (no groupby, like the reference): dissolve ->
+    +buffer(d/2) -> dissolve -> -buffer(d/2) -> the DIFFERENCE with the
+    original dissolve yields candidate gap pieces; pieces are kept only
+    when neighbour statistics say they are real between-feature gaps
+    (touching > 1 distinct neighbour; with ``close_internal_gaps`` also
+    large pieces or pieces mostly bounded by input geometry) — so the
+    ORIGINAL boundaries survive unchanged instead of being smeared by
+    the +/- buffer round-trip. Kept pieces are unioned back in a final
+    dissolve.
+
+    With ``groupby_columns`` (an extension the reference doesn't offer)
+    the simple +buffer/dissolve/-buffer approximation is used per group.
+    """
+    from ..functions.st import st_area, st_buffer, st_length
 
     half = distance / 2.0
-    buffered = df.withColumn(
-        geom_col,
-        st_buffer(F.col(geom_col), half, quad_segs=5, cap_style="square", join_style="mitre"),
+
+    def _buf(frame, dist):
+        return frame.withColumn(
+            geom_col,
+            st_buffer(
+                F.col(geom_col), dist, quad_segs=5,
+                cap_style="square", join_style="mitre",
+            ),
+        ).where(F.col(geom_col).isNotNull())
+
+    if groupby_columns:
+        dissolved = dissolve(_buf(df, half), groupby_columns, geom_col=geom_col)
+        out = _buf(dissolved, -half)
+        if gridsize and gridsize > 0.0:
+            from ..functions.st import st_reduceprecision
+
+            out = out.withColumn(
+                geom_col, st_reduceprecision(F.col(geom_col), gridsize)
+            )
+        return out
+
+    from .overlay import difference
+
+    diss = dissolve(
+        df.select(geom_col), None, explodecollections=True, geom_col=geom_col
+    ).withColumn("fid", F.xxhash64(F.col(geom_col)))
+    diss = diss.localCheckpoint(eager=True)
+
+    closed = dissolve(
+        _buf(diss, half), None, explodecollections=True, geom_col=geom_col
     )
-    dissolved = dissolve(buffered, groupby_columns, geom_col=geom_col)
-    out = dissolved.withColumn(
-        geom_col,
-        st_buffer(F.col(geom_col), -half, quad_segs=5, cap_style="square", join_style="mitre"),
+    shrunk = _buf(closed, -half).withColumn("fid", F.xxhash64(F.col(geom_col)))
+
+    # candidate gap pieces = closed-up area not covered by the original
+    pieces = difference(
+        shrunk, diss, geom_col=geom_col, id_col="fid", explodecollections=True
+    ).select(geom_col)
+    # strip hair/sliver appendixes the +/- buffer round-trip leaves on
+    # the pieces (the reference documents the same artifacts,
+    # geoops.py:256-273): tiny erode+dilate, then the tiny positive
+    # epsilon that makes neighbour-contact detection robust
+    cleanup = distance / 1000.0
+    # epsilon must exceed the (measured ~1e-7-relative) wobble the
+    # erode/dilate pass leaves on piece edges, or contact with a
+    # neighbour it really touches is missed
+    eps = max(gridsize / 10.0, distance * 1e-6, 1e-9)
+    pieces = _buf(_buf(pieces, -cleanup), cleanup + eps).withColumn(
+        "pid", F.xxhash64(F.col(geom_col))
     )
-    out = out.where(F.col(geom_col).isNotNull())
+
+    # neighbour statistics per piece (reference geoops.py:274-346): how
+    # many distinct input features does the piece touch, and how much of
+    # its boundary is shared with them
+    from .celljoin import candidate_pairs
+    from .join import query_match_udf
+    from .relation import SpatialQuery
+
+    pairs, _ = candidate_pairs(
+        pieces, diss.select("fid", geom_col), geom_col1=geom_col,
+        geom_col2=geom_col,
+    )
+    g1, g2 = f"l1_{geom_col}", f"l2_{geom_col}"
+    matched = pairs.where(
+        query_match_udf(SpatialQuery("intersects is True"))(F.col(g1), F.col(g2))
+    )
+    stats = (
+        matched.withColumn(
+            "_shared", _shared_boundary_len_udf(F.col(g1), F.col(g2))
+        )
+        .groupBy(F.col("l1_pid").alias("pid"))
+        .agg(
+            F.countDistinct("l2_fid").alias("_nb"),
+            F.sum("_shared").alias("_shared_len"),
+        )
+    )
+    pieces = pieces.withColumn("_area", st_area(F.col(geom_col))).withColumn(
+        "_perim", st_length(F.col(geom_col))
+    )
+    enriched = pieces.join(stats, on="pid", how="left").na.fill(
+        {"_nb": 0, "_shared_len": 0.0}
+    )
+    if close_internal_gaps:
+        keep_filter = (
+            (F.col("_nb") > 1)
+            | (F.col("_area") > F.lit(distance * distance))
+            | (F.col("_shared_len") > 0.8 * F.col("_perim"))
+        )
+    else:
+        keep_filter = F.col("_nb") > 1
+    kept = enriched.where(keep_filter).select(geom_col)
+
+    out = dissolve(
+        diss.select(geom_col).unionByName(kept),
+        None,
+        explodecollections=True,
+        geom_col=geom_col,
+    )
     if gridsize and gridsize > 0.0:
         from ..functions.st import st_reduceprecision
 
         out = out.withColumn(geom_col, st_reduceprecision(F.col(geom_col), gridsize))
+        out = out.where(F.col(geom_col).isNotNull())
     return out

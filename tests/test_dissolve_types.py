@@ -4,6 +4,7 @@ _geoops_sql.py:4600-4881)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from geofileops_spark import geoops as gfo
@@ -62,3 +63,27 @@ def test_create_spatial_index(spark):
     assert idx.count() == 50
     assert not gfo.has_spatial_index(gfo.remove_spatial_index(idx))
     assert gfo.get_layer_geometrytypes(df) == ["POINT"]
+
+
+def test_dissolve_within_distance_gap_repair(spark):
+    """Reference 9-step semantics: the gap BETWEEN two features is filled
+    (piece touches 2 neighbours) while isolated features and original
+    boundaries stay untouched; internal notches are only filled with
+    close_internal_gaps=True."""
+    from geofileops_spark.functions.st import st_area, st_geomfromtext
+
+    rows = [
+        (1, "POLYGON ((0 0, 100 0, 100 100, 0 100, 0 0))"),
+        (2, "POLYGON ((140 0, 240 0, 240 100, 140 100, 140 0))"),
+        (3, "POLYGON ((1000 0, 1100 0, 1100 100, 1000 100, 1000 0))"),
+    ]
+    df = spark.createDataFrame(rows, "fid long, wkt string").withColumn(
+        "geom_wkb", st_geomfromtext(F.col("wkt"))
+    ).drop("wkt")
+    out = dissolve_within_distance(df, distance=50.0)
+    areas = sorted(
+        r[0] for r in out.select(st_area("geom_wkb")).collect()
+    )
+    assert len(areas) == 2
+    assert areas[0] == pytest.approx(10000.0, abs=1.0)   # isolated: untouched
+    assert areas[1] == pytest.approx(24000.0, abs=1.0)   # gap filled exactly
