@@ -28,6 +28,8 @@ from pyspark.sql.types import (
     IntegerType,
     LongType,
     StringType,
+    StructField,
+    StructType,
 )
 
 from ..geometry import clip as C
@@ -95,6 +97,34 @@ def st_isvalid(wkb: pd.Series) -> pd.Series:
 @pandas_udf(StringType())
 def st_isvalidreason(wkb: pd.Series) -> pd.Series:
     return pd.Series(_map_scalar(wkb, lambda g: V.is_valid_reason(g)[1]))
+
+
+_VALID_DETAIL_SCHEMA = StructType(
+    [
+        StructField("valid", BooleanType()),
+        StructField("reason", StringType()),
+        StructField("location", BinaryType()),
+    ]
+)
+
+
+@pandas_udf(_VALID_DETAIL_SCHEMA)
+def st_isvaliddetail(wkb: pd.Series) -> pd.DataFrame:
+    """ST_IsValidDetail twin: (valid, reason, location POINT wkb)."""
+    valid, reason, loc = [], [], []
+    for b in wkb:
+        if b is None:
+            valid.append(None)
+            reason.append(None)
+            loc.append(None)
+            continue
+        v, r, p = V.is_valid_detail(W.loads(bytes(b)))
+        valid.append(bool(v))
+        reason.append(r)
+        loc.append(
+            None if p is None else W.dumps(Geometry.point(float(p[0]), float(p[1])))
+        )
+    return pd.DataFrame({"valid": valid, "reason": reason, "location": loc})
 
 
 @pandas_udf(StringType())

@@ -83,6 +83,31 @@ def is_valid(geom: Geometry) -> bool:
     return is_valid_reason(geom)[0]
 
 
+def is_valid_detail(geom: Geometry):
+    """(valid, reason, location) — the ST_IsValidDetail shape (reason
+    plus the POINT where the problem sits, like GEOS's
+    "Self-intersection[x y]")."""
+    if geom is None:
+        return True, "Valid Geometry", None
+    c = geom.coords()
+    if len(c) and np.isnan(c).any():
+        return False, "NaN coordinate", None
+    for rings in geom.polygons():
+        for ring in rings:
+            r = _dedupe_path(ring)
+            if len(r) < 4:
+                loc = r[0] if len(r) else None
+                return False, "Ring with too few points", loc
+            if not np.allclose(r[0], r[-1]):
+                return False, "Ring not closed", r[-1]
+            hits = _ring_self_intersections(r)
+            if hits:
+                return False, "Self-intersection", hits[0][4]
+            if abs(ring_signed_area(r)) < EPS:
+                return False, "Zero-area ring", r[0]
+    return True, "Valid Geometry", None
+
+
 def _split_ring(ring: np.ndarray) -> list[np.ndarray]:
     """Split a self-intersecting ring into simple loops at its
     self-intersection points (even-odd planar arrangement)."""

@@ -93,9 +93,14 @@ def makevalid(df: DataFrame, geom_col: str = GEOM, **kw) -> DataFrame:
 
 
 def isvalid(df: DataFrame, geom_col: str = GEOM) -> DataFrame:
-    """geofileops ``geoops.py:1315``: report layer of invalid rows."""
-    out = df.withColumn("isvalid", st.st_isvalid(F.col(geom_col))).withColumn(
-        "isvalidreason", st.st_isvalidreason(F.col(geom_col))
+    """geofileops ``geoops.py:1315``: report layer of invalid rows with
+    reason + error location (ST_IsValidDetail shape)."""
+    out = df.withColumn("_detail", st.st_isvaliddetail(F.col(geom_col)))
+    out = (
+        out.withColumn("isvalid", F.col("_detail.valid"))
+        .withColumn("isvalidreason", F.col("_detail.reason"))
+        .withColumn("isvalidlocation", F.col("_detail.location"))
+        .drop("_detail")
     )
     return out.where(~F.col("isvalid"))
 

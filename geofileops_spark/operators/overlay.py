@@ -131,15 +131,19 @@ def _postprocess(
     gridsize: float = 0.0,
     explodecollections: bool = False,
     where_post: str | None = None,
+    keep_empty_geoms: bool = False,
 ) -> DataFrame:
     """Shared tail: gridsize snap -> drop empty -> explode -> where_post
     (ordering per geofileops ``_geoops_sql.py:3687-3713``: where_post is
-    evaluated AFTER explodecollections)."""
+    evaluated AFTER explodecollections). ``keep_empty_geoms`` retains
+    rows whose result geometry is NULL/EMPTY (reference two-layer ops
+    expose the same flag)."""
     if gridsize and gridsize > 0.0:
         from ..functions.st import st_reduceprecision
 
         df = df.withColumn(geom_col, st_reduceprecision(F.col(geom_col), gridsize))
-    df = df.where(F.col(geom_col).isNotNull())
+    if not keep_empty_geoms:
+        df = df.where(F.col(geom_col).isNotNull())
     if explodecollections:
         from ..functions.st import st_parts
 
@@ -202,6 +206,7 @@ def intersection(
     where_post: str | None = None,
     subdivide_coords: int | None = None,
     id_col: str = "fid",
+    keep_empty_geoms: bool = False,
 ) -> DataFrame:
     """Pairwise overlay intersection (geofileops ``geoops.py:2777`` ->
     ``_geoops_sql.py:1805-2102``): one output row per intersecting
@@ -233,7 +238,9 @@ def intersection(
             _union_parts_udf()(F.collect_list(geom_col)).alias(geom_col),
             *[F.first(c).alias(c) for c in attrs],
         )
-    return _postprocess(out, geom_col, gridsize, explodecollections, where_post)
+    return _postprocess(
+        out, geom_col, gridsize, explodecollections, where_post, keep_empty_geoms
+    )
 
 
 def _collect_candidates(
@@ -265,6 +272,7 @@ def difference(
     explodecollections: bool = False,
     where_post: str | None = None,
     subdivide_coords: int | None = None,
+    keep_empty_geoms: bool = False,
 ) -> DataFrame:
     """g1 minus the union of all intersecting layer-2 geometries
     (geofileops ``geoops.py:2138`` -> ``_geoops_sql.py:1058-1355``).
@@ -304,11 +312,22 @@ def difference(
         ),
     )
     # no candidates -> pass through; candidates + empty result -> drop
-    out = diffed.where(F.col("_others").isNull() | F.col("_diff").isNotNull())
-    out = out.withColumn(
-        geom_col, F.coalesce(F.col("_diff"), F.col(geom_col))
-    ).drop("_diff", "_others")
-    return _postprocess(out, geom_col, gridsize, explodecollections, where_post)
+    # (DIFF_EMPTY), unless keep_empty_geoms retains them with NULL geometry
+    if keep_empty_geoms:
+        out = diffed.withColumn(
+            geom_col,
+            F.when(F.col("_others").isNull(), F.col(geom_col)).otherwise(
+                F.col("_diff")
+            ),
+        ).drop("_diff", "_others")
+    else:
+        out = diffed.where(F.col("_others").isNull() | F.col("_diff").isNotNull())
+        out = out.withColumn(
+            geom_col, F.coalesce(F.col("_diff"), F.col(geom_col))
+        ).drop("_diff", "_others")
+    return _postprocess(
+        out, geom_col, gridsize, explodecollections, where_post, keep_empty_geoms
+    )
 
 
 # deprecated alias kept for API parity (geofileops ``geoops.py:2267-2306``)

@@ -189,3 +189,21 @@ def test_dissolve_parcels_gewasgroep_golden(spark):
     tot = out.agg(F.sum(st_area("geom_wkb"))).collect()[0][0]
     per_row = df.agg(F.sum(st_area("geom_wkb"))).collect()[0][0]
     assert 0.5 * per_row < tot <= per_row + 1e-6
+
+
+def test_difference_keep_empty_geoms(spark):
+    from geofileops_spark.functions.st import st_geomfromtext
+    from geofileops_spark.operators.overlay import difference
+
+    left = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))")], "fid long, wkt string"
+    ).withColumn("geom_wkb", st_geomfromtext(F.col("wkt"))).drop("wkt")
+    blade = spark.createDataFrame(
+        [(1, "POLYGON ((-5 -5, 15 -5, 15 15, -5 15, -5 -5))")], "fid long, wkt string"
+    ).withColumn("geom_wkb", st_geomfromtext(F.col("wkt"))).drop("wkt")
+    # full cover: DIFF_EMPTY drops the row by default...
+    assert difference(left, blade).count() == 0
+    # ...but keep_empty_geoms retains it with NULL geometry
+    kept = difference(left, blade, keep_empty_geoms=True)
+    rows = kept.collect()
+    assert len(rows) == 1 and rows[0]["geom_wkb"] is None
