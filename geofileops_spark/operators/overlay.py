@@ -393,6 +393,60 @@ def clip(
     return _postprocess(out, geom_col, gridsize, explodecollections, where_post)
 
 
+def _shared_overlay_parts(
+    df1: DataFrame,
+    df2: DataFrame,
+    res: int | None,
+    geom_col: str,
+    id_col: str,
+    need: tuple[bool, bool, bool],
+):
+    """One candidate join + ONE intersects refine shared by every branch
+    of the composite overlays (the naive composition re-ran the cover
+    UDFs and the refine once per branch — 3x the dominant Python cost
+    for ``union``). Returns (inter, d12, d21) DataFrames (None when not
+    requested); the caller unions them."""
+    pairs, _ = candidate_pairs(
+        df1, df2, res=res, geom_col1=geom_col, geom_col2=geom_col,
+        light_ids=(id_col, id_col),
+    )
+    g1, g2 = f"l1_{geom_col}", f"l2_{geom_col}"
+    matched = pairs.where(
+        query_match_udf(_INTERSECTS)(F.col(g1), F.col(g2))
+    ).persist()
+
+    inter = d12 = d21 = None
+    if need[0]:
+        inter = matched.withColumn(
+            geom_col, _pair_intersection_udf(F.col(g1), F.col(g2))
+        )
+        inter = inter.where(F.col(geom_col).isNotNull())
+        inter = drop_helper_columns(inter).drop(g1, g2)
+
+    def _diff_side(base: DataFrame, key: str, other_geom: str) -> DataFrame:
+        cands = matched.groupBy(F.col(key).alias(id_col)).agg(
+            F.collect_list(F.col(other_geom)).alias("_others")
+        )
+        joined = base.join(cands, on=id_col, how="left")
+        diffed = joined.withColumn(
+            "_diff",
+            F.when(
+                F.col("_others").isNotNull(),
+                _combine_vs_union_udf("difference")(F.col(geom_col), F.col("_others")),
+            ),
+        )
+        out = diffed.where(F.col("_others").isNull() | F.col("_diff").isNotNull())
+        return out.withColumn(
+            geom_col, F.coalesce(F.col("_diff"), F.col(geom_col))
+        ).drop("_diff", "_others")
+
+    if need[1]:
+        d12 = _diff_side(df1, f"l1_{id_col}", g2)
+    if need[2]:
+        d21 = _diff_side(df2, f"l2_{id_col}", g1)
+    return inter, d12, d21
+
+
 def identity(
     df1: DataFrame,
     df2: DataFrame,
@@ -404,11 +458,15 @@ def identity(
     where_post: str | None = None,
 ) -> DataFrame:
     """intersection(1,2) ⊎ difference(1,2) (geofileops ``geoops.py:2525``
-    -> ``_geoops_sql.py:2752-2911``). L2 columns NULL on difference rows."""
-    inter = intersection(df1, df2, res, geom_col, gridsize, explodecollections, where_post)
-    diff = difference(df1, df2, res, geom_col, id_col, gridsize, explodecollections, where_post)
-    diff = prefix_columns(diff, "l1_", exclude=(geom_col,))
-    return inter.unionByName(diff, allowMissingColumns=True)
+    -> ``_geoops_sql.py:2752-2911``). L2 columns NULL on difference rows.
+    Both branches share one candidate join + refine."""
+    inter, d12, _ = _shared_overlay_parts(
+        df1, df2, res, geom_col, id_col, (True, True, False)
+    )
+    inter = _postprocess(inter, geom_col, gridsize, explodecollections, where_post)
+    d12 = _postprocess(d12, geom_col, gridsize, explodecollections, where_post)
+    d12 = prefix_columns(d12, "l1_", exclude=(geom_col,))
+    return inter.unionByName(d12, allowMissingColumns=True)
 
 
 def symmetric_difference(
@@ -423,9 +481,12 @@ def symmetric_difference(
 ) -> DataFrame:
     """difference(1,2) ⊎ difference(2,1) with the other side's columns
     NULL-filled (geofileops ``geoops.py:3544`` -> ``_geoops_sql.py:
-    2914-3086``)."""
-    d12 = difference(df1, df2, res, geom_col, id_col, gridsize, explodecollections, where_post)
-    d21 = difference(df2, df1, res, geom_col, id_col, gridsize, explodecollections, where_post)
+    2914-3086``). Both branches share one candidate join + refine."""
+    _, d12, d21 = _shared_overlay_parts(
+        df1, df2, res, geom_col, id_col, (False, True, True)
+    )
+    d12 = _postprocess(d12, geom_col, gridsize, explodecollections, where_post)
+    d21 = _postprocess(d21, geom_col, gridsize, explodecollections, where_post)
     d12 = prefix_columns(d12, "l1_", exclude=(geom_col,))
     d21 = prefix_columns(d21, "l2_", exclude=(geom_col,))
     return d12.unionByName(d21, allowMissingColumns=True)
@@ -444,11 +505,15 @@ def union(
     """Overlay union = intersection(1,2) ⊎ difference(1,2) ⊎
     difference(2,1) (geofileops ``geoops.py:3695`` -> ``_geoops_sql.py:
     3089-3292``). The reference runs the three ops sequentially over
-    shared subdivided inputs; here the three DataFrame branches share the
-    same scan and Catalyst reuses the exchange."""
-    inter = intersection(df1, df2, res, geom_col, gridsize, explodecollections, where_post)
-    d12 = difference(df1, df2, res, geom_col, id_col, gridsize, explodecollections, where_post)
-    d21 = difference(df2, df1, res, geom_col, id_col, gridsize, explodecollections, where_post)
+    shared subdivided inputs; here all three branches share ONE candidate
+    join + intersects refine (the matched pairs are persisted and reused
+    — previously each branch re-ran the cover UDFs and refine)."""
+    inter, d12, d21 = _shared_overlay_parts(
+        df1, df2, res, geom_col, id_col, (True, True, True)
+    )
+    inter = _postprocess(inter, geom_col, gridsize, explodecollections, where_post)
+    d12 = _postprocess(d12, geom_col, gridsize, explodecollections, where_post)
+    d21 = _postprocess(d21, geom_col, gridsize, explodecollections, where_post)
     d12 = prefix_columns(d12, "l1_", exclude=(geom_col,))
     d21 = prefix_columns(d21, "l2_", exclude=(geom_col,))
     return inter.unionByName(d12, allowMissingColumns=True).unionByName(
