@@ -733,6 +733,33 @@ def _q_simhash(spark, sf_dir):
     )
 
 
+def _q_dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup: corpus + deterministically scaled
+    copies (cosine exactly 1), banded-SRP candidates, exact JVM cosine."""
+    from geofileops_spark.ml.dedup import embedding_dedup_pairs
+    from geofileops_spark.sources.tpch_geo import load
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    mut = emb.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("embedding", lambda x: x.cast("double") * 1.01).alias(
+            "embedding"
+        ),
+    )
+    pairs = embedding_dedup_pairs(
+        base.unionByName(mut), threshold=0.8, nbits=8, bands=4, dim=64
+    )
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.round(F.col("cosine") * 1000000).cast("long").alias("cos_ppm"),
+    )
+
+
 def _q_ann_cosine(spark, sf_dir):
     from geofileops_spark.ml.similarity import cosine_topk
     from geofileops_spark.sources.tpch_geo import load
@@ -894,6 +921,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _q_jaccard,
         "dedup_minhash_lsh": _q_minhash,
         "dedup_simhash": _q_simhash,
+        "dedup_embedding": _q_dedup_embedding,
         "ann_cosine_topk": _q_ann_cosine,
         "ann_lsh_topk": _q_ann_lsh,
         "ann_ivf_topk": _q_ann_ivf,
@@ -1351,6 +1379,33 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.7"""
           FROM scored)
         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
         FROM ranked WHERE rank <= 5""",
+        # embedding near-dup: banded SRP keys + exact cosine, every step
+        # reproduced in SQL (formula hyperplanes, double-cast vectors)
+        "dedup_embedding": """WITH both_emb AS (
+          SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+          UNION ALL
+          SELECT vec_id + 100000,
+                 list_transform(CAST(embedding AS DOUBLE[]), x -> x * 1.01)
+          FROM embeddings),
+        keyed AS (
+          SELECT id, band,
+            list_sum(list_transform(generate_series(0, 7), bb ->
+              CASE WHEN list_sum(list_transform(generate_series(1, 64), i ->
+                     v[i] * (CAST(((band * 8 + bb) * 64 + i) * 2654435761
+                                  % 1000003 AS DOUBLE) / 1000003.0 - 0.5))) > 0
+                   THEN CAST(power(2, bb) AS BIGINT) ELSE 0 END)) AS bkey
+          FROM both_emb, range(0, 4) AS t(band)),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM keyed a JOIN keyed b ON a.band = b.band AND a.bkey = b.bkey
+          WHERE a.id < b.id)
+        SELECT c.id_a, c.id_b,
+               CAST(round(list_cosine_similarity(ea.v, eb.v) * 1000000)
+                    AS BIGINT) AS cos_ppm
+        FROM cand c
+        JOIN both_emb ea ON ea.id = c.id_a
+        JOIN both_emb eb ON eb.id = c.id_b
+        WHERE list_cosine_similarity(ea.v, eb.v) >= 0.8""",
         # SRP-LSH: the hyperplane components are an exact integer formula
         # (see similarity._plane_component) evaluated identically here
         "ann_lsh_topk": """WITH b AS (

@@ -284,3 +284,55 @@ def simhash_pairs(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+# ------------------------------------------------- embedding near-dup
+def embedding_dedup_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    nbits: int = 8,
+    bands: int = 4,
+    dim: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity — the vector
+    twin of MinHash-LSH: ``bands`` independent sign-random-projection
+    bucket keys per vector (formula hyperplanes, JVM codegen, zero
+    Python — see similarity.srp_bucket_expr), candidates = any shared
+    (band, bucket), verified with the exact JVM cosine. One shuffle on
+    the bucket keys instead of the quadratic scan.
+
+    Output: (id_a < id_b, cosine) for pairs with cosine >= threshold
+    among banded candidates. The banding is deterministic and engine-
+    reproducible, so the whole pipeline is SQL-oracle checkable.
+    """
+    from .similarity import _dot, _norm, srp_bucket_expr
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    keyed = df.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("_v"),
+        F.posexplode(
+            F.array(
+                *[
+                    srp_bucket_expr(vec_col, dim, nbits, plane_offset=b * nbits)
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bkey"),
+    )
+    l = keyed.select(F.col("id").alias("id_a"), F.col("_v").alias("_va"), "band", "bkey")
+    r = keyed.select(F.col("id").alias("id_b"), F.col("_v").alias("_vb"), "band", "bkey")
+    cand = (
+        l.hint("shuffle_hash").join(r, ["band", "bkey"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    scored = cand.withColumn(
+        "cosine",
+        _dot(F.col("_va"), F.col("_vb")) / (_norm(F.col("_va")) * _norm(F.col("_vb"))),
+    )
+    return scored.where(F.col("cosine") >= F.lit(threshold)).select(
+        "id_a", "id_b", "cosine"
+    )

@@ -88,7 +88,7 @@ def _plane_component(b: int, dim: int, i):
     ) - F.lit(0.5)
 
 
-def srp_bucket_expr(vec_col, dim: int, nbits: int):
+def srp_bucket_expr(vec_col, dim: int, nbits: int, plane_offset: int = 0):
     """Sign-random-projection bucket id — pure JVM codegen: per bit b,
     dot(vec, plane_b) with formula-derived plane components (no stored
     model, no Python, nothing to broadcast), bucket = sign bits packed
@@ -96,7 +96,9 @@ def srp_bucket_expr(vec_col, dim: int, nbits: int):
     v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
 
     def _proj(b: int):
-        return lambda x, i: x.cast("double") * _plane_component(b, dim, i)
+        return lambda x, i: x.cast("double") * _plane_component(
+            plane_offset + b, dim, i
+        )
 
     bucket = F.lit(0).cast("long")
     for b in range(nbits):

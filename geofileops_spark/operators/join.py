@@ -553,7 +553,17 @@ def join_nearest(
     if distance is None:
         raise ValueError("join_nearest requires a search `distance`")
     if res is None:
-        res = min(_res_for_distance(distance), estimate_res(df2, geom_col))
+        # coarse bound: cell >= distance (1-ring covers the search radius
+        # in one round). On dense layers that cell holds hundreds of l2
+        # rows and the candidate join goes quadratic — prefer the
+        # density-derived finer resolution, at most 4 levels finer (the
+        # k-ring quadruples per round, so 3 rounds still guarantee full
+        # distance coverage from cell = distance/16).
+        coarse = _res_for_distance(distance)
+        if expand:
+            res = max(coarse, min(estimate_res(df2, geom_col), coarse + 4))
+        else:
+            res = coarse
 
     from ..functions.st import st_centroid, st_x, st_y
 
