@@ -159,10 +159,34 @@ def _seg_intersect(p1, p2, q1, q2):
 
 
 def _point_in_ring_strict(pt, ring) -> bool:
-    res = points_in_ring(np.asarray([pt], dtype=np.float64), ring)[0]
-    if res == 1:
-        raise _Degenerate("point on boundary")
-    return res == 2
+    """Single-point twin of kernels.points_in_ring (flat (m,) arrays, no
+    (1, m) broadcast temporaries — called twice per clip, it was ~30% of
+    the kernel)."""
+    x, y = float(pt[0]), float(pt[1])
+    x1 = ring[:-1, 0]
+    y1 = ring[:-1, 1]
+    x2 = ring[1:, 0]
+    y2 = ring[1:, 1]
+    dx = x2 - x1
+    dy = y2 - y1
+    ex = x - x1
+    ey = y - y1
+    cross = ex * dy - ey * dx
+    seg_len2 = dx * dx + dy * dy
+    on_line = cross * cross <= (EPS * 1e6) ** 2 * np.maximum(seg_len2, EPS)
+    if on_line.any():
+        dot = ex * dx + ey * dy
+        if (on_line & (dot >= -EPS) & (dot <= seg_len2 + EPS)).any():
+            raise _Degenerate("point on boundary")
+    cond = (y1 > y) != (y2 > y)
+    if not cond.any():
+        return False
+    dyc = dy[cond]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xints = x1[cond] + (y - y1[cond]) * dx[cond] / np.where(
+            dyc == 0, np.inf, dyc
+        )
+    return bool(np.count_nonzero(x < xints) % 2 == 1)
 
 
 def _gh_clip(subj: np.ndarray, clip: np.ndarray, s_entry: bool, c_entry: bool):
@@ -175,15 +199,13 @@ def _gh_clip(subj: np.ndarray, clip: np.ndarray, s_entry: bool, c_entry: bool):
     """
     closed_clip = np.vstack([clip, clip[:1]])
     closed_subj = np.vstack([subj, subj[:1]])
-    s_first = _build_list(subj)
-    c_first = _build_list(clip)
 
     # --- phase 1: find & insert intersections — ONE numpy broadcast over
     # all (subject edge, clip edge) pairs (the former per-pair Python
     # loop dominated every overlay kernel's runtime). Semantics mirror
     # _seg_intersect exactly, including the degeneracy triggers.
-    s_nodes = [nd for nd in _iter_ring(s_first)]
-    c_nodes = [nd for nd in _iter_ring(c_first)]
+    # Node lists are built ONLY once a crossing is known to exist — a
+    # large fraction of bbox candidates have none and return early.
     sa = np.asarray(subj, dtype=np.float64)
     ca = np.asarray(clip, dtype=np.float64)
     d1 = np.roll(sa, -1, axis=0) - sa  # (n,2)
@@ -220,6 +242,10 @@ def _gh_clip(subj: np.ndarray, clip: np.ndarray, s_entry: bool, c_entry: bool):
     n_inters = int(hits.sum())
     if n_inters == 0:
         return None
+    s_first = _build_list(subj)
+    c_first = _build_list(clip)
+    s_nodes = [nd for nd in _iter_ring(s_first)]
+    c_nodes = [nd for nd in _iter_ring(c_first)]
     hi_i, hi_j = np.nonzero(hits)
     for si, ci in zip(hi_i.tolist(), hi_j.tolist()):
         tt = float(t[si, ci])
