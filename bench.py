@@ -233,11 +233,13 @@ def main():
     for cpus in (SCALING_LO, SCALING_MID, CPUS):
         spark = make_spark(cpus)
         flagship(spark, pages_path)  # warm workers + JIT
-        # the sandbox VM shows multi-second jitter: min of 3 at EVERY
+        # the sandbox VM shows multi-second jitter: min of 4 at EVERY
         # level (same rep count at numerator and denominator, so the
-        # reported scaling efficiency isn't flattered by asymmetry)
+        # reported scaling efficiency isn't flattered by asymmetry; a
+        # single noisy rep at the 2-thread level otherwise swings the
+        # N->4N efficiency by +-0.05 across runs)
         best = None
-        for _ in range(3):
+        for _ in range(4):
             t0 = time.time()
             flagship(spark, pages_path)
             dt = time.time() - t0
