@@ -85,3 +85,49 @@ def test_wholestage_codegen_present(spark):
     assert "*(" in p
     # with_geom=False: the whole extraction is JVM-side — no python eval
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+
+
+def test_cell_join_never_broadcasts_implicitly(spark):
+    """Catalyst sizes UDF+explode output from the scan estimate, so it
+    would happily broadcast a huge exploded polygon cover; candidate_pairs
+    must force a shuffled hash join unless broadcast_right is explicit."""
+    from geofileops_spark.operators.celljoin import candidate_pairs
+    from geofileops_spark.sources import tpch_geo as T
+
+    pairs, _ = candidate_pairs(
+        T.supp_boxes(spark, SF), T.nation_boxes(spark, SF), res=18
+    )
+    p = plan_of(pairs)
+    assert "ShuffledHashJoin" in p
+    # the CELL join itself is never a broadcast; (the payload-light
+    # variant may add broadcast attach joins, so assert on the cell join
+    # being SHJ rather than on the absence of any broadcast)
+    bc, _ = candidate_pairs(
+        T.supp_boxes(spark, SF), T.nation_boxes(spark, SF), res=18,
+        broadcast_right=True,
+    )
+    assert "BroadcastHashJoin" in plan_of(bc)
+
+
+def test_dissolve_triggers_no_full_input_count(spark):
+    """dissolve's merge-round planning must measure the per-cell PARTIAL
+    result, never re-count the raw input (a full extra scan at 100 TB).
+    Guard: the raw-input DataFrame object never receives a .count()."""
+    from unittest import mock
+
+    from geofileops_spark.operators.dissolve import dissolve
+    from geofileops_spark.sources import tpch_geo as T
+
+    layer = T.paired_left(spark, SF)
+    seen = []
+    orig = type(layer).count
+
+    def spy(self):
+        seen.append(self)
+        return orig(self)
+
+    with mock.patch.object(type(layer), "count", spy):
+        dissolve(layer, ["fid"]).count()
+    # counts happen on derived (post-union) frames and the final result,
+    # never on the input layer object itself
+    assert layer not in seen
