@@ -95,7 +95,18 @@ def with_cover(
                 maxy.append(None)
                 cells_col.append(None)
                 continue
-            g = W.loads(bytes(b))
+            try:
+                g = W.loads(bytes(b))
+            except ValueError:
+                # corrupt / unsupported (e.g. curve-typed) WKB: treat as
+                # NULL geometry instead of failing the task — at 100 TB a
+                # handful of bad blobs must not kill the job
+                minx.append(None)
+                miny.append(None)
+                maxx.append(None)
+                maxy.append(None)
+                cells_col.append(None)
+                continue
             pts = g.points()
             if g.typ == 1 and len(pts) == 1:
                 x, y = float(pts[0, 0]), float(pts[0, 1])
@@ -167,7 +178,10 @@ def estimate_res(
         b = r[0]
         if b is None:
             continue
-        g = W.loads(bytes(b))
+        try:
+            g = W.loads(bytes(b))
+        except ValueError:
+            continue  # corrupt/unsupported blob: planning just skips it
         from ..geometry.kernels import bounds as g_bounds
 
         b0, b1, b2, b3 = g_bounds(g)

@@ -73,7 +73,13 @@ def _cell_of_bbox_center(wkb_series: pd.Series, res: int) -> pd.Series:
             cx[i] = np.nan
             cy[i] = np.nan
             continue
-        b0, b1, b2, b3 = g_bounds(W.loads(bytes(b)))
+        try:
+            g = W.loads(bytes(b))
+        except ValueError:
+            cx[i] = np.nan
+            cy[i] = np.nan
+            continue
+        b0, b1, b2, b3 = g_bounds(g)
         cx[i] = (b0 + b2) / 2.0
         cy[i] = (b1 + b3) / 2.0
     ok = np.isfinite(cx)
@@ -108,7 +114,11 @@ def _pick_res(df: DataFrame, geom_col: str, sample: int = 2000) -> int:
     for r in rows:
         if r[0] is None:
             continue
-        b0, b1, b2, b3 = g_bounds(W.loads(bytes(r[0])))
+        try:
+            g = W.loads(bytes(r[0]))
+        except ValueError:
+            continue
+        b0, b1, b2, b3 = g_bounds(g)
         if np.isfinite(b0):
             xs += [b0, b2]
             ys += [b1, b3]
