@@ -185,29 +185,80 @@ def _offset_ring(
     return np.vstack([out, out[:1]])
 
 
-def _proper_cross_matrix(closed_ring: np.ndarray) -> np.ndarray:
-    """(m, m) matrix of proper segment crossings of a ring with itself."""
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
+
+
+def _proper_crossings(closed_ring: np.ndarray):
+    """Sparse (ii, jj) index arrays (ii < jj) of proper segment crossings
+    of a ring with itself.
+
+    Output-sensitive replacement for the old dense (m, m) matrix (which
+    materialized ~12 m*m float64 temporaries and was ~35% of the whole
+    buffer kernel on the parcel bench): sort segments by bbox min-x, pair
+    each segment only with the later-sorted segments whose x-ranges
+    overlap (searchsorted), prune by y-overlap, then run the exact
+    crossing test on the few candidates. Semantics identical: adjacent
+    segments can never properly cross (shared endpoint => any second
+    intersection is collinear => denom ~ 0 => excluded), so no special
+    casing is needed.
+    """
     s = closed_ring[:-1]
     e = closed_ring[1:]
+    m = len(s)
+    if m < 3:
+        return _EMPTY_I64, _EMPTY_I64
+    minx = np.minimum(s[:, 0], e[:, 0])
+    maxx = np.maximum(s[:, 0], e[:, 0])
+    miny = np.minimum(s[:, 1], e[:, 1])
+    maxy = np.maximum(s[:, 1], e[:, 1])
+    order = np.argsort(minx, kind="stable")
+    ominx = minx[order]
+    hi = np.searchsorted(ominx, maxx[order], side="right")
+    pos = np.arange(m)
+    cnt = hi - pos - 1
+    total = int(cnt.sum())
+    if total <= 0:
+        return _EMPTY_I64, _EMPTY_I64
+    if total > 8_000_000:
+        # pathological overlap density: bail like the old m^2 > 4M guard
+        return None
+    pi = np.repeat(pos, cnt)
+    csum = np.concatenate([[0], np.cumsum(cnt)])
+    pj = np.arange(total) - csum[pi] + pi + 1
+    a = order[pi]
+    b = order[pj]
+    keep = np.minimum(maxy[a], maxy[b]) >= np.maximum(miny[a], miny[b])
+    a = a[keep]
+    b = b[keep]
+    if len(a) == 0:
+        return _EMPTY_I64, _EMPTY_I64
     d = e - s
-    denom = d[:, None, 0] * d[None, :, 1] - d[:, None, 1] * d[None, :, 0]
-    ex = s[None, :, 0] - s[:, None, 0]
-    ey = s[None, :, 1] - s[:, None, 1]
-    scale = np.maximum(np.abs(d).sum(axis=1), EPS)[:, None] * np.maximum(
-        np.abs(d).sum(axis=1), EPS
-    )[None, :]
+    da = d[a]
+    db = d[b]
+    denom = da[:, 0] * db[:, 1] - da[:, 1] * db[:, 0]
+    ex = s[b, 0] - s[a, 0]
+    ey = s[b, 1] - s[a, 1]
+    scale = np.maximum(np.abs(da).sum(axis=1), EPS) * np.maximum(
+        np.abs(db).sum(axis=1), EPS
+    )
     nz = np.abs(denom) > EPS * scale
     safe = np.where(nz, denom, 1.0)
-    t = (ex * d[None, :, 1] - ey * d[None, :, 0]) / safe
-    u = (ex * d[:, None, 1] - ey * d[:, None, 0]) / safe
+    t = (ex * db[:, 1] - ey * db[:, 0]) / safe
+    u = (ex * da[:, 1] - ey * da[:, 0]) / safe
     tol = 1e-9
-    return nz & (t > tol) & (t < 1 - tol) & (u > tol) & (u < 1 - tol)
+    hit = nz & (t > tol) & (t < 1 - tol) & (u > tol) & (u < 1 - tol)
+    if not hit.any():
+        return _EMPTY_I64, _EMPTY_I64
+    ah = a[hit]
+    bh = b[hit]
+    return np.minimum(ah, bh), np.maximum(ah, bh)
 
 
 def _ring_is_simple(closed_ring: np.ndarray) -> bool:
-    if (len(closed_ring) - 1) ** 2 > 4_000_000:
-        return False  # too big to check cheaply: let caller fall back
-    return not _proper_cross_matrix(closed_ring).any()
+    res = _proper_crossings(closed_ring)
+    if res is None:
+        return False  # too dense to check cheaply: let caller fall back
+    return len(res[0]) == 0
 
 
 def _excise_loops(closed_ring: np.ndarray, max_frac: float = 0.2):
@@ -222,14 +273,12 @@ def _excise_loops(closed_ring: np.ndarray, max_frac: float = 0.2):
     total = abs(ring_signed_area(ring))
     removed = 0.0
     for _ in range(64):
-        if (len(ring) - 1) ** 2 > 4_000_000:
+        res = _proper_crossings(ring)
+        if res is None:
             return None
-        cross = _proper_cross_matrix(ring)
-        ii, jj = np.nonzero(cross)
+        ii, jj = res
         if len(ii) == 0:
             return ring if removed <= max_frac * max(total, 1e-300) else None
-        up = ii < jj
-        ii, jj = ii[up], jj[up]
         k = int(np.argmin(jj - ii))
         i, j = int(ii[k]), int(jj[k])
         s = ring[:-1]
@@ -257,13 +306,31 @@ def _excise_loops(closed_ring: np.ndarray, max_frac: float = 0.2):
     return None
 
 
+def _any_vertex_closer(pts, s, e, thresh: float) -> bool:
+    """True if any point lies closer than ``thresh`` to any segment.
+    Fused squared-distance form of kernels.points_to_segments_dist for
+    the buffer distance guard: no sqrt, no per-point min materialized."""
+    if thresh <= 0.0 or len(pts) == 0 or len(s) == 0:
+        return False
+    d = e - s
+    len2 = np.maximum((d * d).sum(axis=1), EPS)
+    px = pts[:, None, 0] - s[None, :, 0]
+    py = pts[:, None, 1] - s[None, :, 1]
+    t = (px * d[None, :, 0] + py * d[None, :, 1]) / len2
+    np.clip(t, 0.0, 1.0, out=t)
+    dx = px - t * d[None, :, 0]
+    dy = py - t * d[None, :, 1]
+    d2 = dx * dx
+    d2 += dy * dy
+    return bool((d2 < thresh * thresh).any())
+
+
 def _buffer_polygon_fast(
     rings: list[np.ndarray], d: float, quad_segs: int, join_style: str
 ):
     """Offset-curve buffer of one polygon (list of closed rings, exterior
     first). Returns list of polygons ([] = vanished), or None to request
     the exact-but-slow piece-union fallback."""
-    from .kernels import points_to_segments_dist
 
     ext = rings[0]
     if ring_signed_area(ext) < 0:
@@ -274,6 +341,12 @@ def _buffer_polygon_fast(
     if off is None:
         return None
     if not _ring_is_simple(off):
+        if d < 0:
+            # Erosion that self-crosses is a genuine topology change
+            # (dumbbell/deep-notch polygons split into several lobes);
+            # excising would silently delete a real lobe (<= max_frac of
+            # the area). Only the exact piece-union path gets this right.
+            return None
         off = _excise_loops(off)
         if off is None:
             return None
@@ -288,8 +361,9 @@ def _buffer_polygon_fast(
     # inradius leaving a small inverted-but-CCW ring)
     seg_s = open_ext
     seg_e = np.roll(open_ext, -1, axis=0)
-    dist = points_to_segments_dist(off[:-1], seg_s, seg_e)
-    if (dist < abs(d) * _arc_tol(quad_segs, join_style) - 1e-9).any():
+    if _any_vertex_closer(
+        off[:-1], seg_s, seg_e, abs(d) * _arc_tol(quad_segs, join_style) - 1e-9
+    ):
         return None
     new_rings = [off]
     for hole in rings[1:]:
@@ -305,6 +379,11 @@ def _buffer_polygon_fast(
         if d > 0 and ha_out >= -_MIN_HOLE:
             continue  # hole closed up
         if not _ring_is_simple(oh):
+            if d > 0:
+                # A shrinking hole that self-crosses may genuinely split
+                # into several holes (dumbbell hole + buffer > neck/2);
+                # excision would drop a real hole lobe. Exact path only.
+                return None
             oh = _excise_loops(oh)
             if oh is None:
                 return None
@@ -313,10 +392,12 @@ def _buffer_polygon_fast(
                 continue
         if (d > 0 and ha_out < ha_in) or (d < 0 and ha_out > ha_in):
             return None
-        hd = points_to_segments_dist(
-            oh[:-1], open_h, np.roll(open_h, -1, axis=0)
-        )
-        if (hd < abs(d) * _arc_tol(quad_segs, join_style) - 1e-9).any():
+        if _any_vertex_closer(
+            oh[:-1],
+            open_h,
+            np.roll(open_h, -1, axis=0),
+            abs(d) * _arc_tol(quad_segs, join_style) - 1e-9,
+        ):
             return None
         new_rings.append(oh)
     return [new_rings]

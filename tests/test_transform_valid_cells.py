@@ -55,6 +55,25 @@ def test_buffer_negative_collapses():
     assert r.is_empty() or K.area(r) < 1e-6
 
 
+def test_buffer_negative_dumbbell_splits():
+    # Two 10x10 squares joined by a 4-wide, 1-tall neck; eroding by 1.2
+    # dissolves the neck. The analytic offset ring self-crosses here —
+    # the fast path must fall back so BOTH lobes survive (regression:
+    # _excise_loops used to silently delete one lobe up to 20% of area).
+    dumbbell = (
+        "POLYGON ((0 0, 10 0, 10 4.5, 14 4.5, 14 0, 24 0, 24 10, 14 10, "
+        "14 5.5, 10 5.5, 10 10, 0 10, 0 0))"
+    )
+    r = T.buffer_geom(g(dumbbell), -1.2)
+    from geofileops_spark.geometry import geom as G
+
+    assert r.typ == G.MULTIPOLYGON
+    assert len(r.data) == 2
+    # each lobe erodes to ~7.6 x 7.6 (plus a tiny neck-entrance stub)
+    for poly in r.data:
+        assert abs(K.ring_signed_area(poly[0])) == pytest.approx(57.76, rel=0.02)
+
+
 def test_convex_hull():
     mp = g("MULTIPOINT (0 0, 10 0, 10 10, 0 10, 5 5, 2 3)")
     h = T.convex_hull(mp)
