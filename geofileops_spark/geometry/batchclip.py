@@ -1,0 +1,406 @@
+"""Batched polygon intersection: Greiner–Hormann across MANY ring pairs
+in one set of numpy operations.
+
+The per-pair clipper in :mod:`clip` is algorithmically fine but its cost
+on parcel-sized polygons (10..40 vertices) is dominated by numpy
+call overhead on tiny arrays (~25 kernel launches per pair, measured
+0.64 ms/pair vs GEOS ~0.15 ms). This module amortizes that overhead over
+the whole Arrow batch:
+
+- phase 1 (segment-pair intersection tests) runs ONCE over the
+  flattened cartesian combos of every pair in the batch — identical
+  formulas and tolerances to ``clip._gh_clip``;
+- phase 2 (entry/exit flags) uses the parity identity: along a ring the
+  entry flag strictly alternates, so flag(j-th crossing) =
+  flag(first) XOR (j odd) — no node walk;
+- phase 3 (traversal) hops crossing-to-crossing copying vertex SLICES,
+  never stepping vertex-by-vertex in Python;
+- every degeneracy the per-pair code handles by perturb-and-retry
+  (collinear overlap, vertex touch, odd crossing count, point on
+  boundary, traversal anomaly) routes that single pair back to
+  ``clip.intersection`` — the batch path never guesses.
+
+Reference behavior being matched: GEOS ``ST_Intersection`` as used by
+geofileops two-layer ops (``_geoops_sql.py:1805-2102``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from . import clip as C
+from . import geom as G
+from .kernels import EPS
+
+_ALPHA_TOL = C._ALPHA_TOL
+_MIN_AREA = C._MIN_AREA
+
+# max flattened (subject edge x clip edge) combos processed per numpy
+# sweep. Keep sweeps CACHE-sized, not merely RAM-sized: on the target VM
+# a 2.5M-element sweep runs 6-20x slower than the same work in 50k-element
+# chunks (fresh multi-MB temporaries page-fault; L2-resident chunks don't).
+_MAX_COMBOS = 60_000
+
+
+def _single_ring(g: G.Geometry):
+    """The single exterior ring when g is a 1-polygon, 0-hole polygonal
+    geometry; None otherwise (routes to the per-pair path)."""
+    if g.typ == G.POLYGON:
+        if len(g.data) == 1:
+            return g.data[0]
+        return None
+    if g.typ == G.MULTIPOLYGON and len(g.data) == 1 and len(g.data[0]) == 1:
+        return g.data[0][0]
+    return None
+
+
+def batch_intersection(gs1: list, gs2: list) -> list:
+    """Elementwise ST_Intersection over two geometry lists. Pairs of
+    simple single-ring polygons go through the batched clipper; anything
+    else (holes, multis, lines, points, rects, degeneracies) uses
+    ``clip.intersection`` unchanged."""
+    n = len(gs1)
+    out = [None] * n
+    idxs: list[int] = []
+    pairs: list[tuple[np.ndarray, np.ndarray]] = []
+    for i in range(n):
+        g1, g2 = gs1[i], gs2[i]
+        if g1 is None or g2 is None:
+            out[i] = G.Geometry.empty(G.GEOMETRYCOLLECTION)
+            continue
+        r1 = _single_ring(g1)
+        r2 = _single_ring(g2)
+        if r1 is None or r2 is None:
+            out[i] = C.intersection(g1, g2)
+            continue
+        a = C._open_ring(r1)
+        b = C._open_ring(r2)
+        if len(a) < 3 or len(b) < 3:
+            out[i] = G.Geometry.empty(G.MULTIPOLYGON)
+            continue
+        bb_a = C._ring_bbox(a)
+        bb_b = C._ring_bbox(b)
+        ox = min(bb_a[2], bb_b[2]) - max(bb_a[0], bb_b[0])
+        oy = min(bb_a[3], bb_b[3]) - max(bb_a[1], bb_b[1])
+        if ox < 0.0 or oy < 0.0:
+            out[i] = G.Geometry.empty(G.MULTIPOLYGON)
+            continue
+        if ox <= 0.0 or oy <= 0.0:
+            # bboxes share only a measure-zero strip: interiors disjoint
+            out[i] = G.Geometry.empty(G.MULTIPOLYGON)
+            continue
+        if (
+            len(a) == 4
+            and len(b) == 4
+            and C._as_rect(a) is not None
+            and C._as_rect(b) is not None
+        ):
+            # rect x rect: exact algebra in the per-pair path
+            out[i] = C.intersection(g1, g2)
+            continue
+        idxs.append(i)
+        pairs.append((a, b))
+
+    if pairs:
+        # group pairs so each numpy sweep stays under _MAX_COMBOS
+        start = 0
+        combos = 0
+        groups: list[tuple[int, int]] = []
+        for k, (a, b) in enumerate(pairs):
+            c = len(a) * len(b)
+            if combos and combos + c > _MAX_COMBOS:
+                groups.append((start, k))
+                start = k
+                combos = 0
+            combos += c
+        groups.append((start, len(pairs)))
+        for lo, hi in groups:
+            res = _batch_ring_intersections(pairs[lo:hi])
+            for off, rings in enumerate(res):
+                i = idxs[lo + off]
+                if rings is None:
+                    out[i] = C.intersection(gs1[i], gs2[i])
+                else:
+                    out[i] = C._mp_to_geom(C._reassemble(rings))
+    return out
+
+
+def _batch_ring_intersections(pairs):
+    """Intersection of many (open subject ring, open clip ring) pairs.
+    Returns, per pair, a list of closed result rings — or None when that
+    pair hit a degeneracy and must take the per-pair fallback."""
+    P = len(pairs)
+    n = np.fromiter((len(p[0]) for p in pairs), dtype=np.int64, count=P)
+    m = np.fromiter((len(p[1]) for p in pairs), dtype=np.int64, count=P)
+    A = np.concatenate([p[0] for p in pairs])
+    B = np.concatenate([p[1] for p in pairs])
+    aoff = np.concatenate([[0], np.cumsum(n)])[:-1]
+    boff = np.concatenate([[0], np.cumsum(m)])[:-1]
+
+    # per-ring "next vertex" (circular) edge vectors, flattened
+    nxt_a = np.arange(1, len(A) + 1)
+    nxt_a[aoff + n - 1] = aoff
+    d1 = A[nxt_a] - A
+    nxt_b = np.arange(1, len(B) + 1)
+    nxt_b[boff + m - 1] = boff
+    d2 = B[nxt_b] - B
+    s1len = np.maximum(np.abs(d1).sum(axis=1), EPS)
+    s2len = np.maximum(np.abs(d2).sum(axis=1), EPS)
+
+    # flattened cartesian combos
+    N = n * m
+    T = int(N.sum())
+    pair_of = np.repeat(np.arange(P), N)
+    cstart = np.concatenate([[0], np.cumsum(N)])
+    within = np.arange(T) - cstart[pair_of]
+    m_rep = m[pair_of]
+    si = within // m_rep + aoff[pair_of]
+    ci = within % m_rep + boff[pair_of]
+
+    d1x = d1[si, 0]
+    d1y = d1[si, 1]
+    d2x = d2[ci, 0]
+    d2y = d2[ci, 1]
+    denom = d1x * d2y - d1y * d2x
+    ex = B[ci, 0] - A[si, 0]
+    ey = B[ci, 1] - A[si, 1]
+    scale = s1len[si] * s2len[ci]
+    par = np.abs(denom) <= 1e-14 * scale
+    cross = ex * d1y - ey * d1x
+
+    degen = np.zeros(P, dtype=bool)
+
+    col = par & (np.abs(cross) <= 1e-11 * scale)
+    if col.any():
+        cc = np.nonzero(col)[0]
+        sic = si[cc]
+        cic = ci[cc]
+        L2 = np.maximum(d1x[cc] ** 2 + d1y[cc] ** 2, EPS * EPS)
+        t0 = (
+            (B[cic, 0] - A[sic, 0]) * d1x[cc] + (B[cic, 1] - A[sic, 1]) * d1y[cc]
+        ) / L2
+        q2 = B[nxt_b[cic]]
+        t1 = ((q2[:, 0] - A[sic, 0]) * d1x[cc] + (q2[:, 1] - A[sic, 1]) * d1y[cc]) / L2
+        lo = np.minimum(t0, t1)
+        hi = np.maximum(t0, t1)
+        bad = (hi > _ALPHA_TOL) & (lo < 1 - _ALPHA_TOL)
+        if bad.any():
+            degen[np.unique(pair_of[cc[bad]])] = True
+
+    safe = np.where(par, 1.0, denom)
+    t = (ex * d2y - ey * d2x) / safe
+    u = cross / safe
+    tol = 1e-10
+    near_t = (np.abs(t) < tol) | (np.abs(t - 1.0) < tol)
+    near_u = (np.abs(u) < tol) | (np.abs(u - 1.0) < tol)
+    touch = (
+        ~par
+        & (near_t | near_u)
+        & (t >= -tol)
+        & (t <= 1 + tol)
+        & (u >= -tol)
+        & (u <= 1 + tol)
+    )
+    if touch.any():
+        degen |= np.add.reduceat(touch, cstart[:-1]) > 0
+
+    hits = ~par & (t > 0) & (t < 1) & (u > 0) & (u < 1) & ~near_t & ~near_u
+    nx_per_pair = np.add.reduceat(hits, cstart[:-1])
+    degen |= (nx_per_pair % 2) == 1
+
+    # phase 2 seed: first subject vertex in clip ring / first clip vertex
+    # in subject ring (exact _point_in_ring_strict twin, batched)
+    a0 = A[aoff]
+    b0 = B[boff]
+    in_a0, on_a0 = _batch_point_in_ring(a0, B, d2, boff, m)
+    in_b0, on_b0 = _batch_point_in_ring(b0, A, d1, aoff, n)
+    degen |= on_a0 | on_b0
+
+    # gather per-pair crossing lists
+    hit_idx = np.nonzero(hits)[0]
+    hp = pair_of[hit_idx]
+    h_si = si[hit_idx] - aoff[hp]
+    h_ci = ci[hit_idx] - boff[hp]
+    h_t = t[hit_idx]
+    h_u = u[hit_idx]
+    h_x = A[si[hit_idx], 0] + h_t * d1x[hit_idx]
+    h_y = A[si[hit_idx], 1] + h_t * d1y[hit_idx]
+    pair_starts = np.searchsorted(hp, np.arange(P + 1))
+
+    results: list = []
+    for p in range(P):
+        if degen[p]:
+            results.append(None)
+            continue
+        lo, hi = int(pair_starts[p]), int(pair_starts[p + 1])
+        if lo == hi:
+            # no boundary intersections at all: containment or disjoint.
+            # Degeneracy-free => any vertex decides containment exactly.
+            a = pairs[p][0]
+            b = pairs[p][1]
+            if in_a0[p]:
+                results.append([np.vstack([a, a[:1]])])
+            elif in_b0[p]:
+                results.append([np.vstack([b, b[:1]])])
+            else:
+                results.append([])
+            continue
+        rings = _traverse_pair(
+            pairs[p][0],
+            pairs[p][1],
+            h_si[lo:hi],
+            h_ci[lo:hi],
+            h_t[lo:hi],
+            h_u[lo:hi],
+            h_x[lo:hi],
+            h_y[lo:hi],
+            bool(in_a0[p]),
+            bool(in_b0[p]),
+        )
+        results.append(rings)
+    return results
+
+
+def _batch_point_in_ring(pts, V, dV, off, cnt):
+    """For each pair p, test pts[p] against ring p (vertices V[off:off+cnt]
+    with precomputed edge vectors dV). Returns (inside, on_boundary) —
+    tolerances identical to clip._point_in_ring_strict."""
+    P = len(pts)
+    pair_of = np.repeat(np.arange(P), cnt)
+    x = pts[pair_of, 0]
+    y = pts[pair_of, 1]
+    x1 = V[:, 0]
+    y1 = V[:, 1]
+    dx = dV[:, 0]
+    dy = dV[:, 1]
+    ex = x - x1
+    ey = y - y1
+    cross = ex * dy - ey * dx
+    seg_len2 = dx * dx + dy * dy
+    on_line = cross * cross <= (EPS * 1e6) ** 2 * np.maximum(seg_len2, EPS)
+    dot = ex * dx + ey * dy
+    on_seg = on_line & (dot >= -EPS) & (dot <= seg_len2 + EPS)
+    starts = np.concatenate([[0], np.cumsum(cnt)])[:-1]
+    on_boundary = np.add.reduceat(on_seg, starts) > 0
+    y2 = y1 + dy
+    cond = (y1 > y) != (y2 > y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xints = x1 + (y - y1) * dx / np.where(dy == 0, np.inf, dy)
+    crossed = cond & (x < xints)
+    inside = (np.add.reduceat(crossed, starts) % 2) == 1
+    return inside, on_boundary
+
+
+def _traverse_pair(a, b, sil, cil, t, u, xs, ys, a0_in_b, b0_in_a):
+    """Phase 2+3 for one pair from precomputed proper crossings.
+    Intersection semantics (s_entry=True, c_entry=True). Returns list of
+    closed rings, or None on traversal anomaly (per-pair fallback)."""
+    k = len(sil)
+    n = len(a)
+    m = len(b)
+    # order crossings along each ring
+    order_s = np.lexsort((t, sil))
+    order_c = np.lexsort((u, cil))
+    pos_s = np.empty(k, dtype=np.int64)
+    pos_s[order_s] = np.arange(k)
+    pos_c = np.empty(k, dtype=np.int64)
+    pos_c[order_c] = np.arange(k)
+
+    # entry flags: status before the first crossing is inside(first
+    # vertex), XOR'd with the op flag; it then alternates
+    # (clip._gh_clip phase 2, collapsed to parity arithmetic)
+    # s_entry=True for intersection: entry = NOT (inside ^ True) pattern:
+    #   original: status = inside ^ s_entry; node.entry = status; toggle.
+    j = np.arange(k)
+    entry_s_sorted = (a0_in_b ^ True) ^ (j % 2 == 1)
+    entry_c_sorted = (b0_in_a ^ True) ^ (j % 2 == 1)
+    entry_s = entry_s_sorted[pos_s]  # by crossing id
+    entry_c = entry_c_sorted[pos_c]
+
+    sil_sorted = sil[order_s]
+    cil_sorted = cil[order_c]
+
+    processed = np.zeros(k, dtype=bool)
+    results = []
+    coords = np.stack([xs, ys], axis=1)
+    max_hops = 2 * k + 2
+
+    # start rings from the first unprocessed crossing in SUBJECT ring
+    # order — same choice as the per-pair traversal, so output rings are
+    # bit-identical (starting vertex affects shoelace rounding ~1e-9)
+    for start_j in range(k):
+        start_cid = int(order_s[start_j])
+        if processed[start_cid]:
+            continue
+        piece: list[np.ndarray] = []
+        cid = start_cid
+        on_subject = True
+        hops = 0
+        ok = True
+        while True:
+            processed[cid] = True
+            piece.append(coords[cid : cid + 1])
+            if on_subject:
+                entry = entry_s[cid]
+                jpos = pos_s[cid]
+                if entry:
+                    nj = (jpos + 1) % k
+                    v0 = int(sil_sorted[jpos]) + 1
+                    v1 = int(sil_sorted[nj])  # inclusive
+                    if nj > jpos:
+                        if v1 >= v0:
+                            piece.append(a[v0 : v1 + 1])
+                    else:
+                        piece.append(a[v0:n])
+                        piece.append(a[0 : v1 + 1])
+                else:
+                    nj = (jpos - 1) % k
+                    v1 = int(sil_sorted[jpos])  # inclusive, walking down
+                    v0 = int(sil_sorted[nj]) + 1
+                    if nj < jpos:
+                        if v1 >= v0:
+                            piece.append(a[v0 : v1 + 1][::-1])
+                    else:
+                        piece.append(a[0 : v1 + 1][::-1])
+                        piece.append(a[v0:n][::-1])
+                ncid = int(order_s[nj])
+            else:
+                entry = entry_c[cid]
+                jpos = pos_c[cid]
+                if entry:
+                    nj = (jpos + 1) % k
+                    v0 = int(cil_sorted[jpos]) + 1
+                    v1 = int(cil_sorted[nj])
+                    if nj > jpos:
+                        if v1 >= v0:
+                            piece.append(b[v0 : v1 + 1])
+                    else:
+                        piece.append(b[v0:m])
+                        piece.append(b[0 : v1 + 1])
+                else:
+                    nj = (jpos - 1) % k
+                    v1 = int(cil_sorted[jpos])
+                    v0 = int(cil_sorted[nj]) + 1
+                    if nj < jpos:
+                        if v1 >= v0:
+                            piece.append(b[v0 : v1 + 1][::-1])
+                    else:
+                        piece.append(b[0 : v1 + 1][::-1])
+                        piece.append(b[v0:m][::-1])
+                ncid = int(order_c[nj])
+            # arrive at the next crossing on this ring, then jump rings
+            # (the neighbour link: same crossing id, other ring)
+            cid = ncid
+            on_subject = not on_subject
+            hops += 1
+            if cid == start_cid:
+                break
+            if processed[cid] or hops > max_hops:
+                ok = False
+                break
+        if not ok:
+            return None
+        ring = np.concatenate(piece + [coords[start_cid : start_cid + 1]])
+        if abs(C.ring_signed_area(ring)) > _MIN_AREA:
+            results.append(ring)
+    return results

@@ -32,14 +32,17 @@ from .relation import SpatialQuery
 
 
 # ------------------------------------------------------------ refine UDFs
-def _geom_cache_loader():
+def _geom_cache_loader(max_entries: int = 65536):
+    """Per-batch WKB->Geometry decode cache. Arrow batches after a cell
+    join carry each distinct geometry ~4-9x; the cap only guards against
+    pathological huge batches (65k decoded parcels ~ 35 MB)."""
     cache: dict[bytes, object] = {}
 
     def load(b: bytes):
         g = cache.get(b)
         if g is None:
             g = W.loads(b)
-            if len(cache) > 512:
+            if len(cache) > max_entries:
                 cache.clear()
             cache[b] = g
         return g

@@ -68,20 +68,25 @@ def _drop_degenerate(g: G.Geometry, prim: int) -> G.Geometry:
 
 @pandas_udf(BinaryType())
 def _pair_intersection_udf(wkb1: pd.Series, wkb2: pd.Series) -> pd.Series:
-    out = []
-    for b1, b2 in zip(wkb1, wkb2):
+    from ..geometry.batchclip import batch_intersection
+    from .join import _geom_cache_loader
+
+    # decode each DISTINCT blob once per batch: after a cell join the same
+    # geometry appears in many consecutive candidate pairs
+    load = _geom_cache_loader()
+    rows = []  # (out_idx, g1, g2)
+    out: list = [None] * len(wkb1)
+    for i, (b1, b2) in enumerate(zip(wkb1, wkb2)):
         if b1 is None or b2 is None:
-            out.append(None)
             continue
-        g1, g2 = W.loads(bytes(b1)), W.loads(bytes(b2))
-        inter = C.intersection(g1, g2)
+        rows.append((i, load(bytes(b1)), load(bytes(b2))))
+    inters = batch_intersection([r[1] for r in rows], [r[2] for r in rows])
+    for (i, g1, g2), inter in zip(rows, inters):
         prim = _min_primitive(g1, g2)
         if prim >= 1:
             inter = _drop_degenerate(inter.collection_extract(prim), prim)
-        if inter.is_empty():
-            out.append(None)
-        else:
-            out.append(W.dumps(inter.force_multi()))
+        if not inter.is_empty():
+            out[i] = W.dumps(inter.force_multi())
     return pd.Series(out)
 
 
