@@ -120,9 +120,30 @@ def _q_join_nearest(spark, sf_dir):
     from geofileops_spark.operators.join import join_nearest
     from geofileops_spark.sources import tpch_geo as T
 
+    # expand=False: `distance` is a hard cap (the oracle SQL caps too)
     out = join_nearest(
         T.cust_points(spark, sf_dir), T.supp_points(spark, sf_dir),
-        nb_nearest=2, distance=200.0,
+        nb_nearest=2, distance=200.0, expand=False,
+    )
+    return out.select(
+        F.col("l1_fid").alias("cust_fid"),
+        F.col("pos"),
+        F.col("l2_fid").alias("supp_fid"),
+    )
+
+
+def _q_join_nearest_expand(spark, sf_dir):
+    from geofileops_spark.operators.join import join_nearest
+    from geofileops_spark.sources import tpch_geo as T
+
+    # expand=True (reference geoops.py:3190: `distance` is only the
+    # INITIAL radius): with a tiny initial radius most customers find
+    # fewer than 2 suppliers in round 1 and the ring must keep growing
+    # past it — every customer still ends with exactly k rows. The
+    # oracle is the unrestricted kNN.
+    out = join_nearest(
+        T.cust_points(spark, sf_dir), T.supp_points(spark, sf_dir),
+        nb_nearest=2, distance=10.0, expand=True,
     )
     return out.select(
         F.col("l1_fid").alias("cust_fid"),
@@ -887,6 +908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "export_by_location_disjoint": _q_export_disjoint,
         "export_by_distance": _q_export_distance,
         "join_nearest_k2": _q_join_nearest,
+        "join_nearest_expand": _q_join_nearest_expand,
         "intersection_boxes": _q_intersection,
         "difference_paired": _q_difference,
         "clip_boxes": _q_clip,
@@ -1020,6 +1042,17 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.7"""
                      ) AS pos
               FROM cust_points c JOIN supp_points s
               ON (c.px-s.px)*(c.px-s.px)+(c.py-s.py)*(c.py-s.py) <= 40000
+            ) WHERE pos <= 2""",
+            "cust_points", "supp_points",
+        ),
+        "join_nearest_expand": with_ctes(
+            """SELECT cust_fid, CAST(pos AS INT) AS pos, supp_fid FROM (
+              SELECT c.fid AS cust_fid, s.fid AS supp_fid,
+                     row_number() OVER (
+                       PARTITION BY c.fid
+                       ORDER BY (c.px-s.px)*(c.px-s.px)+(c.py-s.py)*(c.py-s.py), s.fid
+                     ) AS pos
+              FROM cust_points c CROSS JOIN supp_points s
             ) WHERE pos <= 2""",
             "cust_points", "supp_points",
         ),

@@ -161,6 +161,30 @@ def prefix_columns(df: DataFrame, prefix: str, exclude: tuple = ()) -> DataFrame
     return df.select(*cols)
 
 
+def sample_rows_spread(df: DataFrame, col: str, sample: int = 2000):
+    """Planning sample that is NOT head-biased: take the first rows of
+    EVERY partition (one cheap task each, reading only its first Arrow
+    chunk) instead of ``limit(n)`` (which reads partition 0 only — on
+    cell-clustered input, the head is one spatial neighbourhood and any
+    extent/density estimate from it is wrong)."""
+    import pandas as pd
+
+    sub = df.select(col)
+    per_part = max(4, sample // max(sub.rdd.getNumPartitions(), 1))
+
+    def _heads(batches):
+        taken = 0
+        for pdf in batches:
+            take = min(len(pdf), per_part - taken)
+            if take > 0:
+                yield pdf.head(take)
+            taken += take
+            if taken >= per_part:
+                break
+
+    return sub.mapInPandas(_heads, schema=sub.schema).limit(sample).collect()
+
+
 def estimate_res(
     df: DataFrame,
     geom_col: str = "geom_wkb",
@@ -170,7 +194,7 @@ def estimate_res(
     """Sample-based resolution pick: median bbox extent → res where a
     typical geometry spans ~2 cells/axis (planning step, like the
     reference's featurecount probe, ``_geoops_sql.py:4376-4515``)."""
-    rows = df.select(geom_col).limit(sample).collect()
+    rows = sample_rows_spread(df, geom_col, sample)
     extents = []
     xs: list[float] = []
     ys: list[float] = []

@@ -107,7 +107,9 @@ def _pick_res(df: DataFrame, geom_col: str, sample: int = 2000) -> int:
     """Resolution where a typical cell holds a bounded number of rows:
     derived from the sampled data extent and the session parallelism
     (the reference's nb_batches heuristic, ``_geoops_gpd.py:1377-1384``)."""
-    rows = df.select(geom_col).limit(sample).collect()
+    from .celljoin import sample_rows_spread
+
+    rows = sample_rows_spread(df, geom_col, sample)
     xs, ys = [], []
     from ..geometry.kernels import bounds as g_bounds
 

@@ -9,6 +9,8 @@ cell-ring-expansion join + window top-k (SURVEY.md §2.4 mapping table).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window
@@ -525,6 +527,135 @@ def export_by_distance(
 
 
 # ------------------------------------------------------------ join_nearest
+def _scan_size_bytes(df: DataFrame):
+    """Catalyst's size estimate of the UN-transformed plan (for a parquet
+    scan this is file-size based — unlike post-UDF/explode estimates,
+    which misjudge wildly on this engine's plans). None when unavailable."""
+    try:
+        jstats = df._jdf.queryExecution().optimizedPlan().stats()
+        return int(str(jstats.sizeInBytes()))
+    except Exception:  # pragma: no cover - py4j detail
+        return None
+
+
+_BROADCAST_BYTES = int(os.environ.get("GFO_BROADCAST_BYTES", str(32 * 1024 * 1024)))
+
+
+def _broadcast_knn(
+    df1: DataFrame,
+    df2: DataFrame,
+    nb_nearest: int,
+    distance: float,
+    expand: bool,
+    geom_col: str,
+    id_col: str,
+) -> DataFrame:
+    """kNN against a broadcast-small layer 2: collect l2 once, ship it to
+    every task, and resolve each l1 row's k nearest INSIDE one
+    mapInPandas pass — no candidate join, no dedup shuffle, no window
+    (the broadcast-hash-join analogue for kNN; a dimension-sized l2 must
+    never pay per-round shuffles). Exactness: bbox distances lower-bound
+    geometry distances, so candidates are scanned in lower-bound order
+    and refinement stops once the k-th exact distance <= the next lower
+    bound. Ties rank by (distance, l2 id) like the ring path."""
+    import pandas as pd
+
+    from pyspark.sql.types import StructType
+
+    spark = df1.sparkSession
+    l2_prefixed = prefix_columns(df2, "l2_")
+    l2_cols = l2_prefixed.columns
+    l2_rows = l2_prefixed.collect()
+    l2_geom = f"l2_{geom_col}"
+    l2_id = f"l2_{id_col}"
+    bc = spark.sparkContext.broadcast(
+        [tuple(r[c] for c in l2_cols) for r in l2_rows]
+    )
+    c1 = prefix_columns(df1, "l1_")
+    out_schema = StructType(
+        list(c1.schema.fields)
+        + [f for f in l2_prefixed.schema.fields if f.name != l2_geom]
+    )
+    from pyspark.sql.types import DoubleType as _D, IntegerType as _I, StructField as _SF
+
+    out_schema = StructType(
+        out_schema.fields + [_SF("pos", _I()), _SF("distance", _D())]
+    )
+    g_idx = l2_cols.index(l2_geom)
+    id_idx = l2_cols.index(l2_id)
+    attr_cols = [c for c in l2_cols if c != l2_geom]
+    l1_geom = f"l1_{geom_col}"
+
+    def _knn(batches):
+        rows = bc.value
+        m = len(rows)
+        geoms = []
+        bbs = np.full((max(m, 1), 4), np.nan)
+        ids = np.empty(max(m, 1), dtype=np.int64)
+        for i, r in enumerate(rows):
+            g = W.loads(bytes(r[g_idx])) if r[g_idx] is not None else None
+            geoms.append(g)
+            if g is not None and not g.is_empty():
+                bbs[i] = K.bounds(g)
+            ids[i] = -1 if r[id_idx] is None else int(r[id_idx])
+        valid = np.isfinite(bbs[:, 0])
+        attrs = pd.DataFrame(
+            [[r[l2_cols.index(c)] for c in attr_cols] for r in rows],
+            columns=attr_cols,
+        )
+        for pdf in batches:
+            out_rows = []
+            if m == 0:
+                yield pd.DataFrame(columns=[f.name for f in out_schema.fields])
+                continue
+            for _, l1row in pdf.iterrows():
+                b1 = l1row[l1_geom]
+                if b1 is None:
+                    continue
+                g1 = W.loads(bytes(b1))
+                if g1.is_empty():
+                    continue
+                x0, y0, x1, y1 = K.bounds(g1)
+                # bbox->bbox lower-bound distances, vectorized over l2
+                dx = np.maximum(
+                    np.maximum(bbs[:, 0] - x1, x0 - bbs[:, 2]), 0.0
+                )
+                dy = np.maximum(
+                    np.maximum(bbs[:, 1] - y1, y0 - bbs[:, 3]), 0.0
+                )
+                lb = np.hypot(dx, dy)
+                lb[~valid] = np.inf
+                order = np.argsort(lb, kind="stable")
+                best: list[tuple[float, int, int]] = []  # (dist, id, idx)
+                kth = np.inf
+                for oi in order:
+                    if lb[oi] > kth or (not expand and lb[oi] > distance):
+                        break
+                    d = K.distance(g1, geoms[oi])
+                    if not np.isfinite(d):
+                        continue
+                    if not expand and d > distance:
+                        continue
+                    best.append((d, ids[oi], int(oi)))
+                    best.sort()
+                    if len(best) > nb_nearest:
+                        best.pop()
+                    if len(best) == nb_nearest:
+                        kth = best[-1][0]
+                for pos, (d, _lid, oi) in enumerate(best, start=1):
+                    out_rows.append(
+                        tuple(l1row[c] for c in pdf.columns)
+                        + tuple(attrs.iloc[oi])
+                        + (pos, float(d))
+                    )
+            yield pd.DataFrame(
+                out_rows, columns=[f.name for f in out_schema.fields]
+            )
+
+    res = c1.mapInPandas(_knn, schema=out_schema)
+    return res.withColumn("distance_crs", F.col("distance"))
+
+
 def join_nearest(
     df1: DataFrame,
     df2: DataFrame,
@@ -534,34 +665,56 @@ def join_nearest(
     res: int | None = None,
     geom_col: str = "geom_wkb",
     id_col: str = "fid",
-    max_expand_rounds: int = 3,
+    max_expand_rounds: int = 4,
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """k-nearest join (geofileops ``geoops.py:3190`` →
     ``_geoops_sql.py:2581-2697``, Spatialite knn2 on the layer1 centroid).
 
     Spark plan: centroid cell → k-ring candidates join → exact distance →
     ``row_number() OVER (PARTITION BY l1_id ORDER BY distance) <= k``.
-    ``expand=True`` grows the search ring (×4 per round) for rows that
-    found fewer than k neighbours within ``distance``.
-    Output adds ``pos`` (1..k) and ``distance`` columns like the reference.
+    Output adds ``pos`` (1..k), ``distance`` and ``distance_crs`` columns
+    like the reference (planar engine: distance_crs == distance).
 
-    The expansion ring is exploded on the REMAINING layer-1 side (which
-    shrinks every round) with a pure-JVM cell expression; layer 2 keeps
-    its one-time bbox-cover cells (computed once, persisted). Exploding
-    the full l2 side by (2k+1)^2 ring cells per round — the previous
-    shape — is a shuffle amplifier at scale: at round 3 (k=16) it would
-    inflate EVERY l2 row 1089x regardless of how few l1 rows still need
-    neighbours.
+    ``expand`` semantics match the reference: ``distance`` is the INITIAL
+    search radius; with ``expand=True`` the ring keeps growing (×4 per
+    round) for rows that still have fewer than ``nb_nearest`` neighbours
+    — even past ``distance`` — and a final exhaustive pass over layer 2
+    resolves any stragglers, so every l1 row gets min(k, |l2|) rows.
+    With ``expand=False`` only neighbours within ``distance`` qualify.
+
+    Scale shape: the expansion ring is exploded on the REMAINING layer-1
+    side (which shrinks every round); layer 2 keeps its one-time cover
+    cells. When the un-exploded layer 2 scan is measurably small
+    (``GFO_BROADCAST_BYTES``, default 32 MB) the candidate join
+    broadcasts it — a dimension-sized l2 must not pay a shuffle per
+    round (the r2 bench regression); big l2 sides get a forced
+    shuffle-hash join (never an implicit broadcast of a UDF-exploded
+    plan, whose size Catalyst misestimates).
     """
     if distance is None:
         raise ValueError("join_nearest requires a search `distance`")
+    if broadcast is None:
+        small_l2 = _scan_size_bytes(df2)
+        bcast = small_l2 is not None and 0 < small_l2 <= _BROADCAST_BYTES
+    else:
+        bcast = broadcast
+    if bcast:
+        # dimension-sized l2: no join at all (see _broadcast_knn). The
+        # ring machinery below is the big-x-big shape; for a small l2 its
+        # per-round shuffles and ring explosion dominate runtime (the r2
+        # bench regression: rings grow to 1089 cells/row by round 3).
+        return _broadcast_knn(
+            df1, df2, nb_nearest, distance, expand, geom_col, id_col
+        )
     if res is None:
-        # coarse bound: cell >= distance (1-ring covers the search radius
-        # in one round). On dense layers that cell holds hundreds of l2
-        # rows and the candidate join goes quadratic — prefer the
-        # density-derived finer resolution, at most 4 levels finer (the
-        # k-ring quadruples per round, so 3 rounds still guarantee full
-        # distance coverage from cell = distance/16).
+        # coarse bound: cell >= distance (1-ring covers the initial
+        # radius in one round). For a broadcast-small l2 the coarse cell
+        # is always right (the per-cell hash buckets stay small). On big
+        # dense layers the candidate join can go quadratic within a cell
+        # — prefer the density-derived finer resolution, at most 4 levels
+        # finer (rings quadruple per round, so full-distance coverage
+        # still lands by round 3).
         coarse = _res_for_distance(distance)
         if expand:
             res = max(coarse, min(estimate_res(df2, geom_col), coarse + 4))
@@ -583,6 +736,19 @@ def join_nearest(
     if expand:
         e2 = e2.persist()
 
+    def _rank(cand, lim):
+        cand = cand.withColumn(
+            "distance",
+            _distance_udf(F.col(f"l1_{geom_col}"), F.col(f"l2_{geom_col}")),
+        )
+        if lim is not None:
+            cand = cand.where(F.col("distance") <= F.lit(lim))
+        w = Window.partitionBy(f"l1_{id_col}").orderBy("distance", f"l2_{id_col}")
+        ranked = cand.withColumn("pos", F.row_number().over(w)).where(
+            F.col("pos") <= nb_nearest
+        )
+        return ranked.drop("_cell")  # straggler pass has no cell column
+
     results = None
     remaining = c1
     k_ring = 1
@@ -596,36 +762,37 @@ def join_nearest(
         cand = r1.hint("shuffle_hash").join(e2, "_cell").dropDuplicates(
             [f"l1_{id_col}", f"l2_{id_col}"]
         )
-        cand = cand.withColumn(
-            "distance",
-            _distance_udf(F.col(f"l1_{geom_col}"), F.col(f"l2_{geom_col}")),
-        )
         guaranteed = X.cell_size(res) * k_ring  # radius fully covered
-        lim = min(distance, guaranteed) if expand else distance
-        cand = cand.where(F.col("distance") <= F.lit(lim))
-        w = Window.partitionBy(f"l1_{id_col}").orderBy("distance", f"l2_{id_col}")
-        ranked = cand.withColumn("pos", F.row_number().over(w)).where(
-            F.col("pos") <= nb_nearest
-        )
-        if not expand:
-            results = ranked
+        # a neighbour found this round is only a CONFIRMED top-k if it is
+        # within the guaranteed radius (a closer one could hide in an
+        # unvisited cell). expand=False additionally caps at `distance`.
+        lim = guaranteed if expand else min(distance, guaranteed)
+        ranked = _rank(cand, lim)
+        if not expand and guaranteed >= distance:
+            # the ring fully covers the capped search radius: every row
+            # is final, within-distance misses legitimately get no rows
+            results = ranked if results is None else results.unionByName(ranked)
+            remaining = None
             break
         counts = ranked.groupBy(f"l1_{id_col}").agg(F.count("*").alias("_n"))
-        done_ids = counts.where(
-            (F.col("_n") >= nb_nearest) | (F.lit(guaranteed) >= distance)
-        ).select(f"l1_{id_col}")
-        if guaranteed >= distance:
-            done_ids = remaining.select(f"l1_{id_col}")
+        done_ids = counts.where(F.col("_n") >= nb_nearest).select(f"l1_{id_col}")
         done = ranked.join(done_ids, f"l1_{id_col}", "left_semi")
         results = done if results is None else results.unionByName(done)
         remaining = remaining.join(done_ids, f"l1_{id_col}", "left_anti")
-        if guaranteed >= distance:
-            remaining = remaining.where(F.lit(False))
-            break
         k_ring *= 4
-    if results is None:
-        results = ranked  # pragma: no cover
-    out = drop_helper_columns(results.drop("_cx", "_cy", "_cell", "_n", f"l2_{geom_col}"))
+    if remaining is not None:
+        # final pass for stragglers: exhaustive against all of layer 2
+        # (expand=True: reference keeps doubling till nb_nearest found;
+        # expand=False: rows whose `distance` exceeds the rings covered).
+        straggler_cap = None if expand else distance
+        all2 = e2.drop("_cell").dropDuplicates([f"l2_{id_col}"])
+        cand = remaining.crossJoin(all2)
+        tail = _rank(cand, straggler_cap)
+        results = tail if results is None else results.unionByName(tail)
+    out = results.withColumn("distance_crs", F.col("distance"))
+    out = drop_helper_columns(
+        out.drop("_cx", "_cy", "_cell", "_n", f"l2_{geom_col}")
+    )
     return out.withColumnRenamed(f"l1_{geom_col}", geom_col)
 
 

@@ -139,6 +139,62 @@ def test_export_by_distance(layers):
     assert got == expected
 
 
+def test_join_nearest_ring_path_matches_broadcast(layers):
+    # the ring-expansion plan (big-x-big shape) and the broadcast kNN
+    # kernel (dimension-sized l2 shape) must produce identical results
+    _, zones, points = layers
+
+    def norm(df):
+        return sorted(
+            (r["l1_fid"], r["pos"], r["l2_fid"], round(r["distance"], 9))
+            for r in df.select("l1_fid", "pos", "l2_fid", "distance").collect()
+        )
+
+    for expand in (True, False):
+        out_b = J.join_nearest(
+            points, zones, nb_nearest=2, distance=3000.0,
+            expand=expand, broadcast=True,
+        )
+        out_r = J.join_nearest(
+            points, zones, nb_nearest=2, distance=3000.0,
+            expand=expand, broadcast=False,
+        )
+        assert norm(out_b) == norm(out_r), f"expand={expand}"
+
+
+def test_join_nearest_expand_past_initial_distance(spark):
+    # reference semantics (geoops.py:3190): `distance` is only the
+    # INITIAL radius when expand=True — a far row still gets k results;
+    # expand=False caps hard and the far row gets nothing
+    from geofileops_spark.functions.st import st_geomfromtext
+
+    def layer(rows):
+        df = spark.createDataFrame(rows, "fid long, wkt string")
+        return df.select(
+            "fid", st_geomfromtext(F.col("wkt")).alias("geom_wkb")
+        )
+
+    l1 = layer([(1, "POINT (0 0)"), (2, "POINT (100000 100000)")])
+    l2 = layer([(10, "POINT (1 0)"), (11, "POINT (2 0)"), (12, "POINT (3 0)")])
+    for broadcast in (True, False):
+        out = J.join_nearest(
+            l1, l2, nb_nearest=2, distance=5.0, expand=True, broadcast=broadcast
+        ).collect()
+        by_fid = {}
+        for r in out:
+            by_fid.setdefault(r["l1_fid"], []).append((r["pos"], r["l2_fid"]))
+        assert sorted(by_fid[1]) == [(1, 10), (2, 11)]
+        # far row found its 2 nearest despite initial radius 5
+        assert sorted(by_fid[2]) == [(1, 12), (2, 11)]
+        out_capped = J.join_nearest(
+            l1, l2, nb_nearest=2, distance=5.0, expand=False, broadcast=broadcast
+        ).collect()
+        fids = {r["l1_fid"] for r in out_capped}
+        assert fids == {1}
+        # distance_crs mirrors distance (planar engine)
+        assert all(r["distance_crs"] == r["distance"] for r in out)
+
+
 def test_join_nearest(layers):
     _, zones, points = layers
     k = 2
