@@ -63,6 +63,42 @@ def word_ngrams(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------- doc-level hash arrays
+_DEDUP_CACHES: list[DataFrame] = []
+
+
+def release_dedup_caches() -> None:
+    """Unpersist the doc-gram-hash tables cached by the dedup pipelines
+    (DataFrame persists are NOT GC-cleaned — long-lived sessions running
+    many dedup jobs should release them once results are consumed)."""
+    while _DEDUP_CACHES:
+        try:
+            _DEDUP_CACHES.pop().unpersist()
+        except Exception:  # pragma: no cover - session already stopped
+            pass
+
+
+def doc_gram_hashes(
+    df: DataFrame, n: int, text_col: str, id_col: str
+) -> DataFrame:
+    """(id, _ghs array<long>) — per-doc DISTINCT word-n-gram xxhash64s,
+    persisted. The tokenize -> explode -> distinct -> collect DAG is the
+    dominant scan of every dedup pipeline; everything downstream (sizes,
+    MinHash signatures, inverted index, exact verify) derives from this
+    one cached table, so the raw text is scanned exactly once (the r2
+    pipelines re-ran it 3-5x). ~8 bytes per gram cached vs the gram
+    strings themselves."""
+    grams = word_ngrams(df, n, text_col, id_col)
+    doc = (
+        grams.withColumn("_gh", F.xxhash64("gram"))
+        .groupBy("id")
+        .agg(F.collect_list("_gh").alias("_ghs"))
+        .persist()
+    )
+    _DEDUP_CACHES.append(doc)
+    return doc
+
+
 # ------------------------------------------------------- n-gram Jaccard dup
 def ngram_jaccard_pairs(
     df: DataFrame,
@@ -74,24 +110,28 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Pairs (id_a < id_b, jaccard) with word-n-gram Jaccard >= threshold.
 
-    Inverted-index join: common-gram counts come from joining the gram
-    table with itself on gram — one shuffle on gram. ``max_posting``
-    drops ultra-common grams (skew guard; they contribute little to
-    Jaccard but quadratic join work).
+    Inverted-index join: common-gram counts come from joining the
+    (hashed) gram table with itself on gram — one shuffle on gram.
+    ``max_posting`` drops ultra-common grams (skew guard; they contribute
+    little to Jaccard but quadratic join work). Gram identity is the
+    64-bit xxhash64 of the gram (as everywhere in this module): distinct
+    grams per doc make counts on hashes equal to counts on strings
+    modulo 2^-64 collisions.
     """
-    grams = word_ngrams(df, n, text_col, id_col)
-    sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
+    doc = doc_gram_hashes(df, n, text_col, id_col)
+    grams = doc.select("id", F.explode("_ghs").alias("gh"))
+    sizes = doc.select("id", F.size("_ghs").alias("n_grams"))
     hot = (
-        grams.groupBy("gram")
+        grams.groupBy("gh")
         .agg(F.count("*").alias("_df"))
         .where(F.col("_df") > max_posting)
-        .select("gram")
+        .select("gh")
     )
-    pruned = grams.join(F.broadcast(hot), "gram", "left_anti")
-    a = pruned.select(F.col("id").alias("id_a"), "gram")
-    b = pruned.select(F.col("id").alias("id_b"), "gram")
+    pruned = grams.join(F.broadcast(hot), "gh", "left_anti")
+    a = pruned.select(F.col("id").alias("id_a"), "gh")
+    b = pruned.select(F.col("id").alias("id_b"), "gh")
     common = (
-        a.join(b, "gram")
+        a.join(b, "gh")
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("common"))
@@ -147,9 +187,12 @@ def minhash_signatures(
             out.append([int(v) for v in vals.min(axis=1).astype(np.int64)])
         return pd.Series(out)
 
-    doc_grams = grams.withColumn("_gh", F.xxhash64("gram")).groupBy("id").agg(
-        F.collect_list("_gh").alias("_ghs")
-    )
+    if "_ghs" in grams.columns:
+        doc_grams = grams  # pre-aggregated doc_gram_hashes table
+    else:
+        doc_grams = grams.withColumn("_gh", F.xxhash64("gram")).groupBy("id").agg(
+            F.collect_list("_gh").alias("_ghs")
+        )
     return doc_grams.select("id", _sig(F.col("_ghs")).alias("sig")).where(
         F.col("sig").isNotNull()
     )
@@ -167,8 +210,8 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs via MinHash banding, verified with exact
     word-n-gram Jaccard >= threshold. Output (id_a < id_b, jaccard)."""
     rows_per_band = num_perm // bands
-    grams = word_ngrams(df, n, text_col, id_col)
-    sigs = minhash_signatures(grams, num_perm)
+    doc = doc_gram_hashes(df, n, text_col, id_col)
+    sigs = minhash_signatures(doc, num_perm)
     banded = sigs.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(bands - 1))))
     banded = banded.withColumn(
         "band_key",
@@ -187,24 +230,22 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
-    # exact verify on candidates only
-    sizes = grams.groupBy("id").agg(F.count("*").alias("n_grams"))
-    a = grams.select(F.col("id").alias("id_a"), "gram")
-    b = grams.select(F.col("id").alias("id_b"), "gram")
-    common = (
-        cand.join(a, "id_a")
-        .join(b, ["id_b", "gram"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("common"))
-    )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_grams").alias("na"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_grams").alias("nb"))
+    # exact verify on candidates only: join the candidate pair with both
+    # docs' cached hash ARRAYS and intersect JVM-side — no gram-level
+    # re-join, no extra shuffle over the exploded gram table
+    a = doc.select(F.col("id").alias("id_a"), F.col("_ghs").alias("_ga"))
+    b = doc.select(F.col("id").alias("id_b"), F.col("_ghs").alias("_gb"))
     return (
-        common.join(sa, "id_a")
-        .join(sb, "id_b")
+        cand.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("common", F.size(F.array_intersect("_ga", "_gb")))
         .withColumn(
             "jaccard",
-            F.round(F.col("common") / (F.col("na") + F.col("nb") - F.col("common")), 6),
+            F.round(
+                F.col("common")
+                / (F.size("_ga") + F.size("_gb") - F.col("common")),
+                6,
+            ),
         )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
