@@ -200,56 +200,70 @@ def _gh_clip(subj: np.ndarray, clip: np.ndarray, s_entry: bool, c_entry: bool):
     closed_clip = np.vstack([clip, clip[:1]])
     closed_subj = np.vstack([subj, subj[:1]])
 
-    # --- phase 1: find & insert intersections — ONE numpy broadcast over
+    # --- phase 1: find & insert intersections — numpy broadcast over
     # all (subject edge, clip edge) pairs (the former per-pair Python
     # loop dominated every overlay kernel's runtime). Semantics mirror
     # _seg_intersect exactly, including the degeneracy triggers.
     # Node lists are built ONLY once a crossing is known to exist — a
     # large fraction of bbox candidates have none and return early.
+    # The subject-edge axis is CHUNKED so the ~dozen (chunk, m) scratch
+    # arrays stay bounded (~1M elements, like any_segment_intersection
+    # in kernels.py) — two 10k-vertex rings would otherwise allocate
+    # multiple GB inside the Arrow UDF.
     sa = np.asarray(subj, dtype=np.float64)
     ca = np.asarray(clip, dtype=np.float64)
-    d1 = np.roll(sa, -1, axis=0) - sa  # (n,2)
+    d1_full = np.roll(sa, -1, axis=0) - sa  # (n,2)
     d2 = np.roll(ca, -1, axis=0) - ca  # (m,2)
-    denom = d1[:, None, 0] * d2[None, :, 1] - d1[:, None, 1] * d2[None, :, 0]
-    ex = ca[None, :, 0] - sa[:, None, 0]
-    ey = ca[None, :, 1] - sa[:, None, 1]
-    scale = np.maximum(np.abs(d1).sum(axis=1), EPS)[:, None] * np.maximum(
-        np.abs(d2).sum(axis=1), EPS
-    )[None, :]
-    par = np.abs(denom) <= 1e-14 * scale
-    cross = ex * d1[:, None, 1] - ey * d1[:, None, 0]
-    col = par & (np.abs(cross) <= 1e-11 * scale)
-    if col.any():
-        ii, jj = np.nonzero(col)
-        L2 = np.maximum((d1[ii] * d1[ii]).sum(axis=1), EPS * EPS)
-        t0 = ((ca[jj] - sa[ii]) * d1[ii]).sum(axis=1) / L2
-        q2 = np.roll(ca, -1, axis=0)[jj]
-        t1 = ((q2 - sa[ii]) * d1[ii]).sum(axis=1) / L2
-        lo = np.minimum(t0, t1)
-        hi = np.maximum(t0, t1)
-        if ((hi > _ALPHA_TOL) & (lo < 1 - _ALPHA_TOL)).any():
-            raise _Degenerate("collinear overlap")
-    safe = np.where(par, 1.0, denom)
-    t = (ex * d2[None, :, 1] - ey * d2[None, :, 0]) / safe
-    u = cross / safe
+    m = len(ca)
+    scale2 = np.maximum(np.abs(d2).sum(axis=1), EPS)[None, :]
+    ca_next = np.roll(ca, -1, axis=0)
+    chunk = max(1, 1_000_000 // max(m, 1))
     tol = 1e-10
-    near_t = (np.abs(t) < tol) | (np.abs(t - 1.0) < tol)
-    near_u = (np.abs(u) < tol) | (np.abs(u - 1.0) < tol)
-    in_range = (t >= -tol) & (t <= 1 + tol) & (u >= -tol) & (u <= 1 + tol)
-    if (~par & (near_t | near_u) & in_range).any():
-        raise _Degenerate("vertex touch")
-    hits = ~par & (t > 0) & (t < 1) & (u > 0) & (u < 1) & ~near_t & ~near_u
-    n_inters = int(hits.sum())
+    hit_list: list[tuple[int, int, float, float]] = []
+    for s0 in range(0, len(sa), chunk):
+        sc = sa[s0 : s0 + chunk]
+        d1 = d1_full[s0 : s0 + chunk]
+        denom = d1[:, None, 0] * d2[None, :, 1] - d1[:, None, 1] * d2[None, :, 0]
+        ex = ca[None, :, 0] - sc[:, None, 0]
+        ey = ca[None, :, 1] - sc[:, None, 1]
+        scale = np.maximum(np.abs(d1).sum(axis=1), EPS)[:, None] * scale2
+        par = np.abs(denom) <= 1e-14 * scale
+        cross = ex * d1[:, None, 1] - ey * d1[:, None, 0]
+        col = par & (np.abs(cross) <= 1e-11 * scale)
+        if col.any():
+            ii, jj = np.nonzero(col)
+            L2 = np.maximum((d1[ii] * d1[ii]).sum(axis=1), EPS * EPS)
+            t0 = ((ca[jj] - sc[ii]) * d1[ii]).sum(axis=1) / L2
+            t1 = ((ca_next[jj] - sc[ii]) * d1[ii]).sum(axis=1) / L2
+            lo = np.minimum(t0, t1)
+            hi = np.maximum(t0, t1)
+            if ((hi > _ALPHA_TOL) & (lo < 1 - _ALPHA_TOL)).any():
+                raise _Degenerate("collinear overlap")
+        safe = np.where(par, 1.0, denom)
+        t = (ex * d2[None, :, 1] - ey * d2[None, :, 0]) / safe
+        u = cross / safe
+        near_t = (np.abs(t) < tol) | (np.abs(t - 1.0) < tol)
+        near_u = (np.abs(u) < tol) | (np.abs(u - 1.0) < tol)
+        in_range = (t >= -tol) & (t <= 1 + tol) & (u >= -tol) & (u <= 1 + tol)
+        if (~par & (near_t | near_u) & in_range).any():
+            raise _Degenerate("vertex touch")
+        hits = ~par & (t > 0) & (t < 1) & (u > 0) & (u < 1) & ~near_t & ~near_u
+        if hits.any():
+            hi_i, hi_j = np.nonzero(hits)
+            tv = t[hi_i, hi_j]
+            uv = u[hi_i, hi_j]
+            hit_list.extend(
+                zip((hi_i + s0).tolist(), hi_j.tolist(), tv.tolist(), uv.tolist())
+            )
+    n_inters = len(hit_list)
     if n_inters == 0:
         return None
     s_first = _build_list(subj)
     c_first = _build_list(clip)
     s_nodes = [nd for nd in _iter_ring(s_first)]
     c_nodes = [nd for nd in _iter_ring(c_first)]
-    hi_i, hi_j = np.nonzero(hits)
-    for si, ci in zip(hi_i.tolist(), hi_j.tolist()):
-        tt = float(t[si, ci])
-        uu = float(u[si, ci])
+    d1 = d1_full
+    for si, ci, tt, uu in hit_list:
         x = float(sa[si, 0] + tt * d1[si, 0])
         y = float(sa[si, 1] + tt * d1[si, 1])
         a = _Node(x, y, alpha=tt, intersect=True)
