@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
+from .. import cache as _cache
 from ..text.analysis import normalize_text
 
 WS_RE = r"\s+"
@@ -64,18 +65,11 @@ def word_ngrams(df: DataFrame, n: int, text_col: str, id_col: str) -> DataFrame:
 
 
 # --------------------------------------------------- doc-level hash arrays
-_DEDUP_CACHES: list[DataFrame] = []
-
-
 def release_dedup_caches() -> None:
-    """Unpersist the doc-gram-hash tables cached by the dedup pipelines
-    (DataFrame persists are NOT GC-cleaned — long-lived sessions running
-    many dedup jobs should release them once results are consumed)."""
-    while _DEDUP_CACHES:
-        try:
-            _DEDUP_CACHES.pop().unpersist()
-        except Exception:  # pragma: no cover - session already stopped
-            pass
+    """Unpersist persisted intermediates (alias of
+    :func:`geofileops_spark.release_caches` — the dedup doc-gram-hash
+    tables register in the shared session cache registry)."""
+    _cache.release_caches()
 
 
 def doc_gram_hashes(
@@ -95,7 +89,7 @@ def doc_gram_hashes(
         .agg(F.collect_list("_gh").alias("_ghs"))
         .persist()
     )
-    _DEDUP_CACHES.append(doc)
+    _cache.track(doc)
     return doc
 
 

@@ -34,6 +34,7 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
+from .. import cache
 from pyspark.sql import functions as F
 from pyspark.sql.types import BinaryType, StructField, StructType
 
@@ -243,15 +244,25 @@ def dissolve(
             if cur_res == 0:
                 break
     else:
+        prev_round: DataFrame | None = None
         while cur_res > 0:
             merged = merged.persist()
-            if _max_pieces_per_group(merged) <= max_final_fanin:
+            n_pieces = _max_pieces_per_group(merged)  # materializes `merged`
+            if prev_round is not None:
+                # the previous round's cache is dead once this round is
+                # materialized — free it eagerly instead of leaking one
+                # persisted frame per merge round
+                prev_round.unpersist()
+            prev_round = merged
+            if n_pieces <= max_final_fanin:
                 break
             cur_res = max(0, cur_res - 2)
             merged = merged.withColumn(
                 "_cell", _cell_udf_at(cur_res)(F.col(geom_col))
             )
             merged = _partial_union(merged, groups + ["_cell"], geom_col)
+        if prev_round is not None:
+            cache.track(prev_round)  # released by release_caches()
     merged = merged.drop("_cell")
     if groups:
         final = _partial_union(merged, groups, geom_col)

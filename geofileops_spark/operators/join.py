@@ -31,6 +31,7 @@ from .celljoin import (
     with_cover,
 )
 from .relation import SpatialQuery
+from .. import cache
 
 
 # ------------------------------------------------------------ refine UDFs
@@ -734,7 +735,7 @@ def join_nearest(
         "l2__cell", "_cell"
     )
     if expand:
-        e2 = e2.persist()
+        e2 = cache.track(e2.persist())
 
     def _rank(cand, lim):
         cand = cand.withColumn(

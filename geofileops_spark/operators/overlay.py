@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BinaryType
 
+from .. import cache
 from ..geometry import clip as C
 from ..geometry import geom as G
 from ..geometry import wkb as W
@@ -232,11 +233,20 @@ def intersection(
     # no separate `intersects` refine: the intersection kernel itself
     # yields NULL for non-intersecting candidates (running the predicate
     # first would pay the polygon-pair Python cost twice)
+    if keep_empty_geoms:
+        # reference keep_empty_geoms retains rows whose pairwise result is
+        # empty — but only for TRULY intersecting pairs (its candidate SQL
+        # carries an ST_Intersects prefilter, ``_geoops_sql.py:1964-2006``),
+        # so bbox-only cell candidates must still be refined away first.
+        # The predicate cost is only paid on this non-default path.
+        pairs = pairs.where(query_match_udf(_INTERSECTS)(F.col(g1), F.col(g2)))
     out = pairs.withColumn(geom_col, _pair_intersection_udf(F.col(g1), F.col(g2)))
-    out = out.where(F.col(geom_col).isNotNull())
+    if not keep_empty_geoms:
+        out = out.where(F.col(geom_col).isNotNull())
     out = drop_helper_columns(out).drop(g1, g2)
     if sub:
-        out = out.where(F.col(geom_col).isNotNull())
+        # under subdivide, an all-empty pair survives as one NULL-geom row
+        # (collect_list skips NULL parts; the union UDF maps [] -> NULL)
         keys = [f"l1_{id_col}", f"l2_{id_col}"]
         attrs = [c for c in out.columns if c not in keys and c != geom_col]
         out = out.groupBy(*keys).agg(
@@ -416,9 +426,9 @@ def _shared_overlay_parts(
         light_ids=(id_col, id_col),
     )
     g1, g2 = f"l1_{geom_col}", f"l2_{geom_col}"
-    matched = pairs.where(
-        query_match_udf(_INTERSECTS)(F.col(g1), F.col(g2))
-    ).persist()
+    matched = cache.track(
+        pairs.where(query_match_udf(_INTERSECTS)(F.col(g1), F.col(g2))).persist()
+    )
 
     inter = d12 = d21 = None
     if need[0]:

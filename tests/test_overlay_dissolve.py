@@ -207,3 +207,32 @@ def test_difference_keep_empty_geoms(spark):
     kept = difference(left, blade, keep_empty_geoms=True)
     rows = kept.collect()
     assert len(rows) == 1 and rows[0]["geom_wkb"] is None
+
+
+def test_intersection_keep_empty_geoms(spark):
+    from geofileops_spark.functions.st import st_geomfromtext
+    from geofileops_spark.operators.overlay import intersection
+
+    mk = lambda rows: (
+        spark.createDataFrame(rows, "fid long, wkt string")
+        .withColumn("geom_wkb", st_geomfromtext(F.col("wkt")))
+        .drop("wkt")
+    )
+    # l1 row 1 TOUCHES l2 row 1 along an edge (intersection = line ->
+    # extracted to empty for polygon output); l1 row 2's bbox overlaps
+    # l2 row 2's bbox but the triangles are disjoint.
+    l1 = mk([
+        (1, "POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0))"),
+        (2, "POLYGON ((100 100, 109 100, 100 109, 100 100))"),
+    ])
+    l2 = mk([
+        (1, "POLYGON ((10 0, 20 0, 20 10, 10 10, 10 0))"),
+        (2, "POLYGON ((110 101, 110 110, 101 110, 110 101))"),
+    ])
+    # default: both pairs produce no polygon -> dropped
+    assert intersection(l1, l2).count() == 0
+    # keep_empty_geoms: the touching pair survives with NULL geometry;
+    # the disjoint bbox-candidate pair is still refined away
+    rows = intersection(l1, l2, keep_empty_geoms=True).collect()
+    assert len(rows) == 1
+    assert rows[0]["l1_fid"] == 1 and rows[0]["geom_wkb"] is None
