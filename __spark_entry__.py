@@ -705,6 +705,52 @@ def _docs_with_near_dups(spark, sf_dir):
     return docs.unionByName(mut)
 
 
+def _q_select_sql(spark, sf_dir):
+    """User SQL through the geoops.select facade, reference placeholder
+    conventions ({input_layer}/{geometrycolumn}/{batch_filter})."""
+    from geofileops_spark import geoops
+    from geofileops_spark.sources import tpch_geo as T
+
+    df = T.nation_boxes(spark, sf_dir)
+    return geoops.select(
+        df,
+        """SELECT fid % 5 AS grp, COUNT(*) AS n,
+                  CAST(ROUND(SUM(st_area({geometrycolumn}))) AS BIGINT) AS total_area
+             FROM "{input_layer}"
+            WHERE 1=1 {batch_filter}
+            GROUP BY fid % 5""",
+    )
+
+
+def _q_select_sql_two(spark, sf_dir):
+    """Two-layer user SQL through geoops.select_two_layers: spatial join
+    + overlay area inside ONE user statement, all reference placeholders
+    ({inputN_databasename}."{inputN_layer}", geometrycolumns, the
+    prefix-alias column family, {batch_filter})."""
+    from geofileops_spark import geoops
+    from geofileops_spark.sources import tpch_geo as T
+
+    out = geoops.select_two_layers(
+        T.nation_boxes(spark, sf_dir),
+        T.supp_boxes(spark, sf_dir),
+        """SELECT * FROM (
+             SELECT CAST(ROUND(st_area(st_intersection(
+                        layer1.{input1_geometrycolumn},
+                        layer2.{input2_geometrycolumn}))) AS BIGINT) AS area
+                    {layer1_columns_prefix_alias_str}
+                    {layer2_columns_prefix_alias_str}
+               FROM {input1_databasename}."{input1_layer}" layer1
+               JOIN {input2_databasename}."{input2_layer}" layer2
+                 ON layer1.xmax > layer2.xmin AND layer2.xmax > layer1.xmin
+                AND layer1.ymax > layer2.ymin AND layer2.ymax > layer1.ymin
+              WHERE 1=1 {batch_filter}
+           ) sub WHERE area > 0""",
+        input1_columns=["fid"],
+        input2_columns=["fid"],
+    )
+    return out.select("area", "l1_fid", "l2_fid")
+
+
 _NEAR_DUPS_SQL = """both_docs AS (
   SELECT doc_id, text FROM documents
   UNION ALL
@@ -961,6 +1007,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "window_top3_orders": _q_window_topk,
         "events_agg": _q_events_agg,
         "sessionize_events": _q_sessionize,
+        "select_sql_single": _q_select_sql,
+        "select_sql_two_layers": _q_select_sql_two,
     }
 
 
@@ -1399,6 +1447,21 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.7"""
         "events_agg": """SELECT event_type, count(*) AS n,
                CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
         FROM events GROUP BY event_type""",
+        "select_sql_single": with_ctes(
+            """SELECT fid % 5 AS grp, COUNT(*) AS n,
+                   CAST(ROUND(SUM((xmax-xmin)*(ymax-ymin))) AS BIGINT) AS total_area
+            FROM nation_boxes GROUP BY fid % 5""",
+            "nation_boxes",
+        ),
+        "select_sql_two_layers": with_ctes(
+            """SELECT CAST(ROUND((least(n.xmax,s.xmax)-greatest(n.xmin,s.xmin))
+                        * (least(n.ymax,s.ymax)-greatest(n.ymin,s.ymin))) AS BIGINT) AS area,
+                   n.fid AS l1_fid, s.fid AS l2_fid
+            FROM nation_boxes n JOIN supp_boxes s
+              ON n.xmax > s.xmin AND s.xmax > n.xmin
+             AND n.ymax > s.ymin AND s.ymax > n.ymin""",
+            "nation_boxes", "supp_boxes",
+        ),
         "ann_cosine_topk": """WITH q AS (
           SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
           FROM embeddings WHERE vec_id % 50 = 0),

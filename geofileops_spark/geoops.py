@@ -39,6 +39,7 @@ from .operators.overlay import (  # noqa: F401
     union,
 )
 from .operators.union_full import union_full_self  # noqa: F401
+from .sqlops import select, select_two_layers  # noqa: F401
 
 GEOM = "geom_wkb"
 
