@@ -278,6 +278,37 @@ def _q_dedup_geoms(spark, sf_dir):
     return out.select("fid", F.col("copy").cast("int").alias("copy"))
 
 
+def _q_dedup_geoms_collinear(spark, sf_dir):
+    """ST_Equals-grade dedup: the copy has an EXTRA COLLINEAR VERTEX
+    (bottom-edge midpoint), so it is vertex-different but point-set equal
+    — the reference's ST_Equals verify removes it (_geoops_sql.py:
+    164-249); a raw vertex-hash would not."""
+    from geofileops_spark.functions.st import st_geomfromtext
+    from geofileops_spark.operators.join import delete_duplicate_geometries
+    from geofileops_spark.sources import tpch_geo as T
+
+    base = T.nation_boxes(spark, sf_dir)
+    s = lambda c: F.col(c).cast("string")
+    mid = ((F.col("xmin") + F.col("xmax")) / 2).cast("string")
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        s("xmin"), F.lit(" "), s("ymin"), F.lit(", "),
+        mid, F.lit(" "), s("ymin"), F.lit(", "),
+        s("xmax"), F.lit(" "), s("ymin"), F.lit(", "),
+        s("xmax"), F.lit(" "), s("ymax"), F.lit(", "),
+        s("xmin"), F.lit(" "), s("ymax"), F.lit(", "),
+        s("xmin"), F.lit(" "), s("ymin"), F.lit("))"),
+    )
+    orig = base.select("fid", "geom_wkb").withColumn("copy", F.lit(0))
+    variant = base.select(
+        "fid", st_geomfromtext(wkt).alias("geom_wkb")
+    ).withColumn("copy", F.lit(1))
+    out = delete_duplicate_geometries(
+        orig.unionByName(variant), priority_column="copy"
+    )
+    return out.select("fid", F.col("copy").cast("int").alias("copy"))
+
+
 def _q_buffer_square(spark, sf_dir):
     from geofileops_spark.functions.st import st_area, st_buffer
     from geofileops_spark.sources import tpch_geo as T
@@ -964,6 +995,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve_groups": _q_dissolve_groups,
         "dissolve_overlap": _q_dissolve_overlap,
         "delete_duplicate_geometries": _q_dedup_geoms,
+        "dedup_geoms_collinear": _q_dedup_geoms_collinear,
         "buffer_square": _q_buffer_square,
         "buffer_round": _q_buffer_round,
         "convexhull_stars": _q_convexhull,
@@ -1447,6 +1479,10 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.7"""
         "events_agg": """SELECT event_type, count(*) AS n,
                CAST(round(sum(value) * 100) AS BIGINT) AS value_cents
         FROM events GROUP BY event_type""",
+        "dedup_geoms_collinear": with_ctes(
+            "SELECT fid, CAST(0 AS INT) AS copy FROM nation_boxes",
+            "nation_boxes",
+        ),
         "select_sql_single": with_ctes(
             """SELECT fid % 5 AS grp, COUNT(*) AS n,
                    CAST(ROUND(SUM((xmax-xmin)*(ymax-ymin))) AS BIGINT) AS total_area

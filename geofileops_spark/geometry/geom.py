@@ -300,6 +300,61 @@ class Geometry:
             return Geometry(MULTIPOLYGON, polys)
         return Geometry(GEOMETRYCOLLECTION, [g.normalize() for g in d])
 
+    def remove_collinear(self) -> "Geometry":
+        """Drop vertices that lie EXACTLY (cross == 0, strictly between
+        its neighbours) on the segment joining them: the vertex-level
+        differences ST_Equals ignores (an inserted edge midpoint, a split
+        edge). ``remove_collinear().normalize()`` is therefore a
+        point-set-canonical form for the realistic equal-but-vertex-
+        different cases the reference's ST_Equals candidate verify
+        handles (``_geoops_sql.py:164-249``). Exact-zero cross keeps it
+        conservative: it can never merge genuinely different geometries.
+        Spikes (cross == 0 but the vertex NOT between its neighbours)
+        are preserved — they change the point set."""
+
+        def clean_ring(ring: np.ndarray) -> np.ndarray:
+            r = ring[:-1]
+            while len(r) > 3:
+                prev = np.roll(r, 1, axis=0)
+                nxt = np.roll(r, -1, axis=0)
+                v1 = r - prev
+                v2 = nxt - r
+                cross = v1[:, 0] * v2[:, 1] - v1[:, 1] * v2[:, 0]
+                dot = v1[:, 0] * v2[:, 0] + v1[:, 1] * v2[:, 1]
+                col = (cross == 0.0) & (dot > 0.0)
+                if not col.any() or (~col).sum() < 3:
+                    break
+                r = r[~col]
+            return np.vstack([r, r[:1]])
+
+        def clean_line(ls: np.ndarray) -> np.ndarray:
+            if len(ls) <= 2:
+                return ls
+            v1 = ls[1:-1] - ls[:-2]
+            v2 = ls[2:] - ls[1:-1]
+            cross = v1[:, 0] * v2[:, 1] - v1[:, 1] * v2[:, 0]
+            dot = v1[:, 0] * v2[:, 0] + v1[:, 1] * v2[:, 1]
+            keep = np.ones(len(ls), dtype=bool)
+            keep[1:-1] = ~((cross == 0.0) & (dot > 0.0))
+            return ls[keep]
+
+        t, d = self.typ, self.data
+        if t == POLYGON:
+            return Geometry(POLYGON, [clean_ring(r) for r in d])
+        if t == MULTIPOLYGON:
+            return Geometry(
+                MULTIPOLYGON, [[clean_ring(r) for r in p] for p in d]
+            )
+        if t == LINESTRING:
+            return Geometry(LINESTRING, clean_line(d))
+        if t == MULTILINESTRING:
+            return Geometry(MULTILINESTRING, [clean_line(ls) for ls in d])
+        if t == GEOMETRYCOLLECTION:
+            return Geometry(
+                GEOMETRYCOLLECTION, [g.remove_collinear() for g in d]
+            )
+        return self
+
     # ----------------------------------------------------------------- debug
     def __repr__(self):  # pragma: no cover
         return f"<Geometry {self.type_name()} ncoords={self.num_coords()}>"

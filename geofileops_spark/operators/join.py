@@ -807,8 +807,16 @@ def delete_duplicate_geometries(
     """Drop rows whose geometry equals a kept row's geometry, keeping the
     best priority (geofileops ``geoops.py:985`` → ``_geoops_sql.py:
     164-249``, FIRST_VALUE over rtree candidates). Implemented as a
-    window over a normalized-geometry hash — a salted-join-free
-    formulation that scales as a single shuffle on the hash."""
+    window over a POINT-SET-canonical geometry hash — a salted-join-free
+    formulation that scales as a single shuffle on the hash.
+
+    Canonical form = ``remove_collinear().normalize()``: vertex-level
+    differences ST_Equals ignores (inserted edge midpoint, split edge,
+    ring start/orientation, part order) hash identically, so
+    vertex-different-but-equal geometries dedupe like the reference's
+    ST_Equals verify. Deviation (documented): geometries equal as point
+    sets only under a different RING DECOMPOSITION (e.g. one polygon
+    drawn as two abutting rings) are not detected."""
 
     from pyspark.sql.types import BinaryType
 
@@ -819,7 +827,9 @@ def delete_duplicate_geometries(
             if b is None:
                 out.append(None)
             else:
-                out.append(W.dumps(W.loads(bytes(b)).normalize()))
+                out.append(
+                    W.dumps(W.loads(bytes(b)).remove_collinear().normalize())
+                )
         return pd.Series(out)
 
     # hash JVM-side (xxhash64) over the normalized WKB
