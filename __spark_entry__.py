@@ -278,6 +278,88 @@ def _q_dedup_geoms(spark, sf_dir):
     return out.select("fid", F.col("copy").cast("int").alias("copy"))
 
 
+def _q_dissolve_within_distance(spark, sf_dir):
+    """Integer fixture with closed-form weld semantics: per nation, three
+    10x10 squares on one row — A and B separated by gap 2 (< distance 5:
+    the gap piece welds, union area exactly 220), C at gap 12 (beyond the
+    +/-2.5 closing reach: stays separate, area 100). Nations sit on a
+    200-spaced grid so clusters never interact."""
+    from geofileops_spark.functions.st import (
+        st_area,
+        st_geomfromtext,
+        st_minx,
+        st_miny,
+    )
+    from geofileops_spark.operators.dissolve import dissolve_within_distance
+    from geofileops_spark.sources.tpch_geo import load
+
+    n = load(spark, sf_dir, "nation")
+    x0 = ((F.col("n_nationkey") % 5) * 200).cast("double")
+    y0 = (F.floor(F.col("n_nationkey") / 5) * 200).cast("double")
+    base = n.select(F.col("n_nationkey").cast("long").alias("nk"),
+                    x0.alias("x0"), y0.alias("y0"))
+
+    def square(off):
+        xa = F.col("x0") + off
+        s = lambda c: c.cast("string")
+        return F.concat(
+            F.lit("POLYGON (("),
+            s(xa), F.lit(" "), s(F.col("y0")), F.lit(", "),
+            s(xa + 10), F.lit(" "), s(F.col("y0")), F.lit(", "),
+            s(xa + 10), F.lit(" "), s(F.col("y0") + 10), F.lit(", "),
+            s(xa), F.lit(" "), s(F.col("y0") + 10), F.lit(", "),
+            s(xa), F.lit(" "), s(F.col("y0")), F.lit("))"),
+        )
+
+    parts = None
+    for i, off in enumerate((0.0, 12.0, 34.0)):
+        p = base.select(
+            (F.col("nk") * 3 + i).alias("fid"),
+            st_geomfromtext(square(off)).alias("geom_wkb"),
+        )
+        parts = p if parts is None else parts.unionByName(p)
+    out = dissolve_within_distance(parts, distance=5.0)
+    return out.select(
+        _bigint(st_minx(F.col("geom_wkb"))).alias("xmin"),
+        _bigint(st_miny(F.col("geom_wkb"))).alias("ymin"),
+        _bigint(st_area(F.col("geom_wkb"))).alias("area"),
+    )
+
+
+def _q_reduceprecision(spark, sf_dir):
+    """Direct gridsize oracle: boxes with +0.3/+5.7 fractional corners
+    snap to the unit grid -> integer corners, area exactly 36."""
+    from geofileops_spark import geoops
+    from geofileops_spark.functions.st import (
+        st_area,
+        st_geomfromtext,
+        st_minx,
+        st_miny,
+    )
+    from geofileops_spark.sources import tpch_geo as T
+
+    pts = T.cust_points(spark, sf_dir)
+    s = lambda c: c.cast("string")
+    xa, ya = F.col("px") + 0.3, F.col("py") + 0.3
+    xb, yb = F.col("px") + 5.7, F.col("py") + 5.7
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        s(xa), F.lit(" "), s(ya), F.lit(", "),
+        s(xb), F.lit(" "), s(ya), F.lit(", "),
+        s(xb), F.lit(" "), s(yb), F.lit(", "),
+        s(xa), F.lit(" "), s(yb), F.lit(", "),
+        s(xa), F.lit(" "), s(ya), F.lit("))"),
+    )
+    df = pts.select("fid", st_geomfromtext(wkt).alias("geom_wkb"))
+    out = geoops.reduceprecision(df, gridsize=1.0)
+    return out.select(
+        "fid",
+        _bigint(st_minx(F.col("geom_wkb"))).alias("xmin"),
+        _bigint(st_miny(F.col("geom_wkb"))).alias("ymin"),
+        _bigint(st_area(F.col("geom_wkb"))).alias("area"),
+    )
+
+
 def _q_dedup_geoms_collinear(spark, sf_dir):
     """ST_Equals-grade dedup: the copy has an EXTRA COLLINEAR VERTEX
     (bottom-edge midpoint), so it is vertex-different but point-set equal
@@ -996,6 +1078,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve_overlap": _q_dissolve_overlap,
         "delete_duplicate_geometries": _q_dedup_geoms,
         "dedup_geoms_collinear": _q_dedup_geoms_collinear,
+        "dissolve_within_distance": _q_dissolve_within_distance,
+        "reduceprecision_grid": _q_reduceprecision,
         "buffer_square": _q_buffer_square,
         "buffer_round": _q_buffer_round,
         "convexhull_stars": _q_convexhull,
@@ -1482,6 +1566,22 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.7"""
         "dedup_geoms_collinear": with_ctes(
             "SELECT fid, CAST(0 AS INT) AS copy FROM nation_boxes",
             "nation_boxes",
+        ),
+        "dissolve_within_distance": """
+            SELECT CAST((n_nationkey % 5) * 200 AS BIGINT) AS xmin,
+                   CAST(FLOOR(n_nationkey / 5) * 200 AS BIGINT) AS ymin,
+                   CAST(220 AS BIGINT) AS area
+              FROM nation
+            UNION ALL
+            SELECT CAST((n_nationkey % 5) * 200 + 34 AS BIGINT),
+                   CAST(FLOOR(n_nationkey / 5) * 200 AS BIGINT),
+                   CAST(100 AS BIGINT)
+              FROM nation""",
+        "reduceprecision_grid": with_ctes(
+            """SELECT fid, CAST(px AS BIGINT) AS xmin, CAST(py AS BIGINT) AS ymin,
+                   CAST(36 AS BIGINT) AS area
+            FROM cust_points""",
+            "cust_points",
         ),
         "select_sql_single": with_ctes(
             """SELECT fid % 5 AS grp, COUNT(*) AS n,
