@@ -55,3 +55,27 @@ def test_zonal_stats(spark):
     rows = {r["fid"]: r for r in out.collect()}
     assert rows[10]["n_pixels"] == 100 and rows[10]["sum_value"] == 100.0
     assert rows[20]["n_pixels"] == 200 and rows[20]["mean_value"] == 1.0
+
+
+def test_rasterize_huge_zone_bounded_rows(spark):
+    """A single ~1.1M-pixel zone must fan out across (geometry x tile)
+    rows — no UDF row may emit more than _TILE_PX^2 pixel structs, so the
+    task result stays far under the old one-list-per-geometry blowup."""
+    from pyspark.sql import functions as F
+
+    from geofileops_spark.functions.st import st_geomfromtext
+    from geofileops_spark.operators.raster import _TILE_PX, rasterize
+
+    # 1050 x 1050 units at pixel_size=1 -> 1,102,500 pixels, 9x9 tiles
+    df = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 1050 0, 1050 1050, 0 1050, 0 0))")],
+        "fid long, wkt string",
+    ).withColumn("geom_wkb", st_geomfromtext(F.col("wkt"))).drop("wkt")
+    out = rasterize(df, pixel_size=1.0)
+    agg = out.agg(
+        F.count("*").alias("n"), F.sum("value").alias("s")
+    ).collect()[0]
+    # every pixel exactly once (fan-out is ceil(1050/128)^2 = 81 tile
+    # rows of <= _TILE_PX^2 pixels each, instead of one 1.1M-dict list)
+    assert agg["n"] == 1050 * 1050 and agg["s"] == float(1050 * 1050)
+    assert _TILE_PX == 128
