@@ -57,6 +57,50 @@ def _segment_rect(p, q, d, extend_start=0.0, extend_end=0.0) -> np.ndarray | Non
     return np.array([p2 + n, q2 + n, q2 - n, p2 - n, p2 + n])
 
 
+def _mitre_wedge(pp, p, pn, d, mitre_limit) -> np.ndarray | None:
+    """Join patch for a mitre corner on the OUTER side of the turn: the
+    wedge between the two edge rectangles up to the miter apex, beveled
+    at mitre_limit*d from the vertex (GEOS semantics). None for straight/
+    degenerate corners (no patch needed) and u-turns (caller squares)."""
+    v_in = p - pp
+    v_out = pn - p
+    L1 = np.hypot(v_in[0], v_in[1])
+    L2 = np.hypot(v_out[0], v_out[1])
+    if L1 < EPS or L2 < EPS:
+        return _square(p, d)
+    u_in = v_in / L1
+    u_out = v_out / L2
+    c = u_in[0] * u_out[1] - u_in[1] * u_out[0]
+    if abs(c) < 1e-12:
+        if float(u_in @ u_out) > 0:
+            return None  # straight (rectangles already cover it)
+        return _square(p, d)  # u-turn: bisector undefined
+    sgn = -1.0 if c > 0 else 1.0  # outer side of the turn
+    n_in = np.array([u_in[1], -u_in[0]]) * sgn
+    n_out = np.array([u_out[1], -u_out[0]]) * sgn
+    a = p + n_in * d
+    b = p + n_out * d
+    w = n_in + n_out
+    wn = np.hypot(w[0], w[1])
+    if wn < 1e-9:
+        return _square(p, d)  # near-u-turn
+    w = w / wn
+    cos_half = float(w @ n_in)
+    if cos_half <= 1e-9:
+        return _square(p, d)
+    m = p + w * (d / cos_half)
+    if d / cos_half > mitre_limit * d:
+        q = p + w * (mitre_limit * d)
+        den1 = float(u_in @ w)
+        den2 = float(u_out @ w)
+        m1 = a + u_in * (float((q - a) @ w) / den1) if abs(den1) > 1e-12 else q
+        m2 = b + u_out * (float((q - b) @ w) / den2) if abs(den2) > 1e-12 else q
+        ring = np.array([p, a, m1, m2, b, p])
+    else:
+        ring = np.array([p, a, m, b, p])
+    return ring
+
+
 def _path_sausage(
     path: np.ndarray,
     d: float,
@@ -64,6 +108,7 @@ def _path_sausage(
     cap_style: str,
     join_style: str,
     closed: bool,
+    mitre_limit: float = 5.0,
 ) -> list[np.ndarray]:
     """Offset pieces (rings) for one polyline: rectangles per edge +
     join/cap shapes per vertex."""
@@ -83,8 +128,10 @@ def _path_sausage(
     idxs = range(n - 1) if closed else range(1, n - 1)
     for i in idxs:
         if join_style == "mitre":
-            # mitre approximated with a square patch bounded by mitre_limit
-            pieces.append(_square(path[i], d * 1.0))
+            pp = path[i - 1] if i > 0 else path[n - 2]
+            wedge = _mitre_wedge(pp, path[i], path[i + 1], d, mitre_limit)
+            if wedge is not None:  # None = straight corner, no patch
+                pieces.append(wedge)
         else:
             pieces.append(_circle(path[i], d, quad_segs))
     # caps at the two endpoints
@@ -95,7 +142,8 @@ def _path_sausage(
 
 
 def _offset_ring(
-    ring_open: np.ndarray, d: float, quad_segs: int, join_style: str
+    ring_open: np.ndarray, d: float, quad_segs: int, join_style: str,
+    mitre_limit: float = 5.0,
 ) -> np.ndarray | None:
     """Analytic offset of one simple ring by ``d`` (the classic offset-
     curve construction GEOS's buffer is built on): every edge shifts
@@ -142,6 +190,17 @@ def _offset_ring(
         t = (ex * u[:, 1] - ey * u[:, 0]) / np.where(np.abs(c) < 1e-12, 1.0, c)
     m = a + t[:, None] * up
 
+    # mitre_limit (GEOS semantics): a miter point further than
+    # limit*|d| from the vertex is BEVELED — the spike is cut by the
+    # line perpendicular to the corner bisector at the limit distance,
+    # emitting the two intersections with the offset lines instead
+    if join_style == "mitre":
+        mdist = np.hypot(m[:, 0] - p[:, 0], m[:, 1] - p[:, 1])
+        bevel = trim & (mdist > mitre_limit * abs(d))
+    else:
+        bevel = np.zeros(n, dtype=bool)
+    trim = trim & ~bevel
+
     # arcs: ragged vectorization (one concatenated angle array)
     two_pi = 2.0 * np.pi
     ang_a = np.arctan2(a[:, 1] - p[:, 1], a[:, 0] - p[:, 0])
@@ -155,7 +214,11 @@ def _offset_ring(
         arc, np.maximum(1, np.ceil(quad_segs * span / (np.pi / 2)).astype(np.int64)), 0
     )
 
-    counts = np.where(straight, 1, np.where(arc, steps + 1, np.where(parallel, 2, 1)))
+    counts = np.where(
+        straight,
+        1,
+        np.where(arc, steps + 1, np.where(parallel | bevel, 2, 1)),
+    )
     offsets = np.concatenate([[0], np.cumsum(counts)])
     total = int(offsets[-1])
     out = np.empty((total, 2), dtype=np.float64)
@@ -167,6 +230,21 @@ def _offset_ring(
         po = offsets[:-1][parallel]
         out[po] = a[parallel]
         out[po + 1] = b[parallel]
+    if bevel.any():
+        bi = np.nonzero(bevel)[0]
+        w = (m[bi] - p[bi]) / mdist[bi, None]
+        q = p[bi] + w * (mitre_limit * abs(d))
+        den1 = (up[bi] * w).sum(axis=1)
+        den2 = (u[bi] * w).sum(axis=1)
+        t1 = ((q - a[bi]) * w).sum(axis=1) / np.where(
+            np.abs(den1) < 1e-12, 1.0, den1
+        )
+        t2 = ((q - b[bi]) * w).sum(axis=1) / np.where(
+            np.abs(den2) < 1e-12, 1.0, den2
+        )
+        bo = offsets[:-1][bi]
+        out[bo] = a[bi] + t1[:, None] * up[bi]
+        out[bo + 1] = b[bi] + t2[:, None] * u[bi]
     if arc.any():
         ai = np.nonzero(arc)[0]
         st = steps[ai]
@@ -326,7 +404,8 @@ def _any_vertex_closer(pts, s, e, thresh: float) -> bool:
 
 
 def _buffer_polygon_fast(
-    rings: list[np.ndarray], d: float, quad_segs: int, join_style: str
+    rings: list[np.ndarray], d: float, quad_segs: int, join_style: str,
+    mitre_limit: float = 5.0,
 ):
     """Offset-curve buffer of one polygon (list of closed rings, exterior
     first). Returns list of polygons ([] = vanished), or None to request
@@ -337,7 +416,7 @@ def _buffer_polygon_fast(
         ext = ext[::-1].copy()
     a_in = ring_signed_area(ext)
     open_ext = _dedup_ring(ext)
-    off = _offset_ring(open_ext, d, quad_segs, join_style)
+    off = _offset_ring(open_ext, d, quad_segs, join_style, mitre_limit)
     if off is None:
         return None
     if not _ring_is_simple(off):
@@ -372,7 +451,7 @@ def _buffer_polygon_fast(
             h = h[::-1].copy()  # holes CW: region on the left of travel
         ha_in = ring_signed_area(h)  # negative
         open_h = _dedup_ring(h)
-        oh = _offset_ring(open_h, d, quad_segs, join_style)
+        oh = _offset_ring(open_h, d, quad_segs, join_style, mitre_limit)
         if oh is None:
             return None
         ha_out = ring_signed_area(oh)
@@ -464,7 +543,7 @@ def buffer_geom(
             if len(rings) > 1:
                 fast = None
                 break
-            r = _buffer_polygon_fast(rings, -d, quad_segs, join_style)
+            r = _buffer_polygon_fast(rings, -d, quad_segs, join_style, mitre_limit)
             if r is None:
                 fast = None
                 break
@@ -491,7 +570,7 @@ def buffer_geom(
         base0 = _geom_to_mp(geom)
         fast2: list | None = []
         for rings in base0:
-            r = _buffer_polygon_fast(rings, d, quad_segs, join_style)
+            r = _buffer_polygon_fast(rings, d, quad_segs, join_style, mitre_limit)
             if r is None:
                 fast2 = None
                 break
@@ -528,14 +607,16 @@ def buffer_geom(
                 )
         else:
             pieces.extend(
-                _path_sausage(ls, d, quad_segs, cap_style, join_style, closed=False)
+                _path_sausage(ls, d, quad_segs, cap_style, join_style,
+                              closed=False, mitre_limit=mitre_limit)
             )
     # polygons -> original + boundary sausage
     base = _geom_to_mp(geom)
     for rings in base:
         for ring in rings:
             pieces.extend(
-                _path_sausage(ring, d, quad_segs, "round", join_style, closed=True)
+                _path_sausage(ring, d, quad_segs, "round", join_style,
+                              closed=True, mitre_limit=mitre_limit)
             )
     all_polys = list(base) + [[p if ring_signed_area(p) > 0 else p[::-1].copy()] for p in pieces]
     return _mp_to_geom(union_all_polys(all_polys))

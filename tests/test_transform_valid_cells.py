@@ -263,3 +263,21 @@ def test_gcp_warp_polynomial_and_tps():
     dst = np.array([[g[2], g[3]] for g in gcps_aff], dtype=float)
     assert np.allclose(t(src), dst, atol=1e-8)
     assert np.allclose(t(np.array([[3.0, 8.0]])), [[7.0, 4.0]], atol=1e-6)
+
+
+def test_buffer_mitre_limit_bevels_spike():
+    """GEOS mitre_limit semantics: a sharp corner whose miter point would
+    sit ~20*d from the vertex is beveled at limit*d; raising the limit
+    restores the full miter."""
+    import math
+
+    from geofileops_spark.geometry.kernels import bounds
+    from geofileops_spark.geometry.transform import buffer_geom
+    from geofileops_spark.geometry.wkb import from_wkt
+
+    g = from_wkt("POLYGON ((0 0, 100 0, 0 10, 0 0))")
+    ext_expected = 1.0 / math.sin(math.atan2(10, 100) / 2)  # ~20.08
+    x_lim5 = bounds(buffer_geom(g, 1.0, join_style="mitre", mitre_limit=5.0))[2]
+    x_lim50 = bounds(buffer_geom(g, 1.0, join_style="mitre", mitre_limit=50.0))[2]
+    assert 100 + 4.9 < x_lim5 < 100 + 5.5  # beveled at ~5*d
+    assert abs(x_lim50 - (100 + ext_expected)) < 0.1  # full miter
