@@ -109,6 +109,10 @@ def frame_sample(df: DataFrame, media_col: str = "media", every_n: int = 10) -> 
     """Video frame sampling stub: emits one row per sampled frame with a
     frame index — the explode shape of a real frame sampler. Frame bytes
     are deterministic slices of the source blob (fake kernel)."""
+    if not FAKE_DECODE:  # pragma: no cover
+        raise NotImplementedError(
+            "real video frame sampling requires av/ffmpeg; not in container"
+        )
     out_schema = StructType(
         [f for f in df.schema.fields if f.name != media_col]
         + [StructField("frame_idx", IntegerType()), StructField("frame", BinaryType())]
@@ -116,22 +120,24 @@ def frame_sample(df: DataFrame, media_col: str = "media", every_n: int = 10) -> 
 
     def _sample(batches):
         for pdf in batches:
-            rows = {f: [] for f in [c for c in pdf.columns if c != media_col]}
-            fidx, frames = [], []
-            for _, row in pdf.iterrows():
-                b = row[media_col]
-                if b is None:
-                    continue
-                buf = bytes(b)
-                n_frames = max(1, len(buf) // 256)
-                for i in range(0, n_frames, every_n):
-                    for c in rows:
-                        rows[c].append(row[c])
-                    fidx.append(i)
-                    frames.append(buf[i * 256 : (i + 1) * 256])
-            out = pd.DataFrame(rows)
+            keep = pdf[media_col].notna().to_numpy()
+            pdf = pdf[keep].reset_index(drop=True)
+            lens = pdf[media_col].map(len).to_numpy(dtype=np.int64)
+            n_frames = np.maximum(1, lens // 256)
+            counts = (n_frames + every_n - 1) // every_n  # sampled per row
+            # vectorized explode: repeat row indices, per-frame offsets
+            rep = np.repeat(np.arange(len(pdf)), counts)
+            starts = np.repeat(
+                np.concatenate([[0], np.cumsum(counts)])[:-1], counts
+            )
+            fidx = (np.arange(len(rep)) - starts) * every_n
+            out = pdf.drop(columns=[media_col]).iloc[rep].reset_index(drop=True)
+            blobs = pdf[media_col].to_numpy()
             out["frame_idx"] = pd.array(fidx, dtype="Int32")
-            out["frame"] = frames
+            out["frame"] = [
+                bytes(blobs[r])[i * 256 : (i + 1) * 256]
+                for r, i in zip(rep.tolist(), fidx.tolist())
+            ]
             yield out
 
     return df.mapInPandas(_sample, schema=out_schema)

@@ -142,6 +142,33 @@ def test_frame_sample(spark):
     frames = MM.frame_sample(media, every_n=1)
     assert frames.count() >= 8
     assert frames.where(F.col("frame").isNull()).count() == 0
+    # exact explode arithmetic: every blob yields ceil((len//256 or 1)/n)
+    # frames at indices 0, n, 2n... and frame bytes are the blob slices
+    media_rows = {r["media_id"]: bytes(r["media"]) for r in media.collect()}
+    got = frames.select("media_id", "frame_idx", "frame").collect()
+    import math
+
+    expected_n = sum(
+        math.ceil(max(1, len(b) // 256) / 3) for b in media_rows.values()
+    )
+    got3 = MM.frame_sample(media, every_n=3).collect()
+    assert len(got3) == expected_n
+    for r in got:
+        blob = media_rows[r["media_id"]]
+        assert bytes(r["frame"]) == blob[r["frame_idx"] * 256 : (r["frame_idx"] + 1) * 256]
+
+
+def test_fake_decode_contract(spark, monkeypatch):
+    """Flipping FAKE_DECODE without a real codec backend must fail LOUDLY
+    at plan time — never silently keep serving byte-histogram fakes."""
+    import pytest
+
+    media = MM.synth_media(spark, 2)
+    monkeypatch.setattr(MM, "FAKE_DECODE", False)
+    with pytest.raises(NotImplementedError):
+        MM.decode_images(media)
+    with pytest.raises(NotImplementedError):
+        MM.frame_sample(media)
 
 
 def test_ivf_topk_recall(spark, emb):
