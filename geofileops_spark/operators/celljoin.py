@@ -354,6 +354,22 @@ def candidate_pairs(
     )
     if light:
         id1, id2 = light_ids
+        # the payload re-attach is an inner equi-join on these ids: a
+        # non-unique id (fid after explodecollections / subdivide) would
+        # silently MULTIPLY pair rows. Guard with one column-only scan
+        # per side (cheap vs the join itself; only on this opt-in path).
+        for side, (frame, idc) in enumerate(((df1, id1), (df2, id2)), 1):
+            chk = frame.agg(
+                F.count(idc).alias("n"),
+                F.countDistinct(idc).alias("d"),
+            ).collect()[0]
+            if chk["n"] != chk["d"]:
+                raise ValueError(
+                    f"light_ids[{side - 1}]={idc!r} is not row-unique in "
+                    f"layer {side} ({chk['n']} rows, {chk['d']} distinct) "
+                    "— the payload-light plan would duplicate pairs. Use "
+                    "a unique key or unset GFO_LIGHT_PAIRS."
+                )
         c1 = with_cover(df1.select(id1, geom_col1), res, geom_col1).drop(geom_col1)
         c2 = with_cover(df2.select(id2, geom_col2), res, geom_col2).drop(geom_col2)
     else:
