@@ -15,6 +15,8 @@ factories returning a ready Column expression.
 
 from __future__ import annotations
 
+import struct
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column
@@ -43,13 +45,21 @@ from ..index import cells as X
 
 
 # ------------------------------------------------------------ scalar helpers
+def _try_loads(b: bytes):
+    """Decode WKB, treating corrupt/unsupported blobs as NULL geometry —
+    at 100 TB a handful of bad blobs must not kill a job (same tolerance
+    as the cell-cover/dissolve planning paths)."""
+    try:
+        return W.loads(b)
+    except (ValueError, struct.error, IndexError):
+        return None
+
+
 def _map_scalar(ser: pd.Series, fn, default=None):
     out = []
     for b in ser:
-        if b is None:
-            out.append(default)
-            continue
-        out.append(fn(W.loads(bytes(b))))
+        g = _try_loads(bytes(b)) if b is not None else None
+        out.append(default if g is None else fn(g))
     return out
 
 
@@ -57,10 +67,11 @@ def _map_geom(ser: pd.Series, fn):
     """WKB series -> WKB series through a Geometry->Geometry fn."""
     out = []
     for b in ser:
-        if b is None:
+        g0 = _try_loads(bytes(b)) if b is not None else None
+        if g0 is None:
             out.append(None)
             continue
-        g = fn(W.loads(bytes(b)))
+        g = fn(g0)
         out.append(W.dumps(g) if g is not None else None)
     return out
 

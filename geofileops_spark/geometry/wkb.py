@@ -119,33 +119,132 @@ def loads(buf: bytes) -> Geometry:
     return geom
 
 
+# ISO SQL/MM curve type codes (linearized on decode, like GDAL's
+# OGR_G_GetLinearGeometry — the reference reads curvepolygon fixtures
+# through GDAL, /root/reference/tests/test_helper.py:46)
+_CIRCULARSTRING = 8
+_COMPOUNDCURVE = 9
+_CURVEPOLYGON = 10
+_MULTICURVE = 11
+_MULTISURFACE = 12
+_ARC_QUAD_SEGS = 8  # segments per quarter circle when linearizing
+
+
+def _linearize_arcs(pts: np.ndarray) -> np.ndarray:
+    """CIRCULARSTRING control points (odd count: arcs over consecutive
+    point triples) -> polyline. Collinear triples pass through as two
+    straight segments; a closed triple (p0 == p2) is a full circle."""
+    if len(pts) < 3:
+        return pts
+    out = [pts[:1]]
+    for i in range(0, len(pts) - 2, 2):
+        p0, p1, p2 = pts[i], pts[i + 1], pts[i + 2]
+        ax, ay = p0
+        bx, by = p1
+        cx, cy = p2
+        d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+        scale = max(abs(ax), abs(ay), abs(bx), abs(by), abs(cx), abs(cy), 1.0)
+        if abs(d) < 1e-12 * scale * scale:
+            out.append(np.array([p1, p2]))  # collinear: straight
+            continue
+        a2 = ax * ax + ay * ay
+        b2 = bx * bx + by * by
+        c2 = cx * cx + cy * cy
+        ux = (a2 * (by - cy) + b2 * (cy - ay) + c2 * (ay - by)) / d
+        uy = (a2 * (cx - bx) + b2 * (ax - cx) + c2 * (bx - ax)) / d
+        r = float(np.hypot(ax - ux, ay - uy))
+        t0 = float(np.arctan2(ay - uy, ax - ux))
+        t1 = float(np.arctan2(by - uy, bx - ux))
+        t2 = float(np.arctan2(cy - uy, cx - ux))
+        two_pi = 2.0 * np.pi
+        if abs(ax - cx) < 1e-12 * scale and abs(ay - cy) < 1e-12 * scale:
+            sweep = two_pi if ((t1 - t0) % two_pi) > 0 else -two_pi
+        else:
+            ccw_mid = (t1 - t0) % two_pi
+            ccw_end = (t2 - t0) % two_pi
+            if ccw_mid <= ccw_end:
+                sweep = ccw_end
+            else:
+                sweep = ccw_end - two_pi
+        nseg = max(2, int(np.ceil(_ARC_QUAD_SEGS * abs(sweep) / (np.pi / 2))))
+        ang = t0 + np.linspace(0.0, sweep, nseg + 1)[1:]
+        seg = np.column_stack([ux + r * np.cos(ang), uy + r * np.sin(ang)])
+        seg[-1] = p2  # pin the endpoint exactly
+        out.append(seg)
+    return np.vstack(out)
+
+
+def _as_line_coords(g: Geometry) -> np.ndarray:
+    if g.typ != LINESTRING:
+        raise ValueError(f"curve component is not linear: {g.typ}")
+    return g.data
+
+
 def _read(mv: memoryview, off: int):
     byteorder = mv[off]
-    if byteorder == 1:
-        typ = int.from_bytes(mv[off + 1 : off + 5], "little")
-    else:
-        typ = int.from_bytes(mv[off + 1 : off + 5], "big")
-    # strip Z/M/SRID flags (ISO codes 1001.., EWKB 0x80000000/0x20000000)
-    typ = typ & 0xFF
-    if typ > 7:
-        typ = typ % 1000
-    off += 5
     bo = "<" if byteorder == 1 else ">"
+    raw = int.from_bytes(
+        mv[off + 1 : off + 5], "little" if byteorder == 1 else "big"
+    )
+    off += 5
+    # EWKB flags
+    has_z = bool(raw & 0x80000000)
+    has_m = bool(raw & 0x40000000)
+    if raw & 0x20000000:  # EWKB embedded SRID: skip it
+        off += 4
+    base = raw & 0x0FFFFFFF
+    # ISO SQL/MM dimension codes: +1000 Z, +2000 M, +3000 ZM
+    iso = base // 1000
+    typ = base % 1000
+    ndims = 2 + int(has_z or iso in (1, 3)) + int(has_m or iso in (2, 3))
     if typ == POINT:
-        x, y = struct.unpack_from(bo + "2d", mv, off)
-        return Geometry(POINT, np.array([x, y])), off + 16
+        vals = struct.unpack_from(bo + f"{ndims}d", mv, off)
+        return Geometry(POINT, np.array(vals[:2])), off + 8 * ndims
     if typ == LINESTRING:
-        coords, off = _read_coords(mv, off, bo)
+        coords, off = _read_coords(mv, off, bo, ndims)
         return Geometry(LINESTRING, coords), off
+    if typ == _CIRCULARSTRING:
+        coords, off = _read_coords(mv, off, bo, ndims)
+        return Geometry(LINESTRING, _linearize_arcs(coords)), off
     if typ == POLYGON:
         (nrings,) = struct.unpack_from(bo + "I", mv, off)
         off += 4
         rings = []
         for _ in range(nrings):
-            ring, off = _read_coords(mv, off, bo)
+            ring, off = _read_coords(mv, off, bo, ndims)
             rings.append(ring)
         return Geometry(POLYGON, rings), off
-    if typ in (MULTIPOINT, MULTILINESTRING, MULTIPOLYGON, GEOMETRYCOLLECTION):
+    if typ == _COMPOUNDCURVE:
+        (n,) = struct.unpack_from(bo + "I", mv, off)
+        off += 4
+        parts = []
+        for _ in range(n):
+            g, off = _read(mv, off)
+            seg = _as_line_coords(g)
+            if parts and len(seg):
+                seg = seg[1:]  # joints are repeated between components
+            parts.append(seg)
+        coords = np.vstack(parts) if parts else np.empty((0, 2))
+        return Geometry(LINESTRING, coords), off
+    if typ == _CURVEPOLYGON:
+        (nrings,) = struct.unpack_from(bo + "I", mv, off)
+        off += 4
+        rings = []
+        for _ in range(nrings):
+            g, off = _read(mv, off)
+            ring = _as_line_coords(g)
+            if len(ring) and not np.array_equal(ring[0], ring[-1]):
+                ring = np.vstack([ring, ring[:1]])
+            rings.append(ring)
+        return Geometry(POLYGON, rings), off
+    if typ in (
+        MULTIPOINT,
+        MULTILINESTRING,
+        MULTIPOLYGON,
+        GEOMETRYCOLLECTION,
+        _MULTICURVE,
+        _MULTISURFACE,
+    ):
         (n,) = struct.unpack_from(bo + "I", mv, off)
         off += 4
         subs = []
@@ -157,19 +256,21 @@ def _read(mv: memoryview, off: int):
                 np.vstack([g.data for g in subs]) if subs else np.empty((0, 2))
             )
             return Geometry(MULTIPOINT, pts), off
-        if typ == MULTILINESTRING:
+        if typ in (MULTILINESTRING, _MULTICURVE):
             return Geometry(MULTILINESTRING, [g.data for g in subs]), off
-        if typ == MULTIPOLYGON:
+        if typ in (MULTIPOLYGON, _MULTISURFACE):
             return Geometry(MULTIPOLYGON, [g.data for g in subs]), off
         return Geometry(GEOMETRYCOLLECTION, subs), off
     raise ValueError(f"unsupported wkb type {typ}")
 
 
-def _read_coords(mv: memoryview, off: int, bo: str):
+def _read_coords(mv: memoryview, off: int, bo: str, ndims: int = 2):
     (n,) = struct.unpack_from(bo + "I", mv, off)
     off += 4
-    arr = np.frombuffer(mv, dtype=bo + "f8", count=n * 2, offset=off).reshape(n, 2)
-    return arr.astype(np.float64, copy=True), off + n * 16
+    arr = np.frombuffer(
+        mv, dtype=bo + "f8", count=n * ndims, offset=off
+    ).reshape(n, ndims)
+    return arr[:, :2].astype(np.float64, copy=True), off + n * 8 * ndims
 
 
 # ---------------------------------------------------------------------- WKT

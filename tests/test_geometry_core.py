@@ -191,3 +191,82 @@ def test_collection_extract_and_explode():
     assert polys.typ == wkb.MULTIPOLYGON if hasattr(wkb, "MULTIPOLYGON") else True
     assert K.area(polys) == pytest.approx(1.0)
     assert len(gc.parts()) == 3
+
+
+def test_wkb_curve_linearization():
+    """ISO curve types linearize on decode (GDAL GetLinearGeometry
+    behavior the reference relies on for curvepolygon fixtures)."""
+    import struct
+
+    import numpy as np
+
+    from geofileops_spark.geometry import wkb as W
+    from geofileops_spark.geometry.kernels import area as g_area
+    from geofileops_spark.geometry.kernels import length as g_length
+
+    def pts(*xy):
+        return struct.pack("<I", len(xy)) + b"".join(
+            struct.pack("<2d", x, y) for x, y in xy
+        )
+
+    # CIRCULARSTRING (0 0, 1 1, 2 0): half circle r=1 centered (1,0)
+    cs = b"\x01" + struct.pack("<I", 8) + pts((0, 0), (1, 1), (2, 0))
+    g = W.loads(cs)
+    assert g.typ == W.LINESTRING if hasattr(W, "LINESTRING") else True
+    assert abs(g_length(g) - np.pi) < 0.01
+    assert np.allclose(g.data[0], (0, 0)) and np.allclose(g.data[-1], (2, 0))
+
+    # CURVEPOLYGON with a full-circle ring (two half arcs), r=2 at origin
+    ring = b"\x01" + struct.pack("<I", 8) + pts(
+        (-2, 0), (0, 2), (2, 0), (0, -2), (-2, 0)
+    )
+    cp = b"\x01" + struct.pack("<I", 10) + struct.pack("<I", 1) + ring
+    gp = W.loads(cp)
+    assert abs(g_area(gp) - np.pi * 4) < 0.1  # inscribed 32-gon chord error
+
+    # COMPOUNDCURVE: straight segment + half circle back
+    ls = b"\x01" + struct.pack("<I", 2) + pts((0, 0), (2, 0))
+    cc = (b"\x01" + struct.pack("<I", 9) + struct.pack("<I", 2) + ls
+          + b"\x01" + struct.pack("<I", 8) + pts((2, 0), (1, 1), (0, 0)))
+    gc = W.loads(cc)
+    assert abs(g_length(gc) - (2 + np.pi)) < 0.01
+
+    # MULTISURFACE of one curvepolygon
+    ms = b"\x01" + struct.pack("<I", 12) + struct.pack("<I", 1) + cp
+    gm = W.loads(ms)
+    assert abs(g_area(gm) - np.pi * 4) < 0.1
+
+
+def test_wkb_z_m_dimensions():
+    """ISO +1000/+2000/+3000 and EWKB flag dims decode (Z/M dropped),
+    including NESTED Z geometries where the stream offset must advance
+    by the true point size."""
+    import struct
+
+    import numpy as np
+
+    from geofileops_spark.geometry import wkb as W
+
+    # ISO POINT Z
+    pz = b"\x01" + struct.pack("<I", 1001) + struct.pack("<3d", 3, 4, 9)
+    g = W.loads(pz)
+    assert np.allclose(g.data, (3, 4))
+    # EWKB POINT Z (flag 0x80000000)
+    pze = b"\x01" + struct.pack("<I", 0x80000001) + struct.pack("<3d", 5, 6, 1)
+    assert np.allclose(W.loads(pze).data, (5, 6))
+    # ISO MULTIPOINT ZM: nested points each 4 doubles — offsets must track
+    sub = lambda x, y: b"\x01" + struct.pack("<I", 3001) + struct.pack(
+        "<4d", x, y, 7, 8
+    )
+    mp = (b"\x01" + struct.pack("<I", 3004) + struct.pack("<I", 2)
+          + sub(1, 2) + sub(3, 4))
+    gm = W.loads(mp)
+    assert np.allclose(gm.data, [(1, 2), (3, 4)])
+    # ISO POLYGON Z: ring coords are 3 doubles each
+    ring = struct.pack("<I", 4) + b"".join(
+        struct.pack("<3d", x, y, 5) for x, y in [(0, 0), (4, 0), (0, 4), (0, 0)]
+    )
+    poly = b"\x01" + struct.pack("<I", 1003) + struct.pack("<I", 1) + ring
+    from geofileops_spark.geometry.kernels import area as g_area
+
+    assert abs(g_area(W.loads(poly)) - 8.0) < 1e-9
