@@ -233,6 +233,34 @@ def get_layerinfo(df: DataFrame, geom_col: str = GEOM) -> dict:
     }
 
 
+def set_crs(df: DataFrame, crs: str, geom_col: str = GEOM) -> DataFrame:
+    """Record the CRS on the geometry column's schema metadata (the
+    engine itself is planar/CRS-agnostic, like the reference's SQL core —
+    CRS is carried as layer metadata, geofileops ``fileops.py:2611``)."""
+    meta = dict(df.schema[geom_col].metadata or {})
+    meta["crs"] = crs
+    return df.withMetadata(geom_col, meta)
+
+
+def get_crs(df: DataFrame, geom_col: str = GEOM) -> str | None:
+    """CRS recorded via :func:`set_crs` (None when absent) — the
+    ``fileops.py:2611`` analogue. Survives select/filter/join lineage
+    because Spark propagates column metadata."""
+    try:
+        return (df.schema[geom_col].metadata or {}).get("crs")
+    except KeyError:
+        return None
+
+
+def rename_layer(spark, layer: str, new_layer: str) -> None:
+    """Re-register a temp-view layer under a new name (the multi-layer
+    file rename, ``fileops.py:847`` — our 'layers' are temp views over
+    parquet)."""
+    df = spark.table(layer)
+    df.createOrReplaceTempView(new_layer)
+    spark.catalog.dropTempView(layer)
+
+
 def add_column(df: DataFrame, name: str, expression: str) -> DataFrame:
     """geofileops ``fileops.py:1000`` (SQL expression)."""
     return df.withColumn(name, F.expr(expression))

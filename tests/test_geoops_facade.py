@@ -110,3 +110,21 @@ def test_union_full_self_paired(spark):
     assert "fid_1" in cols.columns and "fid_2" in cols.columns
     rows_mode = union_full_self(df, agg_shape="ROWS", res=18)
     assert rows_mode.count() == 6 + 4  # 6 single-contrib + 2 faces x 2 contribs
+
+
+def test_crs_and_rename_layer(spark, boxes):
+    tagged = gfo.set_crs(boxes, "EPSG:31370")
+    assert gfo.get_crs(tagged) == "EPSG:31370"
+    assert gfo.get_crs(boxes) is None
+    # metadata survives lineage
+    derived = tagged.where(F.col("fid") >= 0).select("fid", "geom_wkb")
+    assert gfo.get_crs(derived) == "EPSG:31370"
+    # rename a registered layer view
+    boxes.createOrReplaceTempView("layer_old")
+    gfo.rename_layer(spark, "layer_old", "layer_new")
+    assert spark.table("layer_new").count() == boxes.count()
+    import pytest
+    from pyspark.sql.utils import AnalysisException
+
+    with pytest.raises(AnalysisException):
+        spark.table("layer_old")
