@@ -326,6 +326,50 @@ def _q_dissolve_within_distance(spark, sf_dir):
     )
 
 
+def _q_dissolve_tiled(spark, sf_dir):
+    """Output tiling: per nation a 10x20 rect on the 200-grid; explicit
+    tiles split at x=205, cutting column-1 rects into two 5x20=100 halves
+    while other columns stay whole (area 200). Exploded parts carry
+    tile_id — closed-form per-part areas."""
+    from geofileops_spark.functions.st import (
+        st_area,
+        st_geomfromtext,
+        st_minx,
+        st_miny,
+    )
+    from geofileops_spark.operators.dissolve import dissolve
+    from geofileops_spark.sources.tpch_geo import load
+
+    n = load(spark, sf_dir, "nation")
+    x0 = ((F.col("n_nationkey") % 5) * 200).cast("double")
+    y0 = (F.floor(F.col("n_nationkey") / 5) * 200).cast("double")
+    s = lambda c: c.cast("string")
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        s(x0), F.lit(" "), s(y0), F.lit(", "),
+        s(x0 + 10), F.lit(" "), s(y0), F.lit(", "),
+        s(x0 + 10), F.lit(" "), s(y0 + 20), F.lit(", "),
+        s(x0), F.lit(" "), s(y0 + 20), F.lit(", "),
+        s(x0), F.lit(" "), s(y0), F.lit("))"),
+    )
+    rects = n.select(
+        F.col("n_nationkey").cast("long").alias("fid"),
+        st_geomfromtext(wkt).alias("geom_wkb"),
+    )
+    out = dissolve(
+        rects,
+        None,
+        explodecollections=True,
+        tiles=[(0.0, 0.0, 205.0, 1000.0), (205.0, 0.0, 1000.0, 1000.0)],
+    )
+    return out.select(
+        "tile_id",
+        _bigint(st_minx(F.col("geom_wkb"))).alias("xmin"),
+        _bigint(st_miny(F.col("geom_wkb"))).alias("ymin"),
+        _bigint(st_area(F.col("geom_wkb"))).alias("area"),
+    )
+
+
 def _q_reduceprecision(spark, sf_dir):
     """Direct gridsize oracle: boxes with +0.3/+5.7 fractional corners
     snap to the unit grid -> integer corners, area exactly 36."""
@@ -1079,6 +1123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "delete_duplicate_geometries": _q_dedup_geoms,
         "dedup_geoms_collinear": _q_dedup_geoms_collinear,
         "dissolve_within_distance": _q_dissolve_within_distance,
+        "dissolve_tiled": _q_dissolve_tiled,
         "reduceprecision_grid": _q_reduceprecision,
         "buffer_square": _q_buffer_square,
         "buffer_round": _q_buffer_round,
@@ -1577,6 +1622,24 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.7"""
                    CAST(FLOOR(n_nationkey / 5) * 200 AS BIGINT),
                    CAST(100 AS BIGINT)
               FROM nation""",
+        "dissolve_tiled": """
+            SELECT CAST(0 AS BIGINT) AS tile_id,
+                   CAST((n_nationkey % 5) * 200 AS BIGINT) AS xmin,
+                   CAST(FLOOR(n_nationkey / 5) * 200 AS BIGINT) AS ymin,
+                   CAST(200 AS BIGINT) AS area
+              FROM nation WHERE n_nationkey % 5 = 0
+            UNION ALL
+            SELECT CAST(0 AS BIGINT), CAST(200 AS BIGINT),
+                   CAST(FLOOR(n_nationkey / 5) * 200 AS BIGINT), CAST(100 AS BIGINT)
+              FROM nation WHERE n_nationkey % 5 = 1
+            UNION ALL
+            SELECT CAST(1 AS BIGINT), CAST(205 AS BIGINT),
+                   CAST(FLOOR(n_nationkey / 5) * 200 AS BIGINT), CAST(100 AS BIGINT)
+              FROM nation WHERE n_nationkey % 5 = 1
+            UNION ALL
+            SELECT CAST(1 AS BIGINT), CAST((n_nationkey % 5) * 200 AS BIGINT),
+                   CAST(FLOOR(n_nationkey / 5) * 200 AS BIGINT), CAST(200 AS BIGINT)
+              FROM nation WHERE n_nationkey % 5 >= 2""",
         "reduceprecision_grid": with_ctes(
             """SELECT fid, CAST(px AS BIGINT) AS xmin, CAST(py AS BIGINT) AS ymin,
                    CAST(36 AS BIGINT) AS area

@@ -190,12 +190,21 @@ def dissolve(
     merge_rounds: int | None = None,
     geom_col: str = "geom_wkb",
     gridsize: float = 0.0,
+    nb_squarish_tiles: int = 1,
+    tiles: list[tuple[float, float, float, float]] | None = None,
+    where_post: str | None = None,
 ) -> DataFrame:
     """Group rows and geometrically union the geometries per group.
 
     ``groupby_columns=None`` dissolves everything into one geometry
     (exploded to touching clusters when ``explodecollections``), matching
     geofileops dissolve goldens (no-groupby -> 1 row, SURVEY.md §5).
+
+    Output tiling (reference ``geoops.py:1080-1081,1151-1155``): with
+    ``nb_squarish_tiles > 1`` (grid over the result bounds) or explicit
+    ``tiles`` bboxes, the dissolved result is CLIPPED to the tiles — tile
+    borders are never crossed — and a ``tile_id`` column is added.
+    ``where_post`` filters AFTER tiling and explodecollections.
 
     ``merge_rounds=None`` sizes the hierarchical-merge cascade from the
     DATA, not from a count of the input (a full extra scan at 100 TB):
@@ -286,6 +295,8 @@ def dissolve(
 
         final = final.withColumn(geom_col, st_reduceprecision(F.col(geom_col), gridsize))
     final = final.where(F.col(geom_col).isNotNull())
+    if tiles is not None or nb_squarish_tiles > 1:
+        final = _clip_to_tiles(final, tiles, nb_squarish_tiles, geom_col)
     if explodecollections:
         from ..functions.st import st_parts
 
@@ -294,7 +305,104 @@ def dissolve(
             .withColumn(geom_col, F.explode("_parts"))
             .drop("_parts")
         )
+    if where_post:
+        from ..functions.st import register_sql_functions
+
+        register_sql_functions(final.sparkSession)  # st_* usable in the filter
+        final = final.where(F.expr(where_post))
     return final
+
+
+def _squarish_grid(
+    bounds: tuple[float, float, float, float], n: int
+) -> list[tuple[float, float, float, float]]:
+    """~n squarish tiles covering ``bounds`` (the reference's
+    ``nb_squarish_tiles`` grid, grid_util.create_grid2 analogue)."""
+    import math
+
+    x0, y0, x1, y1 = bounds
+    w = max(x1 - x0, 1e-9)
+    h = max(y1 - y0, 1e-9)
+    cols = max(1, round(math.sqrt(n * w / h)))
+    rows = max(1, math.ceil(n / cols))
+    return [
+        (
+            x0 + i * w / cols,
+            y0 + j * h / rows,
+            x0 + (i + 1) * w / cols,
+            y0 + (j + 1) * h / rows,
+        )
+        for j in range(rows)
+        for i in range(cols)
+    ]
+
+
+def _clip_to_tiles(
+    final: DataFrame,
+    tiles: list[tuple[float, float, float, float]] | None,
+    nb_squarish_tiles: int,
+    geom_col: str,
+) -> DataFrame:
+    """Clip the dissolved result to the tile grid (broadcast: the grid is
+    driver-sized by construction), adding ``tile_id``."""
+    from ..functions.st import (
+        st_geomfromtext,
+        st_maxx,
+        st_maxy,
+        st_minx,
+        st_miny,
+    )
+    from .overlay import _pair_intersection_udf
+
+    spark = final.sparkSession
+    if tiles is None:
+        b = final.agg(
+            F.min(st_minx(F.col(geom_col))).alias("x0"),
+            F.min(st_miny(F.col(geom_col))).alias("y0"),
+            F.max(st_maxx(F.col(geom_col))).alias("x1"),
+            F.max(st_maxy(F.col(geom_col))).alias("y1"),
+        ).collect()[0]
+        tiles = _squarish_grid((b["x0"], b["y0"], b["x1"], b["y1"]), nb_squarish_tiles)
+    rows = [
+        (i, float(t[0]), float(t[1]), float(t[2]), float(t[3]))
+        for i, t in enumerate(tiles)
+    ]
+    tdf = spark.createDataFrame(
+        rows, "tile_id long, _tx0 double, _ty0 double, _tx1 double, _ty1 double"
+    )
+    s = lambda c: F.col(c).cast("string")
+    tdf = tdf.withColumn(
+        "_tile_geom",
+        st_geomfromtext(
+            F.concat(
+                F.lit("POLYGON (("),
+                s("_tx0"), F.lit(" "), s("_ty0"), F.lit(", "),
+                s("_tx1"), F.lit(" "), s("_ty0"), F.lit(", "),
+                s("_tx1"), F.lit(" "), s("_ty1"), F.lit(", "),
+                s("_tx0"), F.lit(" "), s("_ty1"), F.lit(", "),
+                s("_tx0"), F.lit(" "), s("_ty0"), F.lit("))"),
+            )
+        ),
+    )
+    tagged = (
+        final.withColumn("_gx0", st_minx(F.col(geom_col)))
+        .withColumn("_gy0", st_miny(F.col(geom_col)))
+        .withColumn("_gx1", st_maxx(F.col(geom_col)))
+        .withColumn("_gy1", st_maxy(F.col(geom_col)))
+    )
+    j = tagged.join(
+        F.broadcast(tdf),
+        (F.col("_gx0") < F.col("_tx1"))
+        & (F.col("_tx0") < F.col("_gx1"))
+        & (F.col("_gy0") < F.col("_ty1"))
+        & (F.col("_ty0") < F.col("_gy1")),
+    )
+    out = j.withColumn(
+        geom_col, _pair_intersection_udf(F.col(geom_col), F.col("_tile_geom"))
+    ).where(F.col(geom_col).isNotNull())
+    return out.drop(
+        "_tile_geom", "_gx0", "_gy0", "_gx1", "_gy1", "_tx0", "_ty0", "_tx1", "_ty1"
+    )
 
 
 def _shared_boundary_len_udf(col1, col2):

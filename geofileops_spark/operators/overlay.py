@@ -159,6 +159,9 @@ def _postprocess(
             .drop("_parts")
         )
     if where_post:
+        from ..functions.st import register_sql_functions
+
+        register_sql_functions(df.sparkSession)  # st_* usable in the filter
         df = df.where(F.expr(where_post))
     return df
 

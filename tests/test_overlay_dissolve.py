@@ -236,3 +236,35 @@ def test_intersection_keep_empty_geoms(spark):
     rows = intersection(l1, l2, keep_empty_geoms=True).collect()
     assert len(rows) == 1
     assert rows[0]["l1_fid"] == 1 and rows[0]["geom_wkb"] is None
+
+
+def test_dissolve_where_post_and_squarish_tiles(spark):
+    from geofileops_spark.functions.st import st_area, st_geomfromtext
+    from geofileops_spark.operators.dissolve import _squarish_grid, dissolve
+
+    # two disjoint rects: a wide 30x20 and a small 4x4 at x=100
+    df = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 30 0, 30 20, 0 20, 0 0))"),
+         (2, "POLYGON ((100 0, 104 0, 104 4, 100 4, 100 0))")],
+        "fid long, wkt string",
+    ).withColumn("geom_wkb", st_geomfromtext(F.col("wkt"))).drop("wkt")
+    # where_post evaluates AFTER explode: only the big part survives
+    out = dissolve(
+        df, None, explodecollections=True,
+        where_post="st_area(geom_wkb) > 100",
+    )
+    rows = out.collect()
+    assert len(rows) == 1
+    # nb_squarish_tiles grid clips and never crosses tile borders:
+    # bounds 104x20 -> 5 tiles of width 20.8; the wide rect (0..30)
+    # straddles the border at 20.8 and is cut there
+    tiled = dissolve(df, None, explodecollections=True, nb_squarish_tiles=4)
+    areas = sorted(
+        r.a for r in tiled.select(st_area("geom_wkb").alias("a")).collect()
+    )
+    assert abs(sum(areas) - 616.0) < 1e-6  # total preserved
+    assert "tile_id" in tiled.columns and len(areas) >= 3
+    assert abs(areas[-1] - 20.8 * 20) < 1e-6  # cut exactly at the border
+    # grid helper covers the bounds with ~n squarish tiles
+    g = _squarish_grid((0.0, 0.0, 100.0, 50.0), 8)
+    assert len(g) >= 8 and abs(max(t[2] for t in g) - 100.0) < 1e-9
