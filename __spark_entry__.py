@@ -278,6 +278,82 @@ def _q_dedup_geoms(spark, sf_dir):
     return out.select("fid", F.col("copy").cast("int").alias("copy"))
 
 
+def _q_difference_keep_empty(spark, sf_dir):
+    """keep_empty_geoms on two-layer difference: even fids get a
+    full-cover blade (result NULL, retained), odd fids a left-half blade
+    (remaining 60x150 = 9000)."""
+    from geofileops_spark.functions.st import st_area, st_geomfromtext
+    from geofileops_spark.operators.overlay import difference
+    from geofileops_spark.sources import tpch_geo as T
+
+    left = T.paired_left(spark, sf_dir)
+    s = lambda c: c.cast("string")
+    even = F.col("fid") % 2 == 0
+    bx0 = F.when(even, F.col("xmin") - 10).otherwise(F.col("xmin"))
+    by0 = F.when(even, F.col("ymin") - 10).otherwise(F.col("ymin"))
+    bx1 = F.when(even, F.col("xmax") + 10).otherwise(F.col("xmin") + 60)
+    by1 = F.when(even, F.col("ymax") + 10).otherwise(F.col("ymax"))
+    wkt = F.concat(
+        F.lit("POLYGON (("),
+        s(bx0), F.lit(" "), s(by0), F.lit(", "),
+        s(bx1), F.lit(" "), s(by0), F.lit(", "),
+        s(bx1), F.lit(" "), s(by1), F.lit(", "),
+        s(bx0), F.lit(" "), s(by1), F.lit(", "),
+        s(bx0), F.lit(" "), s(by0), F.lit("))"),
+    )
+    blade = left.select("fid", st_geomfromtext(wkt).alias("geom_wkb"))
+    out = difference(
+        left.select("fid", "geom_wkb"), blade, res=18, keep_empty_geoms=True
+    )
+    return out.select(
+        "fid",
+        F.when(F.col("geom_wkb").isNull(), 1).otherwise(0).cast("int").alias("emptied"),
+        F.coalesce(_bigint(st_area(F.col("geom_wkb"))), F.lit(-1)).alias("area"),
+    )
+
+
+def _q_subdivide_direct(spark, sf_dir):
+    """Direct gfo_subdivide oracle: 124-vertex boxes (121 collinear
+    bottom-edge vertices) subdivide at max_coords=40; per fid the part
+    areas must sum exactly to 120*150 = 18000 and every part must respect
+    the vertex bound."""
+    from geofileops_spark.functions.st import (
+        st_area,
+        st_geomfromtext,
+        st_npoints,
+        st_subdivide_array,
+    )
+    from geofileops_spark.sources import tpch_geo as T
+
+    left = T.paired_left(spark, sf_dir)
+    s = lambda c: c.cast("string")
+    bottom = F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(120)),
+            lambda i: F.concat(
+                (F.col("xmin") + i).cast("string"), F.lit(" "), s(F.col("ymin"))
+            ),
+        ),
+        ", ",
+    )
+    wkt = F.concat(
+        F.lit("POLYGON (("), bottom, F.lit(", "),
+        s(F.col("xmax")), F.lit(" "), s(F.col("ymax")), F.lit(", "),
+        s(F.col("xmin")), F.lit(" "), s(F.col("ymax")), F.lit(", "),
+        s(F.col("xmin")), F.lit(" "), s(F.col("ymin")), F.lit("))"),
+    )
+    dense = left.select("fid", st_geomfromtext(wkt).alias("geom_wkb"))
+    parts = dense.select(
+        "fid", F.explode(st_subdivide_array(F.col("geom_wkb"), 40)).alias("part")
+    )
+    return parts.groupBy("fid").agg(
+        _bigint(F.sum(st_area(F.col("part")))).alias("area"),
+        F.max(
+            F.when(st_npoints(F.col("part")) <= 40, 0).otherwise(1)
+        ).cast("int").alias("oversize_parts"),
+    )
+
+
 def _q_dissolve_within_distance(spark, sf_dir):
     """Integer fixture with closed-form weld semantics: per nation, three
     10x10 squares on one row — A and B separated by gap 2 (< distance 5:
@@ -1124,6 +1200,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_geoms_collinear": _q_dedup_geoms_collinear,
         "dissolve_within_distance": _q_dissolve_within_distance,
         "dissolve_tiled": _q_dissolve_tiled,
+        "difference_keep_empty": _q_difference_keep_empty,
+        "subdivide_direct": _q_subdivide_direct,
         "reduceprecision_grid": _q_reduceprecision,
         "buffer_square": _q_buffer_square,
         "buffer_round": _q_buffer_round,
@@ -1622,6 +1700,19 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.7"""
                    CAST(FLOOR(n_nationkey / 5) * 200 AS BIGINT),
                    CAST(100 AS BIGINT)
               FROM nation""",
+        "difference_keep_empty": with_ctes(
+            """SELECT fid,
+                   CAST(CASE WHEN fid % 2 = 0 THEN 1 ELSE 0 END AS INT) AS emptied,
+                   CAST(CASE WHEN fid % 2 = 0 THEN -1 ELSE 9000 END AS BIGINT) AS area
+            FROM paired_left""",
+            "paired_left",
+        ),
+        "subdivide_direct": with_ctes(
+            """SELECT fid, CAST(18000 AS BIGINT) AS area,
+                   CAST(0 AS INT) AS oversize_parts
+            FROM paired_left""",
+            "paired_left",
+        ),
         "dissolve_tiled": """
             SELECT CAST(0 AS BIGINT) AS tile_id,
                    CAST((n_nationkey % 5) * 200 AS BIGINT) AS xmin,
