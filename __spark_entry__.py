@@ -278,6 +278,56 @@ def _q_dedup_geoms(spark, sf_dir):
     return out.select("fid", F.col("copy").cast("int").alias("copy"))
 
 
+def _q_streaming_zone_rollup(spark, sf_dir):
+    """END-TO-END Structured Streaming graded against batch SQL: pages
+    (with doc_id-derived event times spanning 7 hours) are written as
+    multiple parquet drops, streamed with maxFilesPerTrigger=2 (several
+    micro-batches, stateful windowed agg, availableNow + checkpoint),
+    and the complete-mode sink must equal the batch 2-hour-window rollup
+    — complete mode makes the final state exactly the batch answer, so
+    the whole streaming path is hash-compared, not rows-only."""
+    import shutil
+    import tempfile
+
+    from geofileops_spark.sources.tpch_geo import geo_zones, pages_from_documents
+    from geofileops_spark.streaming.pipeline import (
+        run_available_now,
+        stream_pages,
+        streaming_zone_counts,
+    )
+
+    base = tempfile.mkdtemp(prefix="gfo_stream_q_")
+    try:
+        pages = pages_from_documents(spark, sf_dir).withColumn(
+            "warc_ts",
+            F.col("warc_ts")
+            + F.expr(
+                "make_interval(0, 0, 0, 0, "
+                "CAST(regexp_extract(url, '([0-9]+)$', 1) AS INT) % 7, 0, 0)"
+            ),
+        )
+        pages.repartition(6).write.mode("overwrite").parquet(f"{base}/pages")
+        stream = stream_pages(spark, f"{base}/pages", max_files=2)
+        rollup = streaming_zone_counts(
+            stream, geo_zones(spark, sf_dir), window="2 hours", watermark="1 hour"
+        )
+        name = "gfo_stream_oracle"
+        run_available_now(
+            rollup, f"{base}/ckpt", query_name=name, output_mode="complete"
+        )
+        out = spark.table(name)
+        return spark.createDataFrame(
+            out.select(
+                F.hour("window_start").cast("int").alias("win_hour"),
+                "zone_fid",
+                F.col("n_pages").cast("long").alias("n_pages"),
+            ).collect(),
+            "win_hour int, zone_fid long, n_pages long",
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_difference_keep_empty(spark, sf_dir):
     """keep_empty_geoms on two-layer difference: even fids get a
     full-cover blade (result NULL, retained), odd fids a left-half blade
@@ -1202,6 +1252,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dissolve_tiled": _q_dissolve_tiled,
         "difference_keep_empty": _q_difference_keep_empty,
         "subdivide_direct": _q_subdivide_direct,
+        "streaming_zone_rollup": _q_streaming_zone_rollup,
         "reduceprecision_grid": _q_reduceprecision,
         "buffer_square": _q_buffer_square,
         "buffer_round": _q_buffer_round,
@@ -1700,6 +1751,16 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.7"""
                    CAST(FLOOR(n_nationkey / 5) * 200 AS BIGINT),
                    CAST(100 AS BIGINT)
               FROM nation""",
+        "streaming_zone_rollup": with_ctes(
+            """SELECT CAST(FLOOR((p.doc_id % 7) / 2) * 2 AS INT) AS win_hour,
+                   z.fid AS zone_fid, COUNT(*) AS n_pages
+            FROM pages p JOIN geo_zones z
+              ON CAST((p.doc_id*73)%340 AS DOUBLE) + 0.25 BETWEEN z.xmin AND z.xmax
+             AND CAST((p.doc_id*37)%160 AS DOUBLE) + 0.5  BETWEEN z.ymin AND z.ymax
+            WHERE p.doc_id % 10 <> 0
+            GROUP BY 1, z.fid""",
+            "pages", "geo_zones",
+        ),
         "difference_keep_empty": with_ctes(
             """SELECT fid,
                    CAST(CASE WHEN fid % 2 = 0 THEN 1 ELSE 0 END AS INT) AS emptied,

@@ -131,3 +131,35 @@ def test_dissolve_triggers_no_full_input_count(spark):
     # counts happen on derived (post-union) frames and the final result,
     # never on the input layer object itself
     assert layer not in seen
+
+
+def test_pip_rect_path_is_pure_jvm_bnlj(spark):
+    """Rectangle zones: the PIP join must compile to a broadcast
+    nested-loop join with ZERO Python evaluation anywhere in the plan
+    (the numpy-bitmask path saturates Python workers above ~8 threads;
+    the BNLJ shape is the scale-robust default)."""
+    from geofileops_spark.functions.st import st_geomfromtext
+    from geofileops_spark.operators.join import join_points_in_polygons
+
+    pts = spark.range(1000).select(
+        F.col("id").alias("pid"),
+        (F.col("id") % 100).cast("double").alias("lon"),
+        (F.col("id") % 50).cast("double").alias("lat"),
+    )
+    zones = spark.createDataFrame(
+        [(1, "POLYGON ((0 0, 50 0, 50 25, 0 25, 0 0))"),
+         (2, "POLYGON ((50 25, 100 25, 100 50, 50 50, 50 25))")],
+        "fid long, wkt string",
+    ).withColumn("geom_wkb", st_geomfromtext(F.col("wkt"))).drop("wkt")
+    out = join_points_in_polygons(pts, zones, poly_id_col="fid")
+    p = plan_of(out)
+    assert "BroadcastNestedLoopJoin" in p, p
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p, p
+    # and it still returns the exact BETWEEN-arithmetic answer
+    n = out.count()
+    expect = sum(
+        1 for i in range(1000)
+        if (0 <= i % 100 <= 50 and 0 <= i % 50 <= 25)
+        or (50 <= i % 100 <= 100 and 25 <= i % 50 <= 50)
+    )
+    assert n == expect, (n, expect)
