@@ -278,6 +278,55 @@ def _q_dedup_geoms(spark, sf_dir):
     return out.select("fid", F.col("copy").cast("int").alias("copy"))
 
 
+def _q_checkpoint_resume(spark, sf_dir):
+    """Checkpoint/lineage/resume graded end-to-end: run a bucketed stage
+    over documents, simulate a crash by deleting ONE bucket's lineage
+    record (its output rows stay as orphans), rerun — the resume must
+    recompute exactly that bucket and skip the other 31, and the final
+    committed output must equal the plain batch transform. Both the
+    content AND the recomputed/skipped counts are hash-compared."""
+    import shutil
+    import tempfile
+
+    from geofileops_spark.plans.checkpoint import run_stage
+    from geofileops_spark.sources.tpch_geo import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def transform(df):
+        return df.withColumn("n_chars", F.length("text").cast("int")).drop("text")
+
+    base = tempfile.mkdtemp(prefix="gfo_ckpt_q_")
+    try:
+        out, ckpt, ckpt2 = f"{base}/out", f"{base}/ckpt", f"{base}/ckpt2"
+        run_stage(
+            spark, "tok", docs, transform, out, ckpt, key_col="doc_id"
+        )
+        # crash simulation: bucket 3 committed its output but lost its
+        # lineage record
+        spark.read.parquet(ckpt).where(F.col("bucket") != 3).write.mode(
+            "overwrite"
+        ).parquet(ckpt2)
+        s2 = run_stage(
+            spark, "tok", docs, transform, out, ckpt2, key_col="doc_id"
+        )
+        res = (
+            spark.read.parquet(out)
+            .select(
+                "doc_id",
+                "n_chars",
+                F.lit(int(s2["recomputed"])).cast("int").alias("recomputed_b"),
+                F.lit(int(s2["skipped"])).cast("int").alias("skipped_b"),
+            )
+            .collect()
+        )
+        return spark.createDataFrame(
+            res, "doc_id long, n_chars int, recomputed_b int, skipped_b int"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_streaming_zone_rollup(spark, sf_dir):
     """END-TO-END Structured Streaming graded against batch SQL: pages
     (with doc_id-derived event times spanning 7 hours) are written as
@@ -1253,6 +1302,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "difference_keep_empty": _q_difference_keep_empty,
         "subdivide_direct": _q_subdivide_direct,
         "streaming_zone_rollup": _q_streaming_zone_rollup,
+        "checkpoint_resume": _q_checkpoint_resume,
         "reduceprecision_grid": _q_reduceprecision,
         "buffer_square": _q_buffer_square,
         "buffer_round": _q_buffer_round,
@@ -1751,6 +1801,10 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.7"""
                    CAST(FLOOR(n_nationkey / 5) * 200 AS BIGINT),
                    CAST(100 AS BIGINT)
               FROM nation""",
+        "checkpoint_resume": """
+            SELECT doc_id, CAST(LENGTH(text) AS INT) AS n_chars,
+                   CAST(1 AS INT) AS recomputed_b, CAST(31 AS INT) AS skipped_b
+              FROM documents""",
         "streaming_zone_rollup": with_ctes(
             """SELECT CAST(FLOOR((p.doc_id % 7) / 2) * 2 AS INT) AS win_hour,
                    z.fid AS zone_fid, COUNT(*) AS n_pages
