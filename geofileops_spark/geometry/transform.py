@@ -75,7 +75,9 @@ def _mitre_wedge(pp, p, pn, d, mitre_limit) -> np.ndarray | None:
         if float(u_in @ u_out) > 0:
             return None  # straight (rectangles already cover it)
         return _square(p, d)  # u-turn: bisector undefined
-    sgn = -1.0 if c > 0 else 1.0  # outer side of the turn
+    # outer side of the turn: a LEFT turn (c > 0) leaves the join gap on
+    # the RIGHT of travel (right normal of u is (u_y, -u_x))
+    sgn = 1.0 if c > 0 else -1.0
     n_in = np.array([u_in[1], -u_in[0]]) * sgn
     n_out = np.array([u_out[1], -u_out[0]]) * sgn
     a = p + n_in * d
@@ -109,9 +111,20 @@ def _path_sausage(
     join_style: str,
     closed: bool,
     mitre_limit: float = 5.0,
+    skip_reflex_joins: bool = False,
 ) -> list[np.ndarray]:
     """Offset pieces (rings) for one polyline: rectangles per edge +
-    join/cap shapes per vertex."""
+    join/cap shapes per vertex.
+
+    ``skip_reflex_joins``: polygon-boundary mode. With the interior-left
+    ring convention (CCW exterior, CW holes) the buffer grows on the
+    RIGHT of travel, and the join gap appears on the outer side of the
+    turn — so a mitre wedge is needed exactly at left-turn corners
+    (cross > 0); at reflex corners the wedge side faces the already-
+    filled region and a limit-length wedge can poke through a thin wall
+    into exterior space > d from the boundary (measured overshoot on
+    spiky star fixtures). Open lines keep wedges at every turn (GEOS
+    line-mitre semantics: both sides are exterior)."""
     pieces: list[np.ndarray] = []
     n = len(path)
     for i in range(n - 1):
@@ -129,6 +142,11 @@ def _path_sausage(
     for i in idxs:
         if join_style == "mitre":
             pp = path[i - 1] if i > 0 else path[n - 2]
+            if skip_reflex_joins:
+                v_in = path[i] - pp
+                v_out = path[i + 1] - path[i]
+                if v_in[0] * v_out[1] - v_in[1] * v_out[0] <= 0:
+                    continue  # reflex/straight: rectangles + base cover it
             wedge = _mitre_wedge(pp, path[i], path[i + 1], d, mitre_limit)
             if wedge is not None:  # None = straight corner, no patch
                 pieces.append(wedge)
@@ -610,13 +628,20 @@ def buffer_geom(
                 _path_sausage(ls, d, quad_segs, cap_style, join_style,
                               closed=False, mitre_limit=mitre_limit)
             )
-    # polygons -> original + boundary sausage
+    # polygons -> original + boundary sausage. Rings are ORIENTED to the
+    # interior-left convention (CCW exterior, CW holes) so the mitre-join
+    # reflex test in _path_sausage reads turn direction consistently.
     base = _geom_to_mp(geom)
     for rings in base:
-        for ring in rings:
+        for ri, ring in enumerate(rings):
+            a2 = ring_signed_area(ring)
+            want_ccw = ri == 0
+            if (a2 > 0) != want_ccw:
+                ring = ring[::-1].copy()
             pieces.extend(
                 _path_sausage(ring, d, quad_segs, "round", join_style,
-                              closed=True, mitre_limit=mitre_limit)
+                              closed=True, mitre_limit=mitre_limit,
+                              skip_reflex_joins=True)
             )
     all_polys = list(base) + [[p if ring_signed_area(p) > 0 else p[::-1].copy()] for p in pieces]
     return _mp_to_geom(union_all_polys(all_polys))

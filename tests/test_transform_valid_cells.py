@@ -281,3 +281,30 @@ def test_buffer_mitre_limit_bevels_spike():
     x_lim50 = bounds(buffer_geom(g, 1.0, join_style="mitre", mitre_limit=50.0))[2]
     assert 100 + 4.9 < x_lim5 < 100 + 5.5  # beveled at ~5*d
     assert abs(x_lim50 - (100 + ext_expected)) < 0.1  # full miter
+
+
+def test_buffer_mitre_sausage_path_holes():
+    """Piece-union (sausage) path closed forms: the mitre join patches
+    land on the growth side only (reflex corners skipped), holes in
+    either orientation shrink exactly."""
+    from geofileops_spark.geometry.kernels import area as g_area
+    from geofileops_spark.geometry.transform import buffer_geom
+    from geofileops_spark.geometry.wkb import from_wkt
+
+    sq_hole = from_wkt(
+        "POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0),"
+        " (5 5, 15 5, 15 15, 5 15, 5 5))"
+    )
+    assert abs(g_area(buffer_geom(sq_hole, 1.0, join_style="mitre")) - 420.0) < 1e-6
+    # hole ring in CW order: orientation normalization must cope
+    sq_hole_cw = from_wkt(
+        "POLYGON ((0 0, 20 0, 20 20, 0 20, 0 0),"
+        " (5 5, 5 15, 15 15, 15 5, 5 5))"
+    )
+    assert abs(g_area(buffer_geom(sq_hole_cw, 1.0, join_style="mitre")) - 420.0) < 1e-6
+    # concave exterior corner + hole: L-shape mitre 119 minus hole shrink 1
+    l_hole = from_wkt(
+        "POLYGON ((0 0, 10 0, 10 5, 5 5, 5 10, 0 10, 0 0),"
+        " (1 1, 4 1, 4 4, 1 4, 1 1))"
+    )
+    assert abs(g_area(buffer_geom(l_hole, 1.0, join_style="mitre")) - 118.0) < 1e-6
