@@ -296,6 +296,11 @@ def dissolve(
         final = final.withColumn(geom_col, st_reduceprecision(F.col(geom_col), gridsize))
     final = final.where(F.col(geom_col).isNotNull())
     if tiles is not None or nb_squarish_tiles > 1:
+        if tiles is None:
+            # the grid needs the result's bounds (one extra action over
+            # `final`) — persist so the dissolve itself runs once, not
+            # twice; released via release_caches()
+            final = cache.track(final.persist())
         final = _clip_to_tiles(final, tiles, nb_squarish_tiles, geom_col)
     if explodecollections:
         from ..functions.st import st_parts
