@@ -143,6 +143,39 @@ def st_geometrytype(wkb: pd.Series) -> pd.Series:
     return pd.Series(_map_scalar(wkb, lambda g: g.type_name()))
 
 
+_BBOX_SCHEMA = StructType(
+    [
+        StructField("minx", DoubleType()),
+        StructField("miny", DoubleType()),
+        StructField("maxx", DoubleType()),
+        StructField("maxy", DoubleType()),
+    ]
+)
+
+
+@pandas_udf(_BBOX_SCHEMA)
+def st_bbox(wkb: pd.Series) -> pd.DataFrame:
+    """All four bounds in ONE decode (the separate st_minx/... accessors
+    each decode the same blob — callers needing several bounds should
+    take the struct)."""
+    cols = {"minx": [], "miny": [], "maxx": [], "maxy": []}
+    for b in wkb:
+        g = _try_loads(bytes(b)) if b is not None else None
+        if g is None:
+            for k in cols:
+                cols[k].append(None)
+            continue
+        b0, b1, b2, b3 = K.bounds(g)
+        import math
+
+        ok = math.isfinite(b0)
+        cols["minx"].append(b0 if ok else None)
+        cols["miny"].append(b1 if ok else None)
+        cols["maxx"].append(b2 if ok else None)
+        cols["maxy"].append(b3 if ok else None)
+    return pd.DataFrame(cols)
+
+
 @pandas_udf(DoubleType())
 def st_minx(wkb: pd.Series) -> pd.Series:
     return pd.Series(_map_scalar(wkb, lambda g: K.bounds(g)[0]), dtype="float64")

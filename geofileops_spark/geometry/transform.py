@@ -214,7 +214,11 @@ def _offset_ring(
     # emitting the two intersections with the offset lines instead
     if join_style == "mitre":
         mdist = np.hypot(m[:, 0] - p[:, 0], m[:, 1] - p[:, 1])
-        bevel = trim & (mdist > mitre_limit * abs(d))
+        # GEOS applies mitre_limit to OUTSIDE joins only (c*d > 0):
+        # beveling a reflex trim would split the true trim point into two
+        # points whose offset segments self-cross, forcing excision or
+        # the exact fallback on perfectly resolvable polygons
+        bevel = trim & (c * d > 0) & (mdist > mitre_limit * abs(d))
     else:
         bevel = np.zeros(n, dtype=bool)
     trim = trim & ~bevel
@@ -628,16 +632,13 @@ def buffer_geom(
                 _path_sausage(ls, d, quad_segs, cap_style, join_style,
                               closed=False, mitre_limit=mitre_limit)
             )
-    # polygons -> original + boundary sausage. Rings are ORIENTED to the
-    # interior-left convention (CCW exterior, CW holes) so the mitre-join
-    # reflex test in _path_sausage reads turn direction consistently.
+    # polygons -> original + boundary sausage. _geom_to_mp already
+    # returns rings in the interior-left convention (exteriors CCW via
+    # _ccw, holes CW via _cw — clip.py), which the mitre-join reflex test
+    # in _path_sausage relies on to read turn direction.
     base = _geom_to_mp(geom)
     for rings in base:
-        for ri, ring in enumerate(rings):
-            a2 = ring_signed_area(ring)
-            want_ccw = ri == 0
-            if (a2 > 0) != want_ccw:
-                ring = ring[::-1].copy()
+        for ring in rings:
             pieces.extend(
                 _path_sausage(ring, d, quad_segs, "round", join_style,
                               closed=True, mitre_limit=mitre_limit,

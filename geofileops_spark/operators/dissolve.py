@@ -350,22 +350,20 @@ def _clip_to_tiles(
 ) -> DataFrame:
     """Clip the dissolved result to the tile grid (broadcast: the grid is
     driver-sized by construction), adding ``tile_id``."""
-    from ..functions.st import (
-        st_geomfromtext,
-        st_maxx,
-        st_maxy,
-        st_minx,
-        st_miny,
-    )
+    from ..functions.st import st_bbox, st_geomfromtext
     from .overlay import _pair_intersection_udf
 
     spark = final.sparkSession
+    # ONE decode per row: bbox struct reused by the grid derivation and
+    # the tile prefilter (separate st_minx/... accessors would decode the
+    # same WKB four times each pass)
+    final = final.withColumn("_bb", st_bbox(F.col(geom_col)))
     if tiles is None:
         b = final.agg(
-            F.min(st_minx(F.col(geom_col))).alias("x0"),
-            F.min(st_miny(F.col(geom_col))).alias("y0"),
-            F.max(st_maxx(F.col(geom_col))).alias("x1"),
-            F.max(st_maxy(F.col(geom_col))).alias("y1"),
+            F.min("_bb.minx").alias("x0"),
+            F.min("_bb.miny").alias("y0"),
+            F.max("_bb.maxx").alias("x1"),
+            F.max("_bb.maxy").alias("y1"),
         ).collect()[0]
         tiles = _squarish_grid((b["x0"], b["y0"], b["x1"], b["y1"]), nb_squarish_tiles)
     rows = [
@@ -390,10 +388,11 @@ def _clip_to_tiles(
         ),
     )
     tagged = (
-        final.withColumn("_gx0", st_minx(F.col(geom_col)))
-        .withColumn("_gy0", st_miny(F.col(geom_col)))
-        .withColumn("_gx1", st_maxx(F.col(geom_col)))
-        .withColumn("_gy1", st_maxy(F.col(geom_col)))
+        final.withColumn("_gx0", F.col("_bb.minx"))
+        .withColumn("_gy0", F.col("_bb.miny"))
+        .withColumn("_gx1", F.col("_bb.maxx"))
+        .withColumn("_gy1", F.col("_bb.maxy"))
+        .drop("_bb")
     )
     j = tagged.join(
         F.broadcast(tdf),

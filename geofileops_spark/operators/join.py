@@ -267,9 +267,6 @@ def join_points_in_polygons(
             f"polygon side has {len(rows)} rows; use join_by_location instead"
         )
     payload = [(r[0], bytes(r[1])) for r in rows if r[1] is not None]
-    # ship the polygon payload as a Spark broadcast variable (sent to
-    # each executor once) instead of in every task's UDF closure
-    bc_payload = points.sparkSession.sparkContext.broadcast(payload)
 
     # all-rectangle polygon side (bbox zones, tiles): containment becomes
     # a broadcast nested-loop join on a BETWEEN predicate — pure JVM
@@ -313,6 +310,10 @@ def join_points_in_polygons(
                 for pid, (x0, y0, x1, y1) in rects
             ]
         )
+        if poly_id_col in points.columns:
+            # match the UDF paths' withColumn semantics: the output id
+            # column REPLACES a same-named points column
+            points = points.drop(poly_id_col)
         x, y = F.col(x_col), F.col(y_col)
         out = points.join(
             F.broadcast(rdf),
@@ -321,6 +322,10 @@ def join_points_in_polygons(
         )
         return out.drop("_rx0", "_ry0", "_rx1", "_ry1")
 
+    # ship the polygon payload as a Spark broadcast variable (sent to
+    # each executor once) instead of in every task's UDF closure; built
+    # lazily so the default rect/BNLJ path never pays the broadcast
+    bc_payload = points.sparkSession.sparkContext.broadcast(payload)
     if len(payload) <= 63:
         # bitmask path: the UDF returns one int64 whose bit z says "inside
         # polygon z" — zero Python objects per row, explode happens JVM-side
@@ -551,6 +556,7 @@ def _scan_size_bytes(df: DataFrame):
 
 
 _BROADCAST_BYTES = int(os.environ.get("GFO_BROADCAST_BYTES", str(32 * 1024 * 1024)))
+_BROADCAST_MAX_ROWS = int(os.environ.get("GFO_BROADCAST_MAX_ROWS", "2000000"))
 
 
 def _broadcast_knn(
@@ -641,6 +647,8 @@ def _broadcast_knn(
                 best: list[tuple[float, int, int]] = []  # (dist, id, idx)
                 kth = np.inf
                 for oi in order:
+                    if not np.isfinite(lb[oi]):
+                        break  # NULL/empty l2 geometries sort last
                     if lb[oi] > kth or (not expand and lb[oi] > distance):
                         break
                     d = K.distance(g1, geoms[oi])
@@ -665,7 +673,10 @@ def _broadcast_knn(
             )
 
     res = c1.mapInPandas(_knn, schema=out_schema)
-    return res.withColumn("distance_crs", F.col("distance"))
+    res = res.withColumn("distance_crs", F.col("distance"))
+    # same output contract as the ring path: the layer-1 geometry
+    # comes back under its ORIGINAL name
+    return res.withColumnRenamed(f"l1_{geom_col}", geom_col)
 
 
 def join_nearest(
@@ -709,6 +720,11 @@ def join_nearest(
     if broadcast is None:
         small_l2 = _scan_size_bytes(df2)
         bcast = small_l2 is not None and 0 < small_l2 <= _BROADCAST_BYTES
+        if bcast and df2.count() > _BROADCAST_MAX_ROWS:
+            # Catalyst sizes BinaryType built by UDFs at ~100 B/row —
+            # a byte misestimate must not collect() a big layer onto
+            # the driver. One cheap count() guards the opt-in.
+            bcast = False
     else:
         bcast = broadcast
     if bcast:

@@ -102,7 +102,13 @@ def select(
         "{batch_filter}": "",
     }
     sql = re.sub(r"\"?\{input_layer\}\"?", _q(view), sql_stmt)
-    out = spark.sql(_sub(sql, mapping))
+    try:
+        # spark.sql analyzes eagerly, inlining the view's resolved plan
+        # into the returned DataFrame — dropping the view afterwards is
+        # safe and keeps the catalog from growing per facade call
+        out = spark.sql(_sub(sql, mapping))
+    finally:
+        spark.catalog.dropTempView(view)
     return _postprocess(
         out, geom_col, gridsize, explodecollections, where_post, keep_empty_geoms
     )
@@ -163,7 +169,11 @@ def select_two_layers(
     }
     sql = _strip_db_qualification(sql_stmt, 1, v1)
     sql = _strip_db_qualification(sql, 2, v2)
-    out = spark.sql(_sub(sql, mapping))
+    try:
+        out = spark.sql(_sub(sql, mapping))
+    finally:
+        spark.catalog.dropTempView(v1)
+        spark.catalog.dropTempView(v2)
     return _postprocess(
         out, geom_col, gridsize, explodecollections, where_post, keep_empty_geoms
     )
