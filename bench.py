@@ -184,7 +184,10 @@ REF_SECONDS = {
     "parcels_dissolve": 24.88,
     "parcels_intersection": 25.95,
     "parcels_join": 22.32,
+    "parcels_union": 93.74,  # benchmark_results.csv:95 (heaviest ref op)
 }
+# the union overlay runs minutes per rep; 2 reps bound the bench wall
+PARCEL_HEAVY_REPS = int(os.environ.get("SPARK_GRAFT_PARCEL_HEAVY_REPS", "2"))
 
 
 def materialize_parcel_layers(spark):
@@ -204,6 +207,7 @@ def parcel_queries(spark, pa: str, pb: str) -> dict:
     from geofileops_spark.operators.dissolve import dissolve
     from geofileops_spark.operators.join import join_by_location
     from geofileops_spark.operators.overlay import intersection as ov_intersection
+    from geofileops_spark.operators.overlay import union as ov_union
 
     p0 = spark.read.parquet(pa)
     p1 = spark.read.parquet(pb)
@@ -216,6 +220,7 @@ def parcel_queries(spark, pa: str, pb: str) -> dict:
         "parcels_join": lambda: join_by_location(
             p0, p1, "intersects is True"
         ).count(),
+        "parcels_union": lambda: ov_union(p0, p1).count(),
     }
 
 
@@ -286,7 +291,8 @@ def main():
     vs_baseline = {}
     for name, fn in parcel_queries(spark, pa, pb).items():
         best = None
-        for _ in range(PARCEL_REPS):
+        reps = PARCEL_HEAVY_REPS if name == "parcels_union" else PARCEL_REPS
+        for _ in range(reps):
             t0 = time.time()
             fn()
             dt = time.time() - t0
