@@ -402,12 +402,27 @@ def clip(
             *[F.first(c).alias(c) for c in attrs],
         )
         return _postprocess(out, geom_col, gridsize, explodecollections, where_post)
-    others = _collect_candidates(df1, df2, res, geom_col, id_col)
-    joined = df1.join(others, on=id_col, how="inner")
-    out = joined.withColumn(
-        geom_col,
-        _combine_vs_union_udf("intersection")(F.col(geom_col), F.col("_others")),
-    ).drop("_others")
+    # l1 ∩ union(blades) = union(l1 ∩ blade_i): compute PAIRWISE
+    # intersections with the batched Arrow kernel, then union the (small)
+    # result fragments per l1 row — unioning full blade polygons first
+    # paid the unbatched union_geoms kernel per candidate (measured 157 s
+    # vs 42 s at 500k parcels); fragments are ~10-vertex clips. The
+    # intersects refine is free: the pair kernel yields NULL for
+    # non-intersecting candidates.
+    slim1 = df1.select(id_col, geom_col)
+    pairs, _ = candidate_pairs(
+        slim1, df2.select(geom_col), res=res,
+        geom_col1=geom_col, geom_col2=geom_col,
+    )
+    g1, g2 = f"l1_{geom_col}", f"l2_{geom_col}"
+    pieces = pairs.withColumn(
+        "_piece", _pair_intersection_udf(F.col(g1), F.col(g2))
+    ).where(F.col("_piece").isNotNull())
+    merged = pieces.groupBy(F.col(f"l1_{id_col}").alias(id_col)).agg(
+        _union_parts_udf()(F.collect_list("_piece")).alias(geom_col)
+    )
+    out = df1.drop(geom_col).join(merged, on=id_col, how="inner")
+    out = out.where(F.col(geom_col).isNotNull()).select(*df1.columns)
     return _postprocess(out, geom_col, gridsize, explodecollections, where_post)
 
 
