@@ -98,6 +98,12 @@ def batch_intersection(gs1: list, gs2: list) -> list:
             # rect x rect: exact algebra in the per-pair path
             out[i] = C.intersection(g1, g2)
             continue
+        if len(a) * len(b) > _MAX_COMBOS:
+            # one huge pair would blow the sweep's memory bound on its own
+            # (_MAX_COMBOS only bounds ACROSS pairs): the per-pair path
+            # chunks its subject-edge axis internally, so route it there
+            out[i] = C.intersection(g1, g2)
+            continue
         idxs.append(i)
         pairs.append((a, b))
 

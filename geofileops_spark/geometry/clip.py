@@ -983,8 +983,17 @@ def intersection(ga: Geometry, gb: Geometry) -> Geometry:
 
 
 def difference(ga: Geometry, gb: Geometry) -> Geometry:
-    """ST_Difference(A, B) for A of any dim, B polygonal."""
+    """ST_Difference(A, B) for A of any dim, B polygonal.
+
+    Bbox-disjoint inputs return ``ga`` ITSELF (same object): callers use
+    the identity to detect "nothing was subtracted" and pass the input
+    through verbatim (the reference's IFNULL(..., g1) semantics)."""
     if gb.dim() != 2 or gb.is_empty():
+        return ga
+    from .kernels import bounds as _bounds
+
+    ba, bb = _bounds(ga), _bounds(gb)
+    if ba[2] < bb[0] or bb[2] < ba[0] or ba[3] < bb[1] or bb[3] < ba[1]:
         return ga
     da = ga.dim()
     if da == 2:

@@ -150,8 +150,13 @@ def _train_centroids(corpus: DataFrame, vec_col: str, n_centroids: int,
                      seed: int, sample: int = 4096, iters: int = 8) -> np.ndarray:
     """Deterministic mini-kmeans on a driver-side sample — the coarse
     quantizer of a classic IVF index. At 100 TB the sample is a bounded
-    collect (the index 'training' step); assignment stays distributed."""
-    rows = corpus.select(vec_col).limit(sample).collect()
+    collect (the index 'training' step); assignment stays distributed.
+    The sample takes the head of EVERY partition (sample_rows_spread),
+    not ``limit(n)`` — a partition-ordered/clustered corpus would
+    otherwise train the quantizer on one neighbourhood."""
+    from ..operators.celljoin import sample_rows_spread
+
+    rows = sample_rows_spread(corpus, vec_col, sample)
     mat = np.asarray([r[0] for r in rows if r[0] is not None], dtype=np.float64)
     rng = np.random.RandomState(seed)
     cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
@@ -206,9 +211,11 @@ def ivf_topk(
     ``centroids``: optional (id, vector) DataFrame acting as a
     pretrained coarse quantizer (the common production IVF setup — the
     quantizer is trained offline/sampled); when None, a deterministic
-    mini-kmeans on a bounded driver sample trains one. Either way the
-    assignment runs distributed as a JVM expression (no Python, no
-    shuffle: map-side nearest-centroid per row)."""
+    mini-kmeans on a bounded driver sample trains one (sampled across
+    ALL partitions — a head sample of a clustered corpus would train the
+    quantizer on one neighbourhood). Either way the assignment runs
+    distributed as a JVM expression (no Python, no shuffle: map-side
+    nearest-centroid per row)."""
     if centroids is not None:
         rows = centroids.select(id_col, vec_col).collect()
         cents = [(int(r[0]), list(r[1])) for r in rows if r[1] is not None]

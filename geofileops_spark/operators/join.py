@@ -543,6 +543,25 @@ def ring_cells_expr(x, y, res: int, k: int):
     )
 
 
+def parent_cell_expr(cell: "F.Column", res: int, parent_res: int) -> "F.Column":
+    """Parent cell id at a coarser resolution — pure JVM bit arithmetic
+    (the Spark twin of ``cells.parent``). The input column must hold
+    ids at the single known resolution ``res`` (as produced by one
+    ``with_cover`` pass)."""
+    if parent_res > res:
+        raise ValueError("parent_res must be coarser (<=) than res")
+    shift = res - parent_res
+    mask = F.lit((1 << X._COORD_BITS) - 1).cast("long")
+    ix = F.shiftright(cell, X._COORD_BITS).bitwiseAND(mask)
+    iy = cell.bitwiseAND(mask)
+    return (
+        F.lit(parent_res << 58)
+        .cast("long")
+        .bitwiseOR(F.shiftleft(F.shiftright(ix, shift), X._COORD_BITS))
+        .bitwiseOR(F.shiftright(iy, shift))
+    )
+
+
 def _res_for_distance(d: float) -> int:
     """Finest res whose cell size is >= d (so a 1-ring covers distance d)."""
     if d <= 0:
@@ -654,73 +673,156 @@ def _broadcast_knn(
     attr_cols = [c for c in l2_cols if c != l2_geom]
     l1_geom = f"l1_{geom_col}"
 
+    def _tiekey(t):
+        # ties rank by (distance, RAW l2 id) exactly like the ring path's
+        # ORDER BY distance, l2_id — ids keep their column type (int or
+        # str); None sorts last within a distance
+        return (t[0], t[1] is None, t[1])
+
     def _knn(batches):
         rows = bc.value
         m = len(rows)
         geoms = []
         bbs = np.full((max(m, 1), 4), np.nan)
-        ids = np.empty(max(m, 1), dtype=np.int64)
+        all_l2_points = m > 0
         for i, r in enumerate(rows):
             g = W.loads(bytes(r[g_idx])) if r[g_idx] is not None else None
             geoms.append(g)
             if g is not None and not g.is_empty():
                 bbs[i] = K.bounds(g)
-            ids[i] = -1 if r[id_idx] is None else int(r[id_idx])
+                if g.typ != 1:
+                    all_l2_points = False
+            else:
+                all_l2_points = False
         valid = np.isfinite(bbs[:, 0])
+        ids = [r[id_idx] for r in rows]
         attrs = pd.DataFrame(
             [[r[l2_cols.index(c)] for c in attr_cols] for r in rows],
             columns=attr_cols,
         )
+        out_names = [f.name for f in out_schema.fields]
         for pdf in batches:
-            out_rows = []
-            if m == 0:
-                yield pd.DataFrame(columns=[f.name for f in out_schema.fields])
+            nrows = len(pdf)
+            if m == 0 or nrows == 0:
+                yield pd.DataFrame(columns=out_names)
                 continue
-            for _, l1row in pdf.iterrows():
-                b1 = l1row[l1_geom]
-                if b1 is None:
-                    continue
-                g1 = W.loads(bytes(b1))
-                if g1.is_empty():
-                    continue
-                x0, y0, x1, y1 = K.bounds(g1)
-                # bbox->bbox lower-bound distances, vectorized over l2
+            # decode the whole batch's l1 side up front
+            l1wkb = pdf[l1_geom]
+            pts1 = None
+            if not l1wkb.isna().any():
+                pts1 = W.points_from_wkb_list([bytes(b) for b in l1wkb])
+            b1 = np.full((nrows, 4), np.nan)
+            g1s: list = [None] * nrows
+            if pts1 is not None:
+                b1[:, 0] = pts1[:, 0]
+                b1[:, 1] = pts1[:, 1]
+                b1[:, 2] = pts1[:, 0]
+                b1[:, 3] = pts1[:, 1]
+            else:
+                for i, b in enumerate(l1wkb):
+                    if b is None:
+                        continue
+                    g = W.loads(bytes(b))
+                    if g.is_empty():
+                        continue
+                    g1s[i] = g
+                    b1[i] = K.bounds(g)
+            # exact path: point x point distances ARE the bbox distances
+            exact = pts1 is not None and all_l2_points
+            emit_l1: list[int] = []
+            emit_l2: list[int] = []
+            emit_pos: list[int] = []
+            emit_d: list[float] = []
+            # the (batch x l2) lower-bound matrix is built in row chunks
+            # bounded to ~4M cells (32 MB of float64 temporaries)
+            chunk = max(1, 4_000_000 // m)
+            for s in range(0, nrows, chunk):
+                e = min(nrows, s + chunk)
+                cb = b1[s:e]
                 dx = np.maximum(
-                    np.maximum(bbs[:, 0] - x1, x0 - bbs[:, 2]), 0.0
+                    np.maximum(
+                        bbs[None, :, 0] - cb[:, None, 2],
+                        cb[:, None, 0] - bbs[None, :, 2],
+                    ),
+                    0.0,
                 )
                 dy = np.maximum(
-                    np.maximum(bbs[:, 1] - y1, y0 - bbs[:, 3]), 0.0
+                    np.maximum(
+                        bbs[None, :, 1] - cb[:, None, 3],
+                        cb[:, None, 1] - bbs[None, :, 3],
+                    ),
+                    0.0,
                 )
                 lb = np.hypot(dx, dy)
-                lb[~valid] = np.inf
-                order = np.argsort(lb, kind="stable")
-                best: list[tuple[float, int, int]] = []  # (dist, id, idx)
-                kth = np.inf
-                for oi in order:
-                    if not np.isfinite(lb[oi]):
-                        break  # NULL/empty l2 geometries sort last
-                    if lb[oi] > kth or (not expand and lb[oi] > distance):
-                        break
-                    d = K.distance(g1, geoms[oi])
-                    if not np.isfinite(d):
+                lb[:, ~valid] = np.inf
+                lb[~np.isfinite(cb[:, 0])] = np.inf
+                if exact:
+                    kk = min(nb_nearest, int(valid.sum()))
+                    if kk == 0:
                         continue
-                    if not expand and d > distance:
-                        continue
-                    best.append((d, ids[oi], int(oi)))
-                    best.sort()
-                    if len(best) > nb_nearest:
-                        best.pop()
-                    if len(best) == nb_nearest:
-                        kth = best[-1][0]
-                for pos, (d, _lid, oi) in enumerate(best, start=1):
-                    out_rows.append(
-                        tuple(l1row[c] for c in pdf.columns)
-                        + tuple(attrs.iloc[oi])
-                        + (pos, float(d))
-                    )
-            yield pd.DataFrame(
-                out_rows, columns=[f.name for f in out_schema.fields]
-            )
+                    kth = np.partition(lb, kk - 1, axis=1)[:, kk - 1]
+                    for i in range(e - s):
+                        cap = kth[i] if expand else min(kth[i], distance)
+                        cand = np.nonzero(
+                            (lb[i] <= cap) & np.isfinite(lb[i])
+                        )[0]
+                        if len(cand) == 0:
+                            continue
+                        best = sorted(
+                            ((float(lb[i][j]), ids[j], int(j)) for j in cand),
+                            key=_tiekey,
+                        )[:nb_nearest]
+                        for pos, (d, _lid, oi) in enumerate(best, start=1):
+                            emit_l1.append(s + i)
+                            emit_l2.append(oi)
+                            emit_pos.append(pos)
+                            emit_d.append(d)
+                    continue
+                order = np.argsort(lb, axis=1, kind="stable")
+                for i in range(e - s):
+                    gi = s + i
+                    g1 = g1s[gi]
+                    if g1 is None:
+                        if pts1 is None:
+                            continue
+                        from ..geometry import geom as G
+
+                        g1 = G.Geometry(G.POINT, pts1[gi].copy())
+                        g1s[gi] = g1
+                    row_lb = lb[i]
+                    best: list[tuple[float, object, int]] = []
+                    kth_d = np.inf
+                    for oi in order[i]:
+                        l = row_lb[oi]
+                        if not np.isfinite(l):
+                            break  # NULL/empty l2 geometries sort last
+                        if l > kth_d or (not expand and l > distance):
+                            break
+                        d = K.distance(g1, geoms[oi])
+                        if not np.isfinite(d):
+                            continue
+                        if not expand and d > distance:
+                            continue
+                        best.append((float(d), ids[oi], int(oi)))
+                        best.sort(key=_tiekey)
+                        if len(best) > nb_nearest:
+                            best.pop()
+                        if len(best) == nb_nearest:
+                            kth_d = best[-1][0]
+                    for pos, (d, _lid, oi) in enumerate(best, start=1):
+                        emit_l1.append(gi)
+                        emit_l2.append(oi)
+                        emit_pos.append(pos)
+                        emit_d.append(d)
+            if not emit_l1:
+                yield pd.DataFrame(columns=out_names)
+                continue
+            l1part = pdf.iloc[emit_l1].reset_index(drop=True)
+            l2part = attrs.iloc[emit_l2].reset_index(drop=True)
+            outdf = pd.concat([l1part, l2part], axis=1)
+            outdf["pos"] = np.asarray(emit_pos, dtype=np.int32)
+            outdf["distance"] = np.asarray(emit_d, dtype=np.float64)
+            yield outdf[out_names]
 
     res = c1.mapInPandas(_knn, schema=out_schema)
     res = res.withColumn("distance_crs", F.col("distance"))
@@ -811,7 +913,8 @@ def join_nearest(
     e2 = prefix_columns(with_cover(df2, res, geom_col), "l2_").withColumnRenamed(
         "l2__cell", "_cell"
     )
-    if expand:
+    if expand or X.cell_size(res) < distance:
+        # the loop below may re-key this cover several times
         e2 = cache.track(e2.persist())
 
     def _rank(cand, lim):
@@ -825,23 +928,41 @@ def join_nearest(
         ranked = cand.withColumn("pos", F.row_number().over(w)).where(
             F.col("pos") <= nb_nearest
         )
-        return ranked.drop("_cell")  # straggler pass has no cell column
+        return ranked.drop("_cell")
 
+    # Hierarchical expansion: level j joins a 1-ring of the l1 centroid's
+    # cell at res_j = res - 2j against the PARENT cells of the one-time l2
+    # cover (pure bit arithmetic — layer 2 is never re-covered). Each
+    # level quadruples the guaranteed radius (cell_size(res_j)) while the
+    # l1 explode stays at 9 cells/row, and res_j == 0 degenerates to a
+    # single world cell — a hash join against all of layer 2 for the few
+    # true stragglers, never a CartesianProduct (the previous straggler
+    # crossJoin went quadratic on a layer-1 of isolated points).
     results = None
     remaining = c1
-    k_ring = 1
-    for round_i in range(max_expand_rounds if expand else 1):
+    res_j = res
+    level = 0
+    while True:
         r1 = remaining.withColumn(
             "_cell",
-            F.explode(
-                ring_cells_expr(F.col("_cx"), F.col("_cy"), res, k_ring)
-            ),
+            F.explode(ring_cells_expr(F.col("_cx"), F.col("_cy"), res_j, 1)),
         )
-        cand = r1.hint("shuffle_hash").join(e2, "_cell").dropDuplicates(
+        e2j = (
+            e2
+            if res_j == res
+            else e2.withColumn("_cell", parent_cell_expr(F.col("_cell"), res, res_j))
+        )
+        cand = r1.hint("shuffle_hash").join(e2j, "_cell").dropDuplicates(
             [f"l1_{id_col}", f"l2_{id_col}"]
         )
-        guaranteed = X.cell_size(res) * k_ring  # radius fully covered
-        # a neighbour found this round is only a CONFIRMED top-k if it is
+        guaranteed = X.cell_size(res_j)  # radius fully covered by the ring
+        if res_j == 0:
+            # the ring IS the whole world: every candidate set is complete
+            ranked = _rank(cand, None if expand else distance)
+            results = ranked if results is None else results.unionByName(ranked)
+            remaining = None
+            break
+        # a neighbour found this level is only a CONFIRMED top-k if it is
         # within the guaranteed radius (a closer one could hide in an
         # unvisited cell). expand=False additionally caps at `distance`.
         lim = guaranteed if expand else min(distance, guaranteed)
@@ -857,16 +978,16 @@ def join_nearest(
         done = ranked.join(done_ids, f"l1_{id_col}", "left_semi")
         results = done if results is None else results.unionByName(done)
         remaining = remaining.join(done_ids, f"l1_{id_col}", "left_anti")
-        k_ring *= 4
-    if remaining is not None:
-        # final pass for stragglers: exhaustive against all of layer 2
-        # (expand=True: reference keeps doubling till nb_nearest found;
-        # expand=False: rows whose `distance` exceeds the rings covered).
-        straggler_cap = None if expand else distance
-        all2 = e2.drop("_cell").dropDuplicates([f"l2_{id_col}"])
-        cand = remaining.crossJoin(all2)
-        tail = _rank(cand, straggler_cap)
-        results = tail if results is None else results.unionByName(tail)
+        level += 1
+        if level >= max_expand_rounds:
+            # almost-always-empty tail: materialize the remaining set once
+            # per level from here on and stop as soon as it drains, instead
+            # of building the full ~res/2-level lazy plan
+            remaining = cache.track(remaining.persist())
+            if remaining.isEmpty():
+                remaining = None
+                break
+        res_j = max(res_j - 2, 0)
     out = results.withColumn("distance_crs", F.col("distance"))
     out = drop_helper_columns(
         out.drop("_cx", "_cy", "_cell", "_n", f"l2_{geom_col}")

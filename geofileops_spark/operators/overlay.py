@@ -118,6 +118,13 @@ def _combine_vs_union_udf(mode: str):
                     res = C.difference(res, g2)
                     if res.is_empty():
                         break
+                if res is g1:
+                    # nothing was subtracted (every blade bbox-disjoint):
+                    # pass the input through VERBATIM like the reference's
+                    # IFNULL(..., g1) — extract/degenerate filtering would
+                    # silently strip zero-measure or mixed-dim parts
+                    out.append(W.dumps(g1.force_multi()))
+                    continue
                 res = _drop_degenerate(res.collection_extract(g1.dim() + 1), g1.dim() + 1)
             else:
                 blade = C.union_geoms(g2s)
@@ -315,15 +322,25 @@ def difference(
         s1 = s1.withColumn(
             "_pid", F.xxhash64(F.col(id_col), F.col("_subpos"))
         ).drop("_subpos")
+        # the inner call keeps fully-erased parts as NULL-geometry rows so
+        # the per-id re-union sees EVERY part: a row whose parts were all
+        # erased survives the groupBy with NULL geometry, and the shared
+        # _postprocess applies the caller's keep_empty_geoms exactly like
+        # the non-subdivide branch (previously the flag was silently
+        # ignored here and emptied rows were dropped)
         parts = difference(
-            s1, df2, res=res, geom_col=geom_col, id_col="_pid"
+            s1, df2, res=res, geom_col=geom_col, id_col="_pid",
+            keep_empty_geoms=True,
         ).drop("_pid")
         attrs = [c for c in parts.columns if c not in (id_col, geom_col)]
         out = parts.groupBy(id_col).agg(
             _union_parts_udf()(F.collect_list(geom_col)).alias(geom_col),
             *[F.first(c).alias(c) for c in attrs],
         )
-        return _postprocess(out, geom_col, gridsize, explodecollections, where_post)
+        return _postprocess(
+            out, geom_col, gridsize, explodecollections, where_post,
+            keep_empty_geoms,
+        )
     others = _collect_candidates(df1, df2, res, geom_col, id_col)
     joined = df1.join(others, on=id_col, how="left")
     diffed = joined.withColumn(

@@ -58,14 +58,30 @@ def _cols(df: DataFrame, requested: list[str] | None, geom_col: str) -> list[str
     return [c for c in df.columns if c != geom_col]
 
 
+# sentinels for the documented `{{`/`}}` literal-brace escapes: they are
+# swapped in BEFORE any placeholder pass (including the {inputN_layer}
+# regexes) so an escaped token like ``{{input_layer}}`` is never
+# substituted, then swapped back to single braces at the end.
+_L_SENT = "\x00GFO_LBRACE\x00"
+_R_SENT = "\x00GFO_RBRACE\x00"
+
+
+def _protect_escapes(sql: str) -> str:
+    return sql.replace("{{", _L_SENT).replace("}}", _R_SENT)
+
+
+def _restore_escapes(sql: str) -> str:
+    return sql.replace(_L_SENT, "{").replace(_R_SENT, "}")
+
+
 def _sub(sql: str, mapping: dict[str, str]) -> str:
-    """Replace {placeholder}s; `{{`/`}}` escapes collapse to literals
-    (same convention the reference documents for f-string escaping)."""
+    """Replace {placeholder}s; `{{`/`}}` escapes (already tokenized by
+    ``_protect_escapes``) collapse to literal braces at the end."""
     out = sql
     for key, val in mapping.items():
         # the databasename-qualified, double-quoted form first
         out = out.replace(key, val)
-    return out.replace("{{", "{").replace("}}", "}")
+    return _restore_escapes(out)
 
 
 def _strip_db_qualification(sql: str, n: int, view: str) -> str:
@@ -101,7 +117,7 @@ def select(
         "{columns_to_select_str}": "".join(f", {_q(c)}" for c in cols),
         "{batch_filter}": "",
     }
-    sql = re.sub(r"\"?\{input_layer\}\"?", _q(view), sql_stmt)
+    sql = re.sub(r"\"?\{input_layer\}\"?", _q(view), _protect_escapes(sql_stmt))
     try:
         # spark.sql analyzes eagerly, inlining the view's resolved plan
         # into the returned DataFrame — dropping the view afterwards is
@@ -167,7 +183,7 @@ def select_two_layers(
         ),
         "{batch_filter}": "",
     }
-    sql = _strip_db_qualification(sql_stmt, 1, v1)
+    sql = _strip_db_qualification(_protect_escapes(sql_stmt), 1, v1)
     sql = _strip_db_qualification(sql, 2, v2)
     try:
         out = spark.sql(_sub(sql, mapping))
