@@ -517,12 +517,21 @@ def _no_intersection_fallback(a, b, op, _unused=None, force=False):
 def _reassemble(rings: list[np.ndarray]) -> list[list[np.ndarray]]:
     """Group closed rings into polygons: containment-depth-even rings are
     exteriors, odd are holes of their immediate parent."""
-    rings = [r for r in rings if abs(ring_signed_area(r)) > _MIN_AREA]
+    # signed area computed ONCE per ring (was 3x: filter + sort + _ccw)
+    kept: list[np.ndarray] = []
+    areas: list[float] = []
+    for r in rings:
+        a = ring_signed_area(r)
+        if abs(a) > _MIN_AREA:
+            kept.append(r)
+            areas.append(a)
+    rings = kept
     if not rings:
         return []
     if len(rings) == 1:
-        return [[_ccw(rings[0])]]
-    order = sorted(range(len(rings)), key=lambda i: -abs(ring_signed_area(rings[i])))
+        r = rings[0]
+        return [[r if areas[0] > 0 else r[::-1].copy()]]
+    order = sorted(range(len(rings)), key=lambda i: -abs(areas[i]))
     depth = [0] * len(rings)
     parent = [-1] * len(rings)
     for pos, i in enumerate(order):
@@ -534,11 +543,15 @@ def _reassemble(rings: list[np.ndarray]) -> list[list[np.ndarray]]:
                 parent[i] = j
                 depth[i] = depth[j] + 1
     polys: dict[int, list[np.ndarray]] = {
-        i: [_ccw(rings[i])] for i in range(len(rings)) if depth[i] % 2 == 0
+        i: [rings[i] if areas[i] > 0 else rings[i][::-1].copy()]
+        for i in range(len(rings))
+        if depth[i] % 2 == 0
     }
     for i in range(len(rings)):
         if depth[i] % 2 == 1 and parent[i] in polys:
-            polys[parent[i]].append(_cw(rings[i]))
+            polys[parent[i]].append(
+                rings[i] if areas[i] < 0 else rings[i][::-1].copy()
+            )
     return list(polys.values())
 
 

@@ -243,6 +243,18 @@ def geom_segments(geom: Geometry):
     cached = getattr(geom, "_segs_cache", None)
     if cached is not None:
         return cached
+    from .geom import POLYGON
+
+    if geom.typ == POLYGON and len(geom.data) == 1:
+        # single-ring polygon (the parcel hot case): plain views, no
+        # vstack — measured ~10us/geometry saved across every predicate
+        ring = geom.data[0]
+        out = (ring[:-1], ring[1:])
+        try:
+            geom._segs_cache = out
+        except AttributeError:
+            pass
+        return out
     starts, ends = [], []
     for ls in geom.lines():
         s, e = path_segments(ls)
@@ -255,6 +267,8 @@ def geom_segments(geom: Geometry):
             ends.append(e)
     if not starts:
         out = (np.empty((0, 2)), np.empty((0, 2)))
+    elif len(starts) == 1:
+        out = (starts[0], ends[0])
     else:
         out = (np.vstack(starts), np.vstack(ends))
     try:
@@ -300,6 +314,146 @@ def segment_sets_cross(sa, ea, sb, eb):
             hi = np.maximum(s0, s1)
             any_touch = bool(((hi >= -tol) & (lo <= 1 + tol)).any())
     return any_proper, any_touch
+
+
+def batch_segment_hits(
+    seg_a: list, seg_b: list, windows: np.ndarray | None = None,
+    chunk: int = 65536,
+) -> np.ndarray:
+    """Per-pair "do any two segments intersect?" over MANY segment-set
+    pairs in flattened element-wise sweeps (the batchclip-style
+    amortization of :func:`segment_sets_cross`'s per-call numpy
+    overhead).
+
+    ``seg_a[i]``/``seg_b[i]`` are (starts, ends) tuples. ``windows``
+    (P, 4), when given, is each pair's bbox-overlap window: any segment
+    crossing must lie inside it, so segments whose bbox misses the
+    window are pruned BEFORE the cartesian combos are built — on
+    parcel-sized pairs this cuts the combo count ~10-20x.
+
+    Returns a bool array: True means the pair CERTAINLY has an
+    intersecting segment pair (same formulas/tolerances as
+    ``segment_sets_cross``, minus the collinear-overlap probe); False
+    means "no crossing found" — callers needing exact semantics
+    (collinear-overlap touches, containment) must re-check False pairs
+    with the exact per-pair predicate.
+    """
+    P = len(seg_a)
+    hit = np.zeros(P, dtype=bool)
+    if P == 0:
+        return hit
+    tol = 1e-9
+    n0 = np.fromiter((len(s[0]) for s in seg_a), dtype=np.int64, count=P)
+    m0 = np.fromiter((len(s[0]) for s in seg_b), dtype=np.int64, count=P)
+
+    # stack all segments once; per-pair slices via offsets
+    A_off = np.concatenate(([0], np.cumsum(n0)))
+    B_off = np.concatenate(([0], np.cumsum(m0)))
+    SA = (
+        np.concatenate([s[0] for s in seg_a])
+        if A_off[-1]
+        else np.empty((0, 2))
+    )
+    EA = (
+        np.concatenate([s[1] for s in seg_a])
+        if A_off[-1]
+        else np.empty((0, 2))
+    )
+    SB = (
+        np.concatenate([s[0] for s in seg_b])
+        if B_off[-1]
+        else np.empty((0, 2))
+    )
+    EB = (
+        np.concatenate([s[1] for s in seg_b])
+        if B_off[-1]
+        else np.empty((0, 2))
+    )
+
+    if windows is not None and len(SA) and len(SB):
+        # window prune: a crossing point lies in bbox_a ∩ bbox_b, so a
+        # segment whose own bbox misses the (slightly grown) window
+        # cannot participate in any crossing
+        grow = tol * np.maximum(1.0, np.abs(windows).max(axis=1))
+        w0 = windows[:, 0] - grow
+        w1 = windows[:, 1] - grow
+        w2 = windows[:, 2] + grow
+        w3 = windows[:, 3] + grow
+
+        def _filter(S, E, offs, counts):
+            sx, sy = S[:, 0], S[:, 1]
+            ex2, ey2 = E[:, 0], E[:, 1]
+            keepm = (
+                (np.minimum(sx, ex2) <= np.repeat(w2, counts))
+                & (np.maximum(sx, ex2) >= np.repeat(w0, counts))
+                & (np.minimum(sy, ey2) <= np.repeat(w3, counts))
+                & (np.maximum(sy, ey2) >= np.repeat(w1, counts))
+            )
+            kept = np.nonzero(keepm)[0]
+            nz = counts > 0
+            new_counts = np.zeros(P, dtype=np.int64)
+            idxp = np.nonzero(nz)[0]
+            if len(idxp):
+                # reduceat on the raw bool would stay bool: cast first
+                new_counts[idxp] = np.add.reduceat(
+                    keepm.astype(np.int64), offs[idxp]
+                )
+            return S[kept], E[kept], new_counts
+
+        SA, EA, n = _filter(SA, EA, A_off[:-1], n0)
+        SB, EB, m = _filter(SB, EB, B_off[:-1], m0)
+    else:
+        n, m = n0, m0
+
+    counts = n * m
+    # blocks of pairs whose cumulative combos stay ~chunk-sized: EVERY
+    # working array below is block-local (a single flattened index build
+    # over a 262k-row Arrow batch would allocate gigabytes)
+    a_off_all = np.concatenate(([0], np.cumsum(n)[:-1]))
+    b_off_all = np.concatenate(([0], np.cumsum(m)[:-1]))
+    blk_lo = 0
+    while blk_lo < P:
+        blk_hi = blk_lo
+        combos = 0
+        while blk_hi < P and (combos == 0 or combos + counts[blk_hi] <= chunk):
+            combos += counts[blk_hi]
+            blk_hi += 1
+        bcnt = counts[blk_lo:blk_hi]
+        nz_pairs = bcnt > 0
+        if not nz_pairs.any():
+            blk_lo = blk_hi
+            continue
+        bn = n[blk_lo:blk_hi]
+        bm = m[blk_lo:blk_hi]
+        total = int(bcnt.sum())
+        start = np.concatenate(([0], np.cumsum(bcnt)[:-1]))
+        offs = np.arange(total, dtype=np.int64) - np.repeat(start, bcnt)
+        m_rep = np.maximum(np.repeat(bm, bcnt), 1)
+        ai = np.repeat(a_off_all[blk_lo:blk_hi], bcnt) + offs // m_rep
+        bi = np.repeat(b_off_all[blk_lo:blk_hi], bcnt) + offs % m_rep
+        sa, ea = SA[ai], EA[ai]
+        sb, eb = SB[bi], EB[bi]
+        d1 = ea - sa
+        d2 = eb - sb
+        denom = d1[:, 0] * d2[:, 1] - d1[:, 1] * d2[:, 0]
+        ex = sb[:, 0] - sa[:, 0]
+        ey = sb[:, 1] - sa[:, 1]
+        t_num = ex * d2[:, 1] - ey * d2[:, 0]
+        u_num = ex * d1[:, 1] - ey * d1[:, 0]
+        scale = np.maximum(np.abs(d1).sum(axis=1), EPS) * np.maximum(
+            np.abs(d2).sum(axis=1), EPS
+        )
+        nz = np.abs(denom) > EPS * scale
+        safe = np.where(nz, denom, 1.0)
+        t = t_num / safe
+        u = u_num / safe
+        hitflat = nz & (t > -tol) & (t < 1 + tol) & (u > -tol) & (u < 1 + tol)
+        # reduce only over pairs with combos: their starts are strictly
+        # increasing, so each reduceat slice covers exactly one pair
+        idx = np.nonzero(nz_pairs)[0]
+        hit[blk_lo + idx] = np.logical_or.reduceat(hitflat, start[idx])
+        blk_lo = blk_hi
+    return hit
 
 
 def any_segment_intersection(ga: Geometry, gb: Geometry):

@@ -88,13 +88,63 @@ def _pip_fast_path(pred_name: str, wkb1: pd.Series, wkb2: pd.Series):
     return out
 
 
+def _batch_pair_intersects(wkb1: pd.Series, wkb2: pd.Series, load) -> np.ndarray:
+    """Vectorized per-pair ``intersects`` over a whole Arrow batch:
+    bbox-disjoint pairs are certainly False, a windowed batched
+    segment-hit sweep (kernels.batch_segment_hits) marks certain Trues,
+    and only the leftover pairs (containment / collinear touch /
+    NULL-adjacent) run the exact per-pair predicate."""
+    n = len(wkb1)
+    out = np.zeros(n, dtype=bool)
+    g1s: list = [None] * n
+    g2s: list = [None] * n
+    B1 = np.full((n, 4), np.nan)
+    B2 = np.full((n, 4), np.nan)
+    for i, (b1, b2) in enumerate(zip(wkb1, wkb2)):
+        if b1 is None or b2 is None:
+            continue
+        g1 = load(bytes(b1))
+        g2 = load(bytes(b2))
+        if g1.is_empty() or g2.is_empty():
+            continue
+        g1s[i] = g1
+        g2s[i] = g2
+        B1[i] = K.bounds(g1)
+        B2[i] = K.bounds(g2)
+    overlap = (
+        (B1[:, 0] <= B2[:, 2])
+        & (B2[:, 0] <= B1[:, 2])
+        & (B1[:, 1] <= B2[:, 3])
+        & (B2[:, 1] <= B1[:, 3])
+    )
+    cand = np.nonzero(overlap)[0]
+    if len(cand) == 0:
+        return out
+    seg_a = [K.geom_segments(g1s[i]) for i in cand]
+    seg_b = [K.geom_segments(g2s[i]) for i in cand]
+    windows = np.column_stack(
+        (
+            np.maximum(B1[cand, 0], B2[cand, 0]),
+            np.maximum(B1[cand, 1], B2[cand, 1]),
+            np.minimum(B1[cand, 2], B2[cand, 2]),
+            np.minimum(B1[cand, 3], B2[cand, 3]),
+        )
+    )
+    hits = K.batch_segment_hits(seg_a, seg_b, windows=windows)
+    out[cand[hits]] = True
+    for i in cand[~hits]:
+        out[i] = P.intersects(g1s[i], g2s[i])
+    return out
+
+
 def query_match_udf(query: SpatialQuery):
     """Boolean pandas UDF evaluating the compiled spatial query per pair.
 
     Single-term queries short-circuit to the named predicate functions
     (the reference's optimize_simple_queries, ``_geoops_sql.py:2398-2445``);
     all-point left batches against areal rights take the fully vectorized
-    PIP path (no per-row Python at all).
+    PIP path, and intersects/disjoint batches take the windowed batched
+    segment-hit sweep (no per-pair numpy in the common case).
     """
     q = query.query.lower().split()
     simple = None
@@ -109,6 +159,17 @@ def query_match_udf(query: SpatialQuery):
             if fast is not None:
                 return pd.Series(fast == want, dtype="boolean")
         load = _geom_cache_loader()
+        if simple is not None and simple[0] in ("intersects", "disjoint"):
+            name, fn, want = simple
+            inter = _batch_pair_intersects(wkb1, wkb2, load)
+            # NULL on either side stays False (matching the loop below)
+            nulls = np.array(
+                [b1 is None or b2 is None for b1, b2 in zip(wkb1, wkb2)],
+                dtype=bool,
+            )
+            res = inter if name == "intersects" else ~inter
+            res = (res == want) & ~nulls
+            return pd.Series(res, dtype="boolean")
         out = []
         if simple is not None:
             _, fn, want = simple
@@ -129,10 +190,11 @@ def query_match_udf(query: SpatialQuery):
     return _match
 
 
-def _any_match_udf(query: SpatialQuery):
-    """(g1, array<g2>) -> does ANY candidate satisfy the relation?
-    EARLY EXIT at the first hit: the predicate kernel runs once per
-    matching row instead of once per candidate pair."""
+def _any_match_udf(query: SpatialQuery, want_match: bool = True):
+    """(g1, array<g2>) -> does ANY candidate satisfy (``want_match=True``)
+    / violate (``want_match=False``) the relation? EARLY EXIT at the
+    first hit: the predicate kernel runs once per matching row instead
+    of once per candidate pair."""
     q = query.query.lower().split()
     simple = None
     if len(q) == 3 and q[0] in P.PREDICATE_FNS and q[1] == "is":
@@ -157,7 +219,7 @@ def _any_match_udf(query: SpatialQuery):
                     ok = bool(fn(g1, g2)) == want
                 else:
                     ok = query.matches(P.relate_matrix(g1, g2))
-                if ok:
+                if ok == want_match:
                     hit = True
                     break
             out.append(hit)
@@ -441,6 +503,356 @@ def join_points_in_polygons(
 
 
 # ------------------------------------------------------ export_by_location
+_EXPORT_BCAST_BYTES = int(
+    os.environ.get("GFO_EXPORT_BROADCAST_BYTES", str(256 * 1024 * 1024))
+)
+_EXPORT_BCAST_MAX_ROWS = int(
+    os.environ.get("GFO_EXPORT_BROADCAST_MAX_ROWS", "4000000"))
+
+
+from pyspark.sql.types import StructField, StructType  # noqa: E402
+
+_BOUNDS_SCHEMA = StructType(
+    [StructField(n, DoubleType()) for n in ("minx", "miny", "maxx", "maxy")]
+)
+
+
+@pandas_udf(_BOUNDS_SCHEMA)
+def _bounds_udf(wkb: pd.Series) -> pd.DataFrame:
+    cols: list[list] = [[], [], [], []]
+    for b in wkb:
+        if b is None:
+            vals = (np.nan,) * 4
+        else:
+            try:
+                vals = K.bounds(W.loads(bytes(b)))
+            except ValueError:
+                vals = (np.nan,) * 4
+        for c, v in zip(cols, vals):
+            c.append(v)
+    return pd.DataFrame(
+        {"minx": cols[0], "miny": cols[1], "maxx": cols[2], "maxy": cols[3]}
+    )
+
+
+_bounds_udf = _bounds_udf.asNondeterministic()
+
+
+def _grid_index(bb: np.ndarray, cellsz: float, gx0: float, gy0: float,
+                cap: int = 4096):
+    """Flat sorted grid index over bboxes, built with pure numpy (no
+    per-row Python): returns (ukey, starts, ends, srow, big_rows). Rows
+    whose cover would exceed ``cap`` cells go to the ``big_rows``
+    always-check list instead of flooding the grid."""
+    ix0 = np.floor((bb[:, 0] - gx0) / cellsz).astype(np.int64)
+    iy0 = np.floor((bb[:, 1] - gy0) / cellsz).astype(np.int64)
+    ix1 = np.floor((bb[:, 2] - gx0) / cellsz).astype(np.int64)
+    iy1 = np.floor((bb[:, 3] - gy0) / cellsz).astype(np.int64)
+    w = ix1 - ix0 + 1
+    h = iy1 - iy0 + 1
+    counts = w * h
+    big = counts > cap
+    small = ~big
+    rows = np.nonzero(small)[0]
+    counts = counts[small]
+    total = int(counts.sum())
+    row_ids = np.repeat(rows, counts)
+    block_start = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    offs = np.arange(total, dtype=np.int64) - np.repeat(block_start, counts)
+    wrep = np.repeat(w[small], counts)
+    cx = np.repeat(ix0[small], counts) + offs % wrep
+    cy = np.repeat(iy0[small], counts) + offs // wrep
+    key = cx * np.int64(1) * (np.int64(1) << np.int64(32)) + cy
+    order = np.argsort(key, kind="stable")
+    skey = key[order]
+    srow = row_ids[order]
+    ukey, starts = np.unique(skey, return_index=True)
+    ends = np.concatenate((starts[1:], [len(skey)]))
+    return ukey, starts, ends, srow, np.nonzero(big)[0]
+
+
+def _grid_probe(ukey, starts, ends, srow, big_rows, cellsz, gx0, gy0,
+                b0, b1, b2, b3, bb):
+    """Candidate row indices whose bbox overlaps (b0,b1,b2,b3)."""
+    kx0 = int(np.floor((b0 - gx0) / cellsz))
+    ky0 = int(np.floor((b1 - gy0) / cellsz))
+    kx1 = int(np.floor((b2 - gx0) / cellsz))
+    ky1 = int(np.floor((b3 - gy0) / cellsz))
+    chunks = []
+    shift = np.int64(1) << np.int64(32)
+    for kx in range(kx0, kx1 + 1):
+        base = np.int64(kx) * shift
+        lo = int(np.searchsorted(ukey, base + ky0))
+        hi = int(np.searchsorted(ukey, base + ky1, side="right"))
+        for p in range(lo, hi):
+            chunks.append(srow[starts[p]:ends[p]])
+    if len(big_rows):
+        chunks.append(big_rows)
+    if not chunks:
+        return None
+    # cells hold disjoint row sets only when a bbox spans one cell; rows
+    # spanning cells appear in several chunks -> dedup only then
+    cand = chunks[0] if len(chunks) == 1 else np.unique(np.concatenate(chunks))
+    m = (
+        (bb[cand, 0] <= b2)
+        & (bb[cand, 2] >= b0)
+        & (bb[cand, 1] <= b3)
+        & (bb[cand, 3] >= b1)
+    )
+    cand = cand[m]
+    return cand if len(cand) else None
+
+
+def _flat_ranges(lo: np.ndarray, hi: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Flatten many [lo_i, hi_i) integer ranges into one array plus the
+    owning range's index per element — pure numpy (the repeat/arange
+    trick used throughout the batched kernels)."""
+    counts = np.maximum(hi - lo, 0)
+    total = int(counts.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    start = np.concatenate(([0], np.cumsum(counts)[:-1]))
+    owner = np.repeat(np.arange(len(lo), dtype=np.int64), counts)
+    vals = np.arange(total, dtype=np.int64) - np.repeat(start, counts) + np.repeat(lo, counts)
+    return vals, owner
+
+
+def _batch_candidates(B: np.ndarray, ukey, starts, ends, srow, big_rows,
+                      cellsz: float, gx0: float, gy0: float,
+                      bbv: np.ndarray):
+    """Bbox-overlap candidate (row, l2) pairs for a WHOLE batch of probe
+    bboxes ``B`` (n, 4; NaN rows skipped) against the broadcast grid —
+    fully vectorized (no per-row searchsorted/unique/concat calls).
+    Returns (pair_rows, pair_l2), deduped, bbox-filtered, sorted by row.
+    """
+    n = len(B)
+    alive = np.isfinite(B[:, 0])
+    rows = np.nonzero(alive)[0]
+    if len(rows) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    kx0 = np.floor((B[rows, 0] - gx0) / cellsz).astype(np.int64)
+    ky0 = np.floor((B[rows, 1] - gy0) / cellsz).astype(np.int64)
+    kx1 = np.floor((B[rows, 2] - gx0) / cellsz).astype(np.int64)
+    ky1 = np.floor((B[rows, 3] - gy0) / cellsz).astype(np.int64)
+    # flatten (row, kx) pairs
+    kxs, owner = _flat_ranges(kx0, kx1 + 1)
+    shift = np.int64(1) << np.int64(32)
+    base = kxs * shift
+    lo = np.searchsorted(ukey, base + ky0[owner])
+    hi = np.searchsorted(ukey, base + ky1[owner], side="right")
+    # flatten matched grid-cell positions
+    ps, cell_owner = _flat_ranges(lo, hi)
+    row_of_cell = owner[cell_owner]
+    # flatten each cell's stored row slice
+    ent, ent_owner = _flat_ranges(starts[ps], ends[ps])
+    pr = rows[row_of_cell[ent_owner]]
+    pl = srow[ent]
+    if len(big_rows):
+        big_pr = np.repeat(rows, len(big_rows))
+        big_pl = np.tile(big_rows, len(rows))
+        pr = np.concatenate((pr, big_pr))
+        pl = np.concatenate((pl, big_pl))
+    if len(pr) == 0:
+        return pr, pl
+    # dedup (row, l2) pairs spanning several cells
+    key = pr * np.int64(len(bbv) + 1) + pl
+    key = np.unique(key)
+    pr = key // np.int64(len(bbv) + 1)
+    pl = key % np.int64(len(bbv) + 1)
+    # exact bbox-overlap filter
+    m = (
+        (bbv[pl, 0] <= B[pr, 2])
+        & (bbv[pl, 2] >= B[pr, 0])
+        & (bbv[pl, 1] <= B[pr, 3])
+        & (bbv[pl, 3] >= B[pr, 1])
+    )
+    return pr[m], pl[m]
+
+
+def _export_broadcast(
+    df1: DataFrame,
+    df2: DataFrame,
+    sq: SpatialQuery,
+    min_area_intersect: float | None,
+    geom_col: str,
+) -> DataFrame:
+    """Map-side export_by_location: layer 2's (bbox, WKB) is computed
+    distributed, collected once, grid-indexed and broadcast; layer 1
+    streams through ONE mapInPandas with zero shuffles — the Spark twin
+    of the reference's in-process rtree probe (each gfo worker process
+    holds layer 2's rtree in RAM, ``_geoops_sql.py:1541-1736``). Guarded
+    by ``GFO_EXPORT_BROADCAST_BYTES``: a layer 2 past the reference's own
+    in-memory operating envelope falls back to the distributed cell join.
+    """
+    spark = df1.sparkSession
+    pdf2 = (
+        df2.select(
+            _bounds_udf(F.col(geom_col)).alias("_b"),
+            F.col(geom_col).alias("_wkb"),
+        )
+        .select("_b.minx", "_b.miny", "_b.maxx", "_b.maxy", "_wkb")
+        .toPandas()
+    )
+    bb_all = pdf2[["minx", "miny", "maxx", "maxy"]].to_numpy(np.float64)
+    valid = np.isfinite(bb_all[:, 0])
+    bb = np.ascontiguousarray(bb_all[valid])
+    wkbs = pdf2["_wkb"].to_numpy(object)[valid]
+    anti = sq.true_for_disjoint
+    if len(bb) == 0:
+        # empty layer 2: EXISTS fails everywhere; the for-ALL (disjoint)
+        # filter holds vacuously everywhere
+        return df1 if anti else df1.limit(0)
+    ext = np.maximum(bb[:, 2] - bb[:, 0], bb[:, 3] - bb[:, 1])
+    med = float(np.median(ext))
+    span = max(
+        float(bb[:, 2].max() - bb[:, 0].min()),
+        float(bb[:, 3].max() - bb[:, 1].min()),
+        1e-9,
+    )
+    # grid cell ~2 median extents; floor keeps the grid under ~4k cells
+    # per axis for point-like layers
+    cellsz = max(2.0 * med, span / 4096.0)
+    gx0 = float(bb[:, 0].min())
+    gy0 = float(bb[:, 1].min())
+    index = _grid_index(bb, cellsz, gx0, gy0)
+    # pack WKBs into ONE buffer + offsets: unpickling a single bytes blob
+    # is a memcpy, while 500k separate bytes objects cost seconds per
+    # Python worker (measured 55 s cold vs 13 s warm at 500k parcels)
+    lens = np.fromiter((len(w) for w in wkbs), dtype=np.int64, count=len(wkbs))
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    buf = b"".join(bytes(w) for w in wkbs)
+    bc = spark.sparkContext.broadcast((index, bb, buf, offs, cellsz, gx0, gy0))
+
+    q = sq.query.lower().split()
+    simple = None
+    if len(q) == 3 and q[0] in P.PREDICATE_FNS and q[1] == "is":
+        simple = (q[0], q[2] == "true")
+    min_area = min_area_intersect
+    schema = df1.schema
+
+    # in all four intersects/disjoint x True/False combinations, the
+    # early-exit target (the semi branch's witness / the anti branch's
+    # violator) is plain ``intersects`` — eligible for the batched
+    # segment-hit sweep (certain-hit fast accept, exact fallback)
+    fast_hit = (
+        simple is not None
+        and simple[0] in ("intersects", "disjoint")
+        and min_area_intersect is None
+    )
+
+    def _probe(batches):
+        from ..geometry import clip as C
+
+        (ukey, starts, ends, srow, big_rows), bbv, buf2, off2, csz, x0, y0 = (
+            bc.value
+        )
+        pred = P.PREDICATE_FNS[simple[0]] if simple else None
+        want = simple[1] if simple else None
+        # per-TASK decode cache: a worker-lifetime cache (1 Geometry per
+        # l2 row x 32 workers) measured SLOWER at 500k rows — allocator/
+        # GC pressure beat the saved decodes
+        cacheg: dict[int, object] = {}
+
+        def g2_at(j):
+            g = cacheg.get(j)
+            if g is None:
+                g = W.loads(buf2[off2[j]:off2[j + 1]])
+                cacheg[j] = g
+            return g
+
+        def row_hit(g1, cand):
+            """Early-exit: does any candidate witness (semi) / violate
+            (anti) the relation for this l1 geometry?"""
+            for j in cand:
+                g2 = g2_at(int(j))
+                ok = (
+                    bool(pred(g1, g2)) == want
+                    if simple
+                    else sq.matches(P.relate_matrix(g1, g2))
+                )
+                if ok != anti:
+                    return True
+            return False
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pdf
+                continue
+            keep = np.zeros(n, dtype=bool)
+            g1s: list = [None] * n
+            B = np.full((n, 4), np.nan)
+            for i, b1 in enumerate(pdf[geom_col]):
+                if b1 is None:
+                    continue
+                g1 = W.loads(bytes(b1))
+                if g1.is_empty():
+                    continue
+                g1s[i] = g1
+                B[i] = K.bounds(g1)
+            # rows with NULL/empty geometry or zero candidates: EXISTS
+            # fails, the for-ALL filter holds vacuously (matches the
+            # cell-join plan where such rows never enter the pair stream)
+            keep[:] = anti
+            pr, pl = _batch_candidates(
+                B, ukey, starts, ends, srow, big_rows, csz, x0, y0, bbv
+            )
+            if len(pr) == 0:
+                yield pdf[keep]
+                continue
+            # per-row candidate slices (pr is sorted by row)
+            row_start = np.concatenate(
+                ([0], np.nonzero(np.diff(pr))[0] + 1, [len(pr)])
+            )
+            row_ids = pr[row_start[:-1]]
+            if fast_hit:
+                # batched certain-hit sweep over every (row, candidate)
+                # pair at once; a hit anywhere in a row resolves it
+                # (witness found / violator found). Rows with no certain
+                # hit re-check their candidates with the exact predicate
+                # (containment and collinear-touch cases).
+                seg_a = [K.geom_segments(g1s[i]) for i in pr]
+                seg_b = [K.geom_segments(g2_at(int(j))) for j in pl]
+                windows = np.column_stack(
+                    (
+                        np.maximum(B[pr, 0], bbv[pl, 0]),
+                        np.maximum(B[pr, 1], bbv[pl, 1]),
+                        np.minimum(B[pr, 2], bbv[pl, 2]),
+                        np.minimum(B[pr, 3], bbv[pl, 3]),
+                    )
+                )
+                hits = K.batch_segment_hits(seg_a, seg_b, windows=windows)
+                for s, e, i in zip(row_start[:-1], row_start[1:], row_ids):
+                    if hits[s:e].any():
+                        keep[i] = not anti
+                    else:
+                        hit = row_hit(g1s[i], pl[s:e])
+                        keep[i] = (not hit) if anti else hit
+            else:
+                for s, e, i in zip(row_start[:-1], row_start[1:], row_ids):
+                    g1, cand = g1s[i], pl[s:e]
+                    if min_area is not None:
+                        total = 0.0
+                        for j in cand:
+                            g2 = g2_at(int(j))
+                            ok = (
+                                bool(pred(g1, g2)) == want
+                                if simple
+                                else sq.matches(P.relate_matrix(g1, g2))
+                            )
+                            if ok:
+                                total += K.area(C.intersection(g1, g2))
+                                if total >= min_area:
+                                    break
+                        keep[i] = total >= min_area
+                        continue
+                    hit = row_hit(g1, cand)
+                    keep[i] = (not hit) if anti else hit
+            yield pdf[keep]
+
+    return df1.mapInPandas(_probe, schema=schema)
+
+
 def export_by_location(
     df1: DataFrame,
     df2: DataFrame,
@@ -449,24 +861,59 @@ def export_by_location(
     res: int | None = None,
     geom_col: str = "geom_wkb",
     id_col: str = "fid",
+    broadcast: bool | None = None,
 ) -> DataFrame:
     """Spatial semi-join (or anti-join for disjoint-style queries): keep
     layer1 rows where EXISTS a layer2 row satisfying the relation
     (geofileops ``geoops.py:2308`` → ``_geoops_sql.py:1541-1736``;
-    disjoint De-Morgan branch at ``:1617-1630``)."""
+    disjoint De-Morgan branch at ``:1617-1630``).
+
+    Two physical plans:
+
+    - **broadcast probe** (default when layer 2 scans under
+      ``GFO_EXPORT_BROADCAST_BYTES``): layer 2 grid-indexed in RAM,
+      layer 1 streamed map-side, zero shuffles — the reference's
+      in-process-rtree shape.
+    - **distributed cell join** (the 100-TB shape): payload-trimmed
+      cover explode → cell hash join → per-(cell, l1) early-exit EXISTS
+      aggregate (no re-shuffle: the aggregate reuses the join's hash
+      partitioning on the cell) → distinct matched ids → semi-join.
+    """
     sq = SpatialQuery(spatial_relations_query)
+    if broadcast is None:
+        sz = _scan_size_bytes(df2)
+        broadcast = sz is not None and 0 < sz <= _EXPORT_BCAST_BYTES
+        if broadcast and df2.count() > _EXPORT_BCAST_MAX_ROWS:
+            broadcast = False
+    if broadcast:
+        return _export_broadcast(
+            df1, df2, sq, min_area_intersect, geom_col
+        )
+    # distributed plan: only (id, geom) of layer 1 and (geom) of layer 2
+    # flow through the cover explode + cell shuffle — attributes rejoin
+    # via the final semi/anti join on id
     pairs, res = candidate_pairs(
-        df1, df2, res=res, geom_col1=geom_col, geom_col2=geom_col,
-        light_ids=(id_col, id_col),
+        df1.select(id_col, geom_col), df2.select(geom_col), res=res,
+        geom_col1=geom_col, geom_col2=geom_col,
     )
     g1, g2 = f"l1_{geom_col}", f"l2_{geom_col}"
+    cell = "l1__cell"
 
     if sq.true_for_disjoint:
         # keep rows where the filter holds for ALL layer2 rows. Non-candidate
         # (bbox-disjoint) pairs evaluate to true_for_disjoint == True, so only
-        # candidates can violate → anti-join on the violators.
-        violators = pairs.where(~query_match_udf(sq)(F.col(g1), F.col(g2)))
-        key = violators.select(F.col(f"l1_{id_col}").alias(id_col)).distinct()
+        # candidates can violate → anti-join on the violators. Early exit at
+        # the first violator per (cell, l1) group — map-side aggregate, the
+        # join's hash partitioning on the cell already clusters the keys.
+        viol = pairs.groupBy(F.col(cell), F.col(f"l1_{id_col}").alias(id_col)).agg(
+            F.first(F.col(g1)).alias("_g1"),
+            F.collect_list(F.col(g2)).alias("_g2s"),
+        )
+        key = (
+            viol.where(_any_match_udf(sq, want_match=False)(F.col("_g1"), F.col("_g2s")))
+            .select(id_col)
+            .distinct()
+        )
         return df1.join(key, on=id_col, how="left_anti")
 
     if min_area_intersect is not None:
@@ -482,19 +929,21 @@ def export_by_location(
         )
         return df1.join(agg, on=id_col, how="left_semi")
 
-    # EXISTS semi-join: collect the candidate l2 geoms per l1 row and
-    # evaluate ONE early-exit any() kernel per row — the analogue of the
-    # reference's rtree first-match short-circuit. On dense layers the
-    # first candidate usually satisfies the relation, so predicate-kernel
-    # calls drop from |candidate pairs| to ~|matching l1 rows|
-    # (measured 500k parcels: 2M pair refines -> ~550k early-exit calls).
-    cands = pairs.groupBy(F.col(f"l1_{id_col}").alias(id_col)).agg(
+    # EXISTS semi-join: collect the candidate l2 geoms per (cell, l1) and
+    # evaluate ONE early-exit any() kernel per group — the analogue of the
+    # reference's rtree first-match short-circuit. Grouping on (cell, id)
+    # instead of id alone keeps the aggregate MAP-SIDE (HashPartitioning
+    # on the join's cell key satisfies the grouping's distribution — no
+    # second full-payload shuffle); only matched ids shuffle for distinct.
+    cands = pairs.groupBy(F.col(cell), F.col(f"l1_{id_col}").alias(id_col)).agg(
         F.first(F.col(g1)).alias("_g1"),
         F.collect_list(F.col(g2)).alias("_g2s"),
     )
-    exists = cands.where(
-        _any_match_udf(sq)(F.col("_g1"), F.col("_g2s"))
-    ).select(id_col)
+    exists = (
+        cands.where(_any_match_udf(sq)(F.col("_g1"), F.col("_g2s")))
+        .select(id_col)
+        .distinct()
+    )
     return df1.join(exists, on=id_col, how="left_semi")
 
 
@@ -941,8 +1390,18 @@ def join_nearest(
     results = None
     remaining = c1
     res_j = res
-    level = 0
-    while True:
+    for level in range(max_expand_rounds + 1):
+        final_level = level == max_expand_rounds or res_j == 0
+        if final_level and expand:
+            # last level joins the single world cell: a plain hash join
+            # of the (almost always tiny) remaining set against all of
+            # layer 2 — complete by construction, never a CartesianProduct
+            # (a crossJoin here went quadratic on isolated-point layers),
+            # and the lazy plan stays bounded at max_expand_rounds levels
+            # (an unbounded level loop made Catalyst re-optimize a
+            # quadratically growing tree per level — measured minutes of
+            # driver CPU on a 2-row input).
+            res_j = 0
         r1 = remaining.withColumn(
             "_cell",
             F.explode(ring_cells_expr(F.col("_cx"), F.col("_cy"), res_j, 1)),
@@ -978,16 +1437,21 @@ def join_nearest(
         done = ranked.join(done_ids, f"l1_{id_col}", "left_semi")
         results = done if results is None else results.unionByName(done)
         remaining = remaining.join(done_ids, f"l1_{id_col}", "left_anti")
-        level += 1
-        if level >= max_expand_rounds:
-            # almost-always-empty tail: materialize the remaining set once
-            # per level from here on and stop as soon as it drains, instead
-            # of building the full ~res/2-level lazy plan
-            remaining = cache.track(remaining.persist())
-            if remaining.isEmpty():
-                remaining = None
-                break
         res_j = max(res_j - 2, 0)
+    if remaining is not None and not expand:
+        # expand=False ran out of levels before the rings covered
+        # `distance` (max_expand_rounds too small for the chosen res):
+        # one complete world-cell pass for the leftovers, capped at
+        # `distance` — same contract, bounded plan
+        r1 = remaining.withColumn(
+            "_cell", F.explode(ring_cells_expr(F.col("_cx"), F.col("_cy"), 0, 1))
+        )
+        e2j = e2.withColumn("_cell", parent_cell_expr(F.col("_cell"), res, 0))
+        cand = r1.hint("shuffle_hash").join(e2j, "_cell").dropDuplicates(
+            [f"l1_{id_col}", f"l2_{id_col}"]
+        )
+        tail = _rank(cand, distance)
+        results = tail if results is None else results.unionByName(tail)
     out = results.withColumn("distance_crs", F.col("distance"))
     out = drop_helper_columns(
         out.drop("_cx", "_cy", "_cell", "_n", f"l2_{geom_col}")

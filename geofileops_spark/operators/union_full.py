@@ -96,11 +96,26 @@ def union_full_self(
     agg_shape: str = "LISTS",
     id_col: str = "fid",
     geom_col: str = "geom_wkb",
+    columns: list[str] | None = None,
     res: int | None = None,
     max_passes: int = 64,
 ) -> DataFrame:
     """Flat planar union of one polygon layer. Returns faces with the
     contributing ``{id_col}`` attributes shaped per ``agg_shape``.
+
+    ``columns`` selects which attribute columns of ``df`` ride along with
+    each contributor (the reference threads the full column list through
+    its passes and pivots EVERY column in COLUMNS shape,
+    ``geoops_sql/_union_full.py:31,96-116,404``); ``None`` = all non-id,
+    non-geometry columns, ``[]`` = ids only. Shapes:
+
+    - ``LISTS``: per face — ``nb_intersecting``, sorted ``fids`` array,
+      and one array per attribute column (contributor-aligned with
+      ``fids``), mirroring the reference's ``json_group_array`` columns;
+    - ``ROWS``: one row per (face, contributor) with the contributor's
+      scalar attributes;
+    - ``COLUMNS``: contributors pivoted to ``{id_col}_k`` /
+      ``{column}_k`` for k = 1..max contributors.
 
     The decomposition loop runs until no intersection pieces remain
     (each pass reduces the max overlap depth by one, so passes are
@@ -112,7 +127,12 @@ def union_full_self(
     doesn't grow the plan tree.
     """
     spark = df.sparkSession
-    original = df.select(id_col, geom_col)
+    attr_cols = (
+        [c for c in df.columns if c not in (id_col, geom_col)]
+        if columns is None
+        else list(columns)
+    )
+    original = df.select(id_col, *attr_cols, geom_col)
 
     cur = df.select(
         F.monotonically_increasing_id().alias("_uid"), F.col(geom_col)
@@ -169,7 +189,9 @@ def union_full_self(
         )
 
     if faces is None:
-        return spark.createDataFrame([], f"{geom_col} binary, fids array<bigint>")
+        return spark.createDataFrame(
+            [], f"{geom_col} binary, nb_intersecting int, fids array<bigint>"
+        )
 
     # attach contributing attributes via interior-point-in-original test.
     # _face_id is referenced from two plan branches (ip_layer join side
@@ -188,20 +210,43 @@ def union_full_self(
             F.col(f"l1_{geom_col}"), F.col(f"l2_{geom_col}")
         )
     )
+    # contributors as structs (id first => array_sort orders by id),
+    # carrying every requested attribute column alongside the id
     contrib = hit.groupBy(F.col("l1_fid").alias("_face_id")).agg(
-        F.array_sort(F.collect_list(F.col(f"l2_{id_col}"))).alias("fids")
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(f"l2_{id_col}").alias(id_col),
+                    *[F.col(f"l2_{c}").alias(c) for c in attr_cols],
+                )
+            )
+        ).alias("_contrib")
     )
-    out = faces.join(contrib, on="_face_id", how="inner").select(geom_col, "fids")
+    out = faces.join(contrib, on="_face_id", how="inner").select(
+        geom_col, "_contrib"
+    )
 
     if agg_shape.upper() == "LISTS":
-        return out
+        return out.select(
+            geom_col,
+            F.size("_contrib").alias("nb_intersecting"),
+            F.col("_contrib").getField(id_col).alias("fids"),
+            *[F.col("_contrib").getField(c).alias(c) for c in attr_cols],
+        )
     if agg_shape.upper() == "ROWS":
-        return out.withColumn(id_col, F.explode("fids")).drop("fids")
+        return out.select(
+            geom_col, F.explode("_contrib").alias("_c")
+        ).select(geom_col, "_c.*")
     if agg_shape.upper() == "COLUMNS":
-        max_k = out.agg(F.max(F.size("fids"))).collect()[0][0] or 0
-        cols = [F.col(geom_col)] + [
-            F.element_at(F.col("fids"), i + 1).alias(f"{id_col}_{i + 1}")
-            for i in range(max_k)
-        ]
+        max_k = out.agg(F.max(F.size("_contrib"))).collect()[0][0] or 0
+        cols = [F.col(geom_col)]
+        for i in range(max_k):
+            # try_element_at: rows with fewer contributors than max_k get
+            # NULLs (plain element_at throws under ANSI mode)
+            e = F.try_element_at(F.col("_contrib"), F.lit(i + 1))
+            cols.append(e.getField(id_col).alias(f"{id_col}_{i + 1}"))
+            cols.extend(
+                e.getField(c).alias(f"{c}_{i + 1}") for c in attr_cols
+            )
         return out.select(*cols)
     raise ValueError(f"unknown agg_shape: {agg_shape}")
