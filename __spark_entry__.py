@@ -106,6 +106,45 @@ def _q_export_disjoint(spark, sf_dir):
     return out.select("fid")
 
 
+def _q_export_subdivide(spark, sf_dir):
+    """Same EXISTS semantics, but layer 2 is "complex" (each rectangle
+    densified to 33 collinear-vertex coords) and subdivided first
+    (reference ``_geoops_sql.py:1576-1588``): subdivide_coords=12 really
+    splits every ring, and the result must equal the plain-rectangle
+    oracle because densification doesn't change the shape."""
+    from geofileops_spark.functions.st import st_geomfromtext
+    from geofileops_spark.operators.join import export_by_location
+    from geofileops_spark.sources import tpch_geo as T
+
+    boxes = T.nation_boxes(spark, sf_dir)
+    # 8 points per side, counterclockwise closed ring
+    def _side(xc, yc):
+        return [F.concat(x.cast("string"), F.lit(" "), y.cast("string"))
+                for x, y in zip(xc, yc)]
+
+    xmin, ymin = F.col("xmin"), F.col("ymin")
+    xmax, ymax = F.col("xmax"), F.col("ymax")
+    steps = [F.lit(i / 8.0) for i in range(8)]
+    pts = (
+        _side([xmin + (xmax - xmin) * s for s in steps], [ymin] * 8)
+        + _side([xmax] * 8, [ymin + (ymax - ymin) * s for s in steps])
+        + _side([xmax - (xmax - xmin) * s for s in steps], [ymax] * 8)
+        + _side([xmin] * 8, [ymax - (ymax - ymin) * s for s in steps])
+        + _side([xmin], [ymin])
+    )
+    dense = boxes.select(
+        "fid",
+        st_geomfromtext(
+            F.concat(F.lit("POLYGON (("), F.concat_ws(", ", *pts), F.lit("))"))
+        ).alias("geom_wkb"),
+    )
+    out = export_by_location(
+        T.cust_points(spark, sf_dir), dense,
+        "intersects is True", res=18, subdivide_coords=12,
+    )
+    return out.select("fid")
+
+
 def _q_export_distance(spark, sf_dir):
     from geofileops_spark.operators.join import export_by_distance
     from geofileops_spark.sources import tpch_geo as T
@@ -1309,6 +1348,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is round-3-green stable queries (see CORRECTNESS_r03.json).
     return {
         "warp_polynomial": _q_warp_poly,
+        "export_by_location_subdivide": _q_export_subdivide,
         "union_full_columns": _q_union_full_columns,
         "union_full_self": _q_union_full_self,
         "remove_slivers": _q_remove_slivers,
@@ -1434,6 +1474,12 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.7"""
             "cust_points", "nation_boxes",
         ),
         "export_by_location_semi": with_ctes(
+            """SELECT c.fid FROM cust_points c WHERE EXISTS (
+              SELECT 1 FROM nation_boxes b
+              WHERE c.px BETWEEN b.xmin AND b.xmax AND c.py BETWEEN b.ymin AND b.ymax)""",
+            "cust_points", "nation_boxes",
+        ),
+        "export_by_location_subdivide": with_ctes(
             """SELECT c.fid FROM cust_points c WHERE EXISTS (
               SELECT 1 FROM nation_boxes b
               WHERE c.px BETWEEN b.xmin AND b.xmax AND c.py BETWEEN b.ymin AND b.ymax)""",

@@ -185,9 +185,16 @@ REF_SECONDS = {
     "parcels_intersection": 25.95,
     "parcels_join": 22.32,
     "parcels_union": 93.74,  # benchmark_results.csv:95 (heaviest ref op)
+    "parcels_clip": 21.82,  # benchmark_results.csv:79
+    "parcels_export": 8.44,  # benchmark_results.csv:83
+    # 515k parcels vs 3 multipolys of 4 x 300k coords, subdivided
+    "parcels_export_complex": 94.40,  # benchmark_results.csv:84
 }
 # the union overlay runs minutes per rep; 2 reps bound the bench wall
 PARCEL_HEAVY_REPS = int(os.environ.get("SPARK_GRAFT_PARCEL_HEAVY_REPS", "2"))
+# buffer sits right AT the 2x bar and this VM mode-swings ~2x between
+# runs (BASELINE.md): give it extra reps so min-of-N samples both modes
+PARCEL_BUFFER_REPS = int(os.environ.get("SPARK_GRAFT_PARCEL_BUFFER_REPS", "5"))
 
 
 def materialize_parcel_layers(spark):
@@ -205,12 +212,19 @@ def materialize_parcel_layers(spark):
 def parcel_queries(spark, pa: str, pb: str) -> dict:
     from geofileops_spark.functions.st import st_buffer
     from geofileops_spark.operators.dissolve import dissolve
-    from geofileops_spark.operators.join import join_by_location
+    from geofileops_spark.operators.join import export_by_location, join_by_location
+    from geofileops_spark.operators.overlay import clip as ov_clip
     from geofileops_spark.operators.overlay import intersection as ov_intersection
     from geofileops_spark.operators.overlay import union as ov_union
+    from geofileops_spark.sources.parcels import materialize_complex_polys
 
     p0 = spark.read.parquet(pa)
     p1 = spark.read.parquet(pb)
+    cx = spark.read.parquet(
+        materialize_complex_polys(
+            spark, N_PARCELS, f"/tmp/gfo_cxpoly_{N_PARCELS}.parquet"
+        )
+    )
     return {
         "parcels_buffer": lambda: p0.select(
             st_buffer(F.col("geom_wkb"), 5.0).alias("b")
@@ -221,6 +235,15 @@ def parcel_queries(spark, pa: str, pb: str) -> dict:
             p0, p1, "intersects is True"
         ).count(),
         "parcels_union": lambda: ov_union(p0, p1).count(),
+        "parcels_clip": lambda: ov_clip(p0, p1).count(),
+        "parcels_export": lambda: export_by_location(
+            p0, p1, "intersects is True"
+        ).count(),
+        # the reference's complex-poly case: 3 multipolys of 4 x 300k
+        # coords, layer 2 subdivided (its default subdivide_coords)
+        "parcels_export_complex": lambda: export_by_location(
+            p0, cx, "intersects is True", subdivide_coords=10000
+        ).count(),
     }
 
 
@@ -291,7 +314,12 @@ def main():
     vs_baseline = {}
     for name, fn in parcel_queries(spark, pa, pb).items():
         best = None
-        reps = PARCEL_HEAVY_REPS if name == "parcels_union" else PARCEL_REPS
+        if name == "parcels_union":
+            reps = PARCEL_HEAVY_REPS
+        elif name == "parcels_buffer":
+            reps = PARCEL_BUFFER_REPS
+        else:
+            reps = PARCEL_REPS
         for _ in range(reps):
             t0 = time.time()
             fn()
@@ -303,6 +331,13 @@ def main():
     spark.stop()
 
     total = round(sum(timings.values()), 3)
+    # round-over-round comparable subset: the queries benched since r2
+    # ("value" grows whenever coverage grows — compare value_core)
+    core = list(QUERIES) + [
+        "parcels_buffer", "parcels_dissolve", "parcels_intersection",
+        "parcels_join",
+    ]
+    value_core = round(sum(timings[k] for k in core if k in timings), 3)
     eff_primary = round((t_lo / t_mid) / (SCALING_MID / SCALING_LO), 4)
     eff_hi = round((t_mid / t_hi) / (CPUS / SCALING_MID), 4)
     print(
@@ -310,6 +345,7 @@ def main():
             {
                 "metric": "spatial-join+dissolve pages/sec (flagship) + headline ops",
                 "value": total,
+                "value_core": value_core,
                 "unit": "sec",
                 "queries": timings,
                 "sf": SF,

@@ -492,3 +492,34 @@ def _traverse_pair(a, b, sil, cil, t, u, xs, ys, a0_in_b, b0_in_a):
         if abs(C.ring_signed_area(ring)) > _MIN_AREA:
             results.append(ring)
     return results
+
+
+def ring_box_clip(g: G.Geometry, x0: float, y0: float, x1: float, y1: float):
+    """Intersection of a single-ring polygon with an axis box through the
+    batched sweep — the :func:`transform.subdivide` splitting kernel.
+    The per-pair clipper builds a Python linked-list node per vertex, so
+    halving a 300k-coord ring cost seconds per cut (measured 236 s to
+    subdivide 12 such rings); here the window prune keeps only the ring
+    edges inside the box and the whole cut is a few numpy sweeps.
+
+    Returns the clipped Geometry, or None when the pair is degenerate or
+    not a simple single ring (caller falls back to the exact path)."""
+    r = _single_ring(g)
+    if r is None:
+        return None
+    a = C._open_ring(r)
+    if len(a) < 3:
+        return G.Geometry.empty(G.MULTIPOLYGON)
+    bb = C._ring_bbox(a)
+    w = (max(bb[0], x0), max(bb[1], y0), min(bb[2], x1), min(bb[3], y1))
+    if w[0] > w[2] or w[1] > w[3]:
+        return G.Geometry.empty(G.MULTIPOLYGON)
+    b = np.array(
+        [[x0, y0], [x1, y0], [x1, y1], [x0, y1]], dtype=np.float64
+    )
+    res = _batch_ring_intersections(
+        [(a, b)], np.asarray([w], dtype=np.float64)
+    )[0]
+    if res is None:
+        return None
+    return C._mp_to_geom(C._reassemble(res))

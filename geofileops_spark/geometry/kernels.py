@@ -462,6 +462,17 @@ def any_segment_intersection(ga: Geometry, gb: Geometry):
     sb, eb = geom_segments(gb)
     if len(sa) == 0 or len(sb) == 0:
         return False, False
+    if len(sa) >= 2048 or len(sb) >= 2048:
+        # asymmetric-size hot case (parcel vs a 10k-edge subdivided
+        # part): any boundary contact lies in the bbox overlap — prune
+        # both sides against it before the O(n*m) broadcast
+        ba, bb = bounds(ga), bounds(gb)
+        w0, w1 = max(ba[0], bb[0]), max(ba[1], bb[1])
+        w2, w3 = min(ba[2], bb[2]), min(ba[3], bb[3])
+        sa, ea = window_segments(ga, w0, w1, w2, w3)
+        sb, eb = window_segments(gb, w0, w1, w2, w3)
+        if len(sa) == 0 or len(sb) == 0:
+            return False, False
     if len(sa) * len(sb) <= 1_000_000:
         return segment_sets_cross(sa, ea, sb, eb)
     # huge pair: chunk set A to bound the broadcast allocation
@@ -601,3 +612,47 @@ def set_precision(geom: Geometry, grid_size: float) -> Geometry | None:
         subs = [g for g in subs if g is not None]
         return Geometry(GEOMETRYCOLLECTION, subs) if subs else None
     return geom  # pragma: no cover
+
+
+def geom_segment_bboxes(geom: Geometry):
+    """Per-segment bbox arrays (x0, x1, y0, y1), cached on the geometry —
+    the probe index for :func:`window_segments`."""
+    cached = getattr(geom, "_segbb_cache", None)
+    if cached is not None:
+        return cached
+    s, e = geom_segments(geom)
+    cached = (
+        np.minimum(s[:, 0], e[:, 0]),
+        np.maximum(s[:, 0], e[:, 0]),
+        np.minimum(s[:, 1], e[:, 1]),
+        np.maximum(s[:, 1], e[:, 1]),
+    )
+    try:
+        geom._segbb_cache = cached
+    except AttributeError:
+        pass
+    return cached
+
+
+def window_segments(
+    geom: Geometry, w0: float, w1: float, w2: float, w3: float,
+    min_edges: int = 2048,
+):
+    """Segments of ``geom`` whose bbox overlaps the (slightly grown)
+    window — identity for small geometries. Callers building per-pair
+    segment lists for :func:`batch_segment_hits` MUST pre-prune large
+    geometries here: the batched sweep concatenates every pair's full
+    segment set first, so a 10k-edge polygon appearing in thousands of
+    pairs otherwise materializes GBs before the sweep's own prune."""
+    s, e = geom_segments(geom)
+    if len(s) < min_edges:
+        return (s, e)
+    x0, x1, y0, y1 = geom_segment_bboxes(geom)
+    grow = 1e-7 * max(1.0, abs(w0), abs(w1), abs(w2), abs(w3))
+    m = (
+        (x0 <= w2 + grow)
+        & (x1 >= w0 - grow)
+        & (y0 <= w3 + grow)
+        & (y1 >= w1 - grow)
+    )
+    return (s[m], e[m])

@@ -855,6 +855,9 @@ def subdivide(geom: Geometry, max_coords: int = 2000) -> list[Geometry]:
     from .clip import intersection as g_intersection
     from .kernels import bounds as g_bounds
 
+    from .batchclip import ring_box_clip
+    from .geom import MULTIPOLYGON, POLYGON
+
     if geom is None or geom.is_empty() or geom.num_coords() <= max_coords:
         return [geom]
     out: list[Geometry] = []
@@ -866,22 +869,41 @@ def subdivide(geom: Geometry, max_coords: int = 2000) -> list[Geometry]:
         if g.num_coords() <= max_coords:
             out.append(g)
             continue
+        if g.typ == MULTIPOLYGON and len(g.data) > 1:
+            # split parts first: each is a separate subdivide output
+            # anyway, and the single-ring cut fast path needs one ring
+            stack.extend(Geometry(POLYGON, poly) for poly in g.data)
+            continue
         minx, miny, maxx, maxy = g_bounds(g)
         if maxx - minx >= maxy - miny:
             midx = (minx + maxx) / 2.0
-            left = Geometry.box(minx - 1, miny - 1, midx, maxy + 1)
-            right = Geometry.box(midx, miny - 1, maxx + 1, maxy + 1)
+            boxes = (
+                (minx - 1, miny - 1, midx, maxy + 1),
+                (midx, miny - 1, maxx + 1, maxy + 1),
+            )
         else:
             midy = (miny + maxy) / 2.0
-            left = Geometry.box(minx - 1, miny - 1, maxx + 1, midy)
-            right = Geometry.box(minx - 1, midy, maxx + 1, maxy + 1)
+            boxes = (
+                (minx - 1, miny - 1, maxx + 1, midy),
+                (minx - 1, midy, maxx + 1, maxy + 1),
+            )
         halves = []
-        for boxg in (left, right):
-            piece = g_intersection(g, boxg)
+        for bx in boxes:
+            # batched ring x box cut for big simple rings (the per-pair
+            # clipper's Python node lists cost ~seconds per 300k-coord
+            # cut); None -> exact per-pair fallback
+            piece = ring_box_clip(g, *bx)
+            if piece is None:
+                piece = g_intersection(g, Geometry.box(*bx))
             if piece is not None and not piece.is_empty():
                 halves.append(piece)
-        if len(halves) <= 1:
-            out.append(g)  # cannot split further
+        if len(halves) <= 1 or all(
+            h.num_coords() >= g.num_coords() for h in halves
+        ):
+            # cannot split further / no progress (max_coords below the
+            # minimum representable ring: halving a 5-coord box yields
+            # two 5-coord boxes forever)
+            out.append(g)
         else:
             stack.extend(halves)
     out.extend(stack)

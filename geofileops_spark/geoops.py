@@ -93,9 +93,23 @@ def makevalid(df: DataFrame, geom_col: str = GEOM, **kw) -> DataFrame:
     return _tail(df.withColumn(geom_col, st.st_makevalid(F.col(geom_col))), geom_col, **kw)
 
 
-def isvalid(df: DataFrame, geom_col: str = GEOM) -> DataFrame:
+def isvalid(
+    df: DataFrame, geom_col: str = GEOM, validate_attribute_data: bool = False
+) -> DataFrame:
     """geofileops ``geoops.py:1315``: report layer of invalid rows with
-    reason + error location (ST_IsValidDetail shape)."""
+    reason + error location (ST_IsValidDetail shape).
+
+    ``validate_attribute_data`` is the parquet twin of the reference's
+    ``test_data_integrity`` full-table read (``_geoops_sql.py:252-326``
+    second half, ``_sqlite_util.py:1291-1318``): every attribute column
+    is forced through a complete scan+decode (xxhash64 per value defeats
+    column-chunk statistics short-circuits), so corrupt pages or
+    dictionaries surface as task failures here instead of mid-pipeline.
+    """
+    if validate_attribute_data:
+        df.select(
+            [F.count(F.xxhash64(F.col(c))).alias(c) for c in df.columns]
+        ).collect()
     out = df.withColumn("_detail", st.st_isvaliddetail(F.col(geom_col)))
     out = (
         out.withColumn("isvalid", F.col("_detail.valid"))

@@ -120,8 +120,6 @@ def _batch_pair_intersects(wkb1: pd.Series, wkb2: pd.Series, load) -> np.ndarray
     cand = np.nonzero(overlap)[0]
     if len(cand) == 0:
         return out
-    seg_a = [K.geom_segments(g1s[i]) for i in cand]
-    seg_b = [K.geom_segments(g2s[i]) for i in cand]
     windows = np.column_stack(
         (
             np.maximum(B1[cand, 0], B2[cand, 0]),
@@ -130,6 +128,14 @@ def _batch_pair_intersects(wkb1: pd.Series, wkb2: pd.Series, load) -> np.ndarray
             np.minimum(B1[cand, 3], B2[cand, 3]),
         )
     )
+    # window_segments pre-prunes LARGE geometries per pair — the batched
+    # sweep concatenates every pair's segments before its own prune
+    seg_a = [
+        K.window_segments(g1s[i], *windows[r]) for r, i in enumerate(cand)
+    ]
+    seg_b = [
+        K.window_segments(g2s[i], *windows[r]) for r, i in enumerate(cand)
+    ]
     hits = K.batch_segment_hits(seg_a, seg_b, windows=windows)
     out[cand[hits]] = True
     for i in cand[~hits]:
@@ -811,8 +817,6 @@ def _export_broadcast(
                 # (witness found / violator found). Rows with no certain
                 # hit re-check their candidates with the exact predicate
                 # (containment and collinear-touch cases).
-                seg_a = [K.geom_segments(g1s[i]) for i in pr]
-                seg_b = [K.geom_segments(g2_at(int(j))) for j in pl]
                 windows = np.column_stack(
                     (
                         np.maximum(B[pr, 0], bbv[pl, 0]),
@@ -821,6 +825,17 @@ def _export_broadcast(
                         np.minimum(B[pr, 3], bbv[pl, 3]),
                     )
                 )
+                # pre-prune big candidates per pair (a subdivided part
+                # can carry 10k edges and appear in thousands of pairs —
+                # concatenating full sets in the sweep is GBs)
+                seg_a = [
+                    K.window_segments(g1s[i], *windows[r])
+                    for r, i in enumerate(pr)
+                ]
+                seg_b = [
+                    K.window_segments(g2_at(int(j)), *windows[r])
+                    for r, j in enumerate(pl)
+                ]
                 hits = K.batch_segment_hits(seg_a, seg_b, windows=windows)
                 for s, e, i in zip(row_start[:-1], row_start[1:], row_ids):
                     if hits[s:e].any():
@@ -862,11 +877,25 @@ def export_by_location(
     geom_col: str = "geom_wkb",
     id_col: str = "fid",
     broadcast: bool | None = None,
+    subdivide_coords: int | None = None,
 ) -> DataFrame:
     """Spatial semi-join (or anti-join for disjoint-style queries): keep
     layer1 rows where EXISTS a layer2 row satisfying the relation
     (geofileops ``geoops.py:2308`` → ``_geoops_sql.py:1541-1736``;
     disjoint De-Morgan branch at ``:1617-1630``).
+
+    ``subdivide_coords`` splits complex layer-2 geometries into parts of
+    at most that many vertices before any spatial work (the reference's
+    ``_subdivide_layer`` preprocessing, ``_geoops_sql.py:1576-1588``,
+    default 10000 in ``helpers/_options.py``): against a 300k-coordinate
+    multipolygon, candidate bboxes shrink to the parts and each
+    predicate runs on a small ring. For ``intersects``/``disjoint``
+    queries the relation decomposes over parts exactly (intersects any
+    part == intersects the whole; the reference's per-fid re-union,
+    ``_geoops_sql.py:2392-2394``, is the identity there), and
+    ``min_area_intersect`` sums disjoint-interior part pieces to the
+    same total. Non-decomposing relations (within/touches/ST_Relate)
+    keep whole geometries.
 
     Two physical plans:
 
@@ -881,10 +910,20 @@ def export_by_location(
     """
     sq = SpatialQuery(spatial_relations_query)
     if broadcast is None:
+        # decide on the RAW layer-2 scan — subdivision rewrites the plan
+        # and would hide the scan-size statistic from the sizer
         sz = _scan_size_bytes(df2)
         broadcast = sz is not None and 0 < sz <= _EXPORT_BCAST_BYTES
         if broadcast and df2.count() > _EXPORT_BCAST_MAX_ROWS:
             broadcast = False
+    if subdivide_coords is not None and subdivide_coords > 0:
+        qp = sq.query.lower().split()
+        if len(qp) == 3 and qp[0] in ("intersects", "disjoint") and qp[1] == "is":
+            from .overlay import subdivide_layer
+
+            df2 = subdivide_layer(
+                df2.select(geom_col), subdivide_coords, geom_col
+            )
     if broadcast:
         return _export_broadcast(
             df1, df2, sq, min_area_intersect, geom_col

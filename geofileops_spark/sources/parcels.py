@@ -115,3 +115,63 @@ def materialize_parcels(
             "overwrite"
         ).parquet(path)
     return path
+
+
+def synth_complex_polys(
+    spark: SparkSession,
+    n_rows: int,
+    n_multis: int = 3,
+    parts_per_multi: int = 4,
+    coords_per_ring: int = 300_000,
+    spacing: float = 100.0,
+) -> DataFrame:
+    """The reference benchmark's "3 multipolys of 4 * 300k coords" layer
+    (benchmark_results.csv:84: export_by_location_intersects_complexpoly,
+    94.4 s on 12 cores): a few huge, very dense star-shaped rings spread
+    over the parcel grid's extent. Deterministic (same integer-hash noise
+    as :func:`synth_parcels`); built driver-side — the layer is 3 rows.
+    ``n_rows`` is the PARCEL count whose grid extent the rings cover."""
+    grid_w = int(np.ceil(np.sqrt(n_rows)))
+    extent = grid_w * spacing
+    rows = []
+    for mi in range(n_multis):
+        polys = []
+        for pi in range(parts_per_multi):
+            k = mi * parts_per_multi + pi
+            # centers on a jittered coarse grid across the extent
+            cx = extent * (0.2 + 0.6 * _u01(np.array([k]), 101)[0])
+            cy = extent * (0.2 + 0.6 * _u01(np.array([k]), 211)[0])
+            radius = extent * 0.12
+            j = np.arange(coords_per_ring, dtype=np.int64)
+            theta = 2.0 * np.pi * j / coords_per_ring
+            # SMOOTH radius variation (a few harmonics, deterministic
+            # phases): adjacent vertices stay ~circumference/coords
+            # apart like a real digitized boundary — independent
+            # per-vertex noise would make every edge a ~0.3*radius
+            # radial chord and the layer a 300k-spike star
+            ph = _u01(np.int64(k) + np.arange(3), 307) * 2.0 * np.pi
+            rad = radius * (
+                0.80
+                + 0.12 * np.sin(5.0 * theta + ph[0])
+                + 0.05 * np.sin(11.0 * theta + ph[1])
+                + 0.03 * np.sin(23.0 * theta + ph[2])
+            )
+            ring = np.empty((coords_per_ring + 1, 2), dtype=np.float64)
+            ring[:coords_per_ring, 0] = cx + rad * np.cos(theta)
+            ring[:coords_per_ring, 1] = cy + rad * np.sin(theta)
+            ring[coords_per_ring] = ring[0]
+            polys.append([ring])
+        rows.append(
+            (mi, 0, W.dumps(G.Geometry(G.MULTIPOLYGON, polys)))
+        )
+    return spark.createDataFrame(rows, schema=PARCEL_SCHEMA)
+
+
+def materialize_complex_polys(
+    spark: SparkSession, n_rows: int, path: str
+) -> str:
+    import os
+
+    if not os.path.exists(path):
+        synth_complex_polys(spark, n_rows).write.mode("overwrite").parquet(path)
+    return path

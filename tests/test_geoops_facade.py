@@ -39,6 +39,19 @@ def test_remove_slivers(spark):
     assert [r["fid"] for r in out.collect()] == [1]
 
 
+def test_isvalid_attribute_scan(spark):
+    # bowtie is invalid; validate_attribute_data forces a full decode
+    # scan of every column first (must not change the report)
+    df = layer(spark, [
+        (1, box_wkt(0, 0, 10, 10)),
+        (2, "POLYGON ((0 0, 10 10, 10 0, 0 10, 0 0))"),
+    ]).withColumn("tag", F.concat(F.lit("t"), F.col("fid")))
+    out = gfo.isvalid(df, validate_attribute_data=True)
+    rows = out.collect()
+    assert [r["fid"] for r in rows] == [2]
+    assert not rows[0]["isvalid"] and rows[0]["isvalidreason"]
+
+
 def test_linemerge(spark):
     from geofileops_spark.functions.st import st_linemerge
 
