@@ -88,3 +88,51 @@ def test_batch_holes_and_multis_route_to_perpair():
     got = batch_intersection([donut], [blade])[0]
     ref = C.intersection(donut, blade)
     assert area(got) == area(ref) == pytest.approx(16.0 - 4.0)
+
+
+def test_ring_box_clip_matches_exact():
+    from geofileops_spark.geometry.batchclip import ring_box_clip
+
+    # dense smooth ring (the subdivide hot case)
+    th = np.linspace(0, 2 * np.pi, 501)
+    r = 10 * (0.8 + 0.1 * np.sin(5 * th))
+    ring = np.column_stack([20 + r * np.cos(th), 20 + r * np.sin(th)])
+    ring[-1] = ring[0]
+    g = G.Geometry(G.POLYGON, [ring])
+    got = ring_box_clip(g, 9.1, 9.1, 20.137, 31.3)
+    ref = C.intersection(g, G.Geometry.box(9.1, 9.1, 20.137, 31.3))
+    assert got is not None
+    assert area(got) == pytest.approx(area(ref), rel=1e-9)
+    # a cut line exactly through ring vertices (x=20 at cos=0) is
+    # degenerate -> None, the caller falls back to the exact clipper
+    assert ring_box_clip(g, 9, 9, 20, 31) is None
+    # multis / holes route back to the caller's exact path
+    hole = np.array([[18, 18], [22, 18], [22, 22], [18, 22], [18, 18]], float)
+    assert (
+        ring_box_clip(G.Geometry(G.POLYGON, [ring, hole]), 9.1, 9.1, 20.137, 31.3)
+        is None
+    )
+    # disjoint box -> empty
+    assert ring_box_clip(g, 100, 100, 110, 110).is_empty()
+
+
+def test_window_segments_prunes_consistently():
+    from geofileops_spark.geometry.kernels import (
+        any_segment_intersection,
+        window_segments,
+    )
+
+    th = np.linspace(0, 2 * np.pi, 5001)
+    ring = np.column_stack([50 + 40 * np.cos(th), 50 + 40 * np.sin(th)])
+    ring[-1] = ring[0]
+    big = G.Geometry(G.POLYGON, [ring])
+    # small polygon crossing the big boundary near (90, 50)
+    small_cross = poly((88, 48), (93, 48), (93, 52), (88, 52))
+    # small polygon wholly inside
+    small_in = poly((50, 50), (52, 50), (52, 52), (50, 52))
+    s, e = window_segments(big, 88, 48, 93, 52, min_edges=1)
+    assert 0 < len(s) < 5000
+    p1, t1 = any_segment_intersection(big, small_cross)
+    assert p1 or t1
+    p2, t2 = any_segment_intersection(big, small_in)
+    assert not p2 and not t2
