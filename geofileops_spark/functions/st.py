@@ -257,13 +257,15 @@ def st_buffer(
 ) -> Column:
     @pandas_udf(BinaryType())
     def _buf(wkb: pd.Series) -> pd.Series:
+        # whole-batch decode -> ONE batched offset sweep (hole-free
+        # single-polygon rows; the rest falls back per geometry inside)
+        geoms = [None if b is None else _try_loads(bytes(b)) for b in wkb]
+        res = T.batch_buffer(
+            geoms, distance, quad_segs, cap_style, join_style,
+            mitre_limit, single_sided,
+        )
         return pd.Series(
-            _map_geom(
-                wkb,
-                lambda g: T.buffer_geom(
-                    g, distance, quad_segs, cap_style, join_style, mitre_limit, single_sided
-                ),
-            )
+            [None if g is None else W.dumps(g) for g in res]
         )
 
     return _buf(col)
