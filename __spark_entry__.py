@@ -155,6 +155,24 @@ def _q_export_distance(spark, sf_dir):
     return out.select("fid")
 
 
+def _q_distance_sphere(spark, sf_dir):
+    """Geodesic meters between lon/lat points (haversine, pure JVM
+    codegen) — the reference's geographic-CRS distance mode
+    (``geoops.py:3216-3224``). px/py scaled into valid lon/lat."""
+    from geofileops_spark.functions.st import st_distance_sphere
+    from geofileops_spark.sources import tpch_geo as T
+
+    c = T.cust_points(spark, sf_dir).select(
+        "fid", (F.col("px") / 10.0).alias("lon"), (F.col("py") / 20.0 - 25.0).alias("lat")
+    )
+    return c.select(
+        "fid",
+        _bigint(
+            st_distance_sphere(F.col("lon"), F.col("lat"), F.lit(4.35), F.lit(50.85))
+        ).alias("dist_m"),
+    )
+
+
 def _q_join_nearest(spark, sf_dir):
     from geofileops_spark.operators.join import join_nearest
     from geofileops_spark.sources import tpch_geo as T
@@ -1349,6 +1367,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "warp_polynomial": _q_warp_poly,
         "export_by_location_subdivide": _q_export_subdivide,
+        "distance_sphere": _q_distance_sphere,
         "union_full_columns": _q_union_full_columns,
         "union_full_self": _q_union_full_self,
         "remove_slivers": _q_remove_slivers,
@@ -1478,6 +1497,16 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.7"""
               SELECT 1 FROM nation_boxes b
               WHERE c.px BETWEEN b.xmin AND b.xmax AND c.py BETWEEN b.ymin AND b.ymax)""",
             "cust_points", "nation_boxes",
+        ),
+        "distance_sphere": with_ctes(
+            """SELECT fid, CAST(ROUND(
+                   2 * 6371008.8 * ASIN(SQRT(LEAST(
+                     POW(SIN((RADIANS(50.85) - RADIANS(py/20.0 - 25.0))/2), 2)
+                     + COS(RADIANS(py/20.0 - 25.0)) * COS(RADIANS(50.85))
+                       * POW(SIN((RADIANS(4.35) - RADIANS(px/10.0))/2), 2),
+                     1.0)))) AS BIGINT) AS dist_m
+              FROM cust_points""",
+            "cust_points",
         ),
         "export_by_location_subdivide": with_ctes(
             """SELECT c.fid FROM cust_points c WHERE EXISTS (

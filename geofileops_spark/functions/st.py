@@ -415,6 +415,32 @@ def st_distance(wkb1: pd.Series, wkb2: pd.Series) -> pd.Series:
     return pd.Series(out, dtype="float64")
 
 
+_EARTH_RADIUS_M = 6_371_008.8  # IUGG mean radius
+
+
+def st_distance_sphere(lon1, lat1, lon2, lat2) -> Column:
+    """Great-circle (haversine) distance in meters between two lon/lat
+    points — the reference returns geodesic meters for geographic-CRS
+    layers (``geoops.py:3216-3224``, spatialite ST_Distance geodesic
+    mode). Pure JVM column expression (whole-stage codegen, no Python):
+    use for lon/lat point layers where the engine's planar kernels would
+    return degrees."""
+    rlat1 = F.radians(lat1)
+    rlat2 = F.radians(lat2)
+    dlat = (rlat2 - rlat1) / 2.0
+    dlon = (F.radians(lon2) - F.radians(lon1)) / 2.0
+    h = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(rlat1) * F.cos(rlat2) * F.sin(dlon) * F.sin(dlon)
+    )
+    # asin(sqrt(h)) form; clamp for rounding at antipodes
+    return (
+        2.0
+        * F.lit(_EARTH_RADIUS_M)
+        * F.asin(F.sqrt(F.least(h, F.lit(1.0))))
+    )
+
+
 # ---------------------------------------------------------------- predicates
 def _pair_pred(wkb1: pd.Series, wkb2: pd.Series, fn) -> pd.Series:
     out = []
