@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 _CACHES: list[DataFrame] = []
+_RELEASERS: list = []
 
 
 def track(df: DataFrame) -> DataFrame:
@@ -25,10 +26,21 @@ def track(df: DataFrame) -> DataFrame:
     return df
 
 
+def track_release(fn) -> None:
+    """Record an arbitrary cleanup callback (e.g. a broadcast unpersist)
+    to run at the next :func:`release_caches`."""
+    _RELEASERS.append(fn)
+
+
 def release_caches() -> None:
     """Unpersist every registered intermediate (idempotent)."""
     while _CACHES:
         try:
             _CACHES.pop().unpersist()
+        except Exception:  # pragma: no cover - session already stopped
+            pass
+    while _RELEASERS:
+        try:
+            _RELEASERS.pop()()
         except Exception:  # pragma: no cover - session already stopped
             pass

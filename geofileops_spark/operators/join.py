@@ -675,6 +675,74 @@ def _batch_candidates(B: np.ndarray, ukey, starts, ends, srow, big_rows,
     return pr[m], pl[m]
 
 
+# one (layer-2 plan, geom col) -> built grid broadcast; repeat probes of
+# the same layer (common: several export/extract calls against one
+# registry) skip the collect+index+broadcast build (~60% of a warm call
+# at 500k rows). Released via cache.release_caches().
+_EXPORT_GRID_CACHE: dict = {}
+
+
+def _layer2_grid_broadcast(spark, df2: DataFrame, geom_col: str):
+    """Build (or reuse) the broadcast grid index over layer 2.
+    Returns the Broadcast, or None when layer 2 has no valid geometry."""
+    try:
+        key = (df2.semanticHash(), geom_col)
+    except Exception:  # pragma: no cover - exotic plans
+        key = None
+    if key is not None and key in _EXPORT_GRID_CACHE:
+        return _EXPORT_GRID_CACHE[key]
+    pdf2 = (
+        df2.select(
+            _bounds_udf(F.col(geom_col)).alias("_b"),
+            F.col(geom_col).alias("_wkb"),
+        )
+        .select("_b.minx", "_b.miny", "_b.maxx", "_b.maxy", "_wkb")
+        .toPandas()
+    )
+    bb_all = pdf2[["minx", "miny", "maxx", "maxy"]].to_numpy(np.float64)
+    valid = np.isfinite(bb_all[:, 0])
+    bb = np.ascontiguousarray(bb_all[valid])
+    wkbs = pdf2["_wkb"].to_numpy(object)[valid]
+    if len(bb) == 0:
+        bc = None
+    else:
+        ext = np.maximum(bb[:, 2] - bb[:, 0], bb[:, 3] - bb[:, 1])
+        med = float(np.median(ext))
+        span = max(
+            float(bb[:, 2].max() - bb[:, 0].min()),
+            float(bb[:, 3].max() - bb[:, 1].min()),
+            1e-9,
+        )
+        # grid cell ~2 median extents; floor keeps the grid under ~4k
+        # cells per axis for point-like layers
+        cellsz = max(2.0 * med, span / 4096.0)
+        gx0 = float(bb[:, 0].min())
+        gy0 = float(bb[:, 1].min())
+        index = _grid_index(bb, cellsz, gx0, gy0)
+        # pack WKBs into ONE buffer + offsets: unpickling a single bytes
+        # blob is a memcpy, while 500k separate bytes objects cost
+        # seconds per Python worker (measured 55 s cold vs 13 s warm)
+        lens = np.fromiter(
+            (len(w) for w in wkbs), dtype=np.int64, count=len(wkbs)
+        )
+        offs = np.concatenate(([0], np.cumsum(lens)))
+        buf = b"".join(bytes(w) for w in wkbs)
+        bc = spark.sparkContext.broadcast(
+            (index, bb, buf, offs, cellsz, gx0, gy0)
+        )
+    if key is not None:
+        _EXPORT_GRID_CACHE.clear()
+        _EXPORT_GRID_CACHE[key] = bc
+
+        def _release(k=key, b=bc):
+            _EXPORT_GRID_CACHE.pop(k, None)
+            if b is not None:
+                b.unpersist()
+
+        cache.track_release(_release)
+    return bc
+
+
 def _export_broadcast(
     df1: DataFrame,
     df2: DataFrame,
@@ -691,43 +759,12 @@ def _export_broadcast(
     in-memory operating envelope falls back to the distributed cell join.
     """
     spark = df1.sparkSession
-    pdf2 = (
-        df2.select(
-            _bounds_udf(F.col(geom_col)).alias("_b"),
-            F.col(geom_col).alias("_wkb"),
-        )
-        .select("_b.minx", "_b.miny", "_b.maxx", "_b.maxy", "_wkb")
-        .toPandas()
-    )
-    bb_all = pdf2[["minx", "miny", "maxx", "maxy"]].to_numpy(np.float64)
-    valid = np.isfinite(bb_all[:, 0])
-    bb = np.ascontiguousarray(bb_all[valid])
-    wkbs = pdf2["_wkb"].to_numpy(object)[valid]
     anti = sq.true_for_disjoint
-    if len(bb) == 0:
+    bc = _layer2_grid_broadcast(spark, df2, geom_col)
+    if bc is None:
         # empty layer 2: EXISTS fails everywhere; the for-ALL (disjoint)
         # filter holds vacuously everywhere
         return df1 if anti else df1.limit(0)
-    ext = np.maximum(bb[:, 2] - bb[:, 0], bb[:, 3] - bb[:, 1])
-    med = float(np.median(ext))
-    span = max(
-        float(bb[:, 2].max() - bb[:, 0].min()),
-        float(bb[:, 3].max() - bb[:, 1].min()),
-        1e-9,
-    )
-    # grid cell ~2 median extents; floor keeps the grid under ~4k cells
-    # per axis for point-like layers
-    cellsz = max(2.0 * med, span / 4096.0)
-    gx0 = float(bb[:, 0].min())
-    gy0 = float(bb[:, 1].min())
-    index = _grid_index(bb, cellsz, gx0, gy0)
-    # pack WKBs into ONE buffer + offsets: unpickling a single bytes blob
-    # is a memcpy, while 500k separate bytes objects cost seconds per
-    # Python worker (measured 55 s cold vs 13 s warm at 500k parcels)
-    lens = np.fromiter((len(w) for w in wkbs), dtype=np.int64, count=len(wkbs))
-    offs = np.concatenate(([0], np.cumsum(lens)))
-    buf = b"".join(bytes(w) for w in wkbs)
-    bc = spark.sparkContext.broadcast((index, bb, buf, offs, cellsz, gx0, gy0))
 
     q = sq.query.lower().split()
     simple = None

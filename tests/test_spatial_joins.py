@@ -123,6 +123,27 @@ def test_export_by_location_disjoint(layers):
     assert got == set(range(1, 49)) - inter
 
 
+def test_export_grid_cache_reuse_and_release(layers):
+    from geofileops_spark import cache as gfo_cache
+
+    parcels, zones, _ = layers
+    gfo_cache.release_caches()
+    J._EXPORT_GRID_CACHE.clear()
+    a = {r[0] for r in
+         J.export_by_location(parcels, zones, "intersects is True",
+                              broadcast=True).select("fid").collect()}
+    assert len(J._EXPORT_GRID_CACHE) == 1
+    key = next(iter(J._EXPORT_GRID_CACHE))
+    # same layer again: the built grid broadcast is reused (same entry)
+    b = {r[0] for r in
+         J.export_by_location(parcels, zones, "disjoint is True",
+                              broadcast=True).select("fid").collect()}
+    assert next(iter(J._EXPORT_GRID_CACHE)) == key
+    assert not (a & b)
+    gfo_cache.release_caches()
+    assert len(J._EXPORT_GRID_CACHE) == 0
+
+
 def test_export_by_distance(layers):
     parcels, zones, _ = layers
     d = 300.0
