@@ -1359,6 +1359,156 @@ def _q_events_agg(spark, sf_dir):
     )
 
 
+# ---- round-4 utility-coverage oracles (previously pytest-only paths) ----
+
+
+def _q_where_post_buffer(spark, sf_dir):
+    """buffer + where_post SQL filter on the OUTPUT geometry (the
+    reference's where_post contract, ``_geoops_sql.py:3625-3701``).
+    Mitre joins on axis boxes grow them exactly, so areas are closed
+    form: (w+2d)(h+2d)."""
+    from geofileops_spark import geoops as G
+    from geofileops_spark.functions.st import (
+        register_sql_functions, st_area, st_geomfromtext,
+    )
+    from geofileops_spark.sources import tpch_geo as T
+    from geofileops_spark.sources.tpch_geo import _box_wkt_cols
+
+    register_sql_functions(spark)
+    n = T.load(spark, sf_dir, "nation")
+    i = F.col("n_nationkey").cast("long")
+    w = (60 + (i % 4) * 20).cast("double")
+    df = n.select(
+        i.alias("fid"),
+        st_geomfromtext(
+            _box_wkt_cols(F.lit(0.0), F.lit(0.0), w, F.lit(100.0))
+        ).alias("geom_wkb"),
+    )
+    out = G.buffer(
+        df, 5.0, join_style="mitre", where_post="ST_Area(geom_wkb) > 12000"
+    )
+    return out.select("fid", _bigint(st_area(F.col("geom_wkb"))).alias("area"))
+
+
+def _q_export_by_bounds(spark, sf_dir):
+    from geofileops_spark import geoops as G
+    from geofileops_spark.sources import tpch_geo as T
+
+    out = G.export_by_bounds(
+        T.cust_points(spark, sf_dir), (100.5, 100.5, 400.5, 500.5)
+    )
+    return out.select("fid")
+
+
+def _q_clip_by_geometry(spark, sf_dir):
+    from geofileops_spark import geoops as G
+    from geofileops_spark.functions.st import st_area
+    from geofileops_spark.sources import tpch_geo as T
+
+    wkt = (
+        "POLYGON ((105.5 77.5, 655.5 77.5, 655.5 633.5, "
+        "105.5 633.5, 105.5 77.5))"
+    )
+    out = G.clip_by_geometry(T.nation_boxes(spark, sf_dir), wkt)
+    return out.select("fid", _bigint(st_area(F.col("geom_wkb"))).alias("area"))
+
+
+def _q_apply_vectorized(spark, sf_dir):
+    """apply_vectorized — the user-function extension point — with an
+    affine translate, so the oracle is plain column arithmetic."""
+    from geofileops_spark import geoops as G
+    from geofileops_spark.functions.st import st_x, st_y
+    from geofileops_spark.geometry.extra import affine_transform
+    from geofileops_spark.sources import tpch_geo as T
+
+    out = G.apply_vectorized(
+        T.cust_points(spark, sf_dir),
+        lambda g: affine_transform(g, (1, 0, 10, 0, 1, 20)),
+    )
+    return out.select(
+        "fid",
+        _bigint(st_x(F.col("geom_wkb"))).alias("qx"),
+        _bigint(st_y(F.col("geom_wkb"))).alias("qy"),
+    )
+
+
+def _q_concat_nullfill(spark, sf_dir):
+    """concat_layers union-by-name with NULL fill for missing columns
+    (geofileops ``geoops.py:2029-2137``)."""
+    from geofileops_spark import geoops as G
+    from geofileops_spark.sources import tpch_geo as T
+
+    n = T.load(spark, sf_dir, "nation")
+    i = F.col("n_nationkey").cast("long")
+    a = n.select(i.alias("fid"), (i * 3).alias("alpha"))
+    b = n.select((i + 100).alias("fid"), (i * 7).alias("beta"))
+    return G.concat_layers([a, b]).select("fid", "alpha", "beta")
+
+
+def _q_update_column(spark, sf_dir):
+    """add_column + update_column with a WHERE clause (fileops
+    ``1000/1522``)."""
+    from geofileops_spark import geoops as G
+    from geofileops_spark.sources import tpch_geo as T
+
+    n = T.load(spark, sf_dir, "nation")
+    df = n.select(F.col("n_nationkey").cast("long").alias("fid"))
+    df = G.add_column(df, "val", "fid * 2")
+    df = G.update_column(df, "val", "val + 5", where="fid % 2 = 0")
+    return df.select("fid", "val")
+
+
+def _q_dissolve_lines(spark, sf_dir):
+    """dissolve on a LINE layer: ST_LineMerge(ST_Union(...)) per group
+    (reference ``_geoops_sql.py:4765-4771``). Three touching collinear
+    segments weld into one path; the disjoint segment stays — 2 parts,
+    total length 40 per nation."""
+    from geofileops_spark.functions.st import (
+        st_geomfromtext, st_length, st_parts,
+    )
+    from geofileops_spark.operators.dissolve import dissolve
+    from geofileops_spark.sources import tpch_geo as T
+
+    n = T.load(spark, sf_dir, "nation")
+    i = F.col("n_nationkey").cast("long")
+    y = (i * 10).cast("double").cast("string")
+    segs = F.array(
+        F.concat(F.lit("LINESTRING (0 "), y, F.lit(", 10 "), y, F.lit(")")),
+        F.concat(F.lit("LINESTRING (10 "), y, F.lit(", 20 "), y, F.lit(")")),
+        F.concat(F.lit("LINESTRING (20 "), y, F.lit(", 30 "), y, F.lit(")")),
+        F.concat(F.lit("LINESTRING (50 "), y, F.lit(", 60 "), y, F.lit(")")),
+    )
+    df = n.select(i.alias("fid"), F.explode(segs).alias("wkt")).select(
+        "fid", st_geomfromtext(F.col("wkt")).alias("geom_wkb")
+    )
+    out = dissolve(df, ["fid"])
+    return out.select(
+        "fid",
+        F.size(st_parts(F.col("geom_wkb"))).cast("long").alias("n_parts"),
+        _bigint(st_length(F.col("geom_wkb"))).alias("total_len"),
+    )
+
+
+def _q_collection_extract(spark, sf_dir):
+    """collection_extract(3) on mixed GEOMETRYCOLLECTIONs: only the
+    polygon part survives, with a fid-dependent closed-form area."""
+    from geofileops_spark import geoops as G
+    from geofileops_spark.functions.st import st_area, st_geomfromtext
+    from geofileops_spark.sources import tpch_geo as T
+
+    n = T.load(spark, sf_dir, "nation")
+    i = F.col("n_nationkey").cast("long")
+    s = (10 + (i % 5)).cast("double").cast("string")
+    wkt = F.concat(
+        F.lit("GEOMETRYCOLLECTION (POINT (1 2), LINESTRING (0 0, 5 0), "
+              "POLYGON ((0 0, "), s, F.lit(" 0, "), s, F.lit(" "), s,
+        F.lit(", 0 "), s, F.lit(", 0 0)))"),
+    )
+    df = n.select(i.alias("fid"), st_geomfromtext(wkt).alias("geom_wkb"))
+    out = G.collection_extract(df, 3)
+    return out.select("fid", _bigint(st_area(F.col("geom_wkb"))).alias("area"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Ordered so the driver's first-50 grading window covers what was
     # least recently graded: rounds 2-3 left 20 queries ungraded (11
@@ -1368,6 +1518,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "warp_polynomial": _q_warp_poly,
         "export_by_location_subdivide": _q_export_subdivide,
         "distance_sphere": _q_distance_sphere,
+        "where_post_buffer": _q_where_post_buffer,
+        "export_by_bounds_pts": _q_export_by_bounds,
+        "clip_by_geometry_box": _q_clip_by_geometry,
+        "apply_vectorized_affine": _q_apply_vectorized,
+        "concat_nullfill": _q_concat_nullfill,
+        "update_column_where": _q_update_column,
+        "dissolve_lines_merge": _q_dissolve_lines,
+        "collection_extract_poly": _q_collection_extract,
         "union_full_columns": _q_union_full_columns,
         "union_full_self": _q_union_full_self,
         "remove_slivers": _q_remove_slivers,
@@ -1498,6 +1656,64 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.7"""
               WHERE c.px BETWEEN b.xmin AND b.xmax AND c.py BETWEEN b.ymin AND b.ymax)""",
             "cust_points", "nation_boxes",
         ),
+        "where_post_buffer": """
+            SELECT CAST(n_nationkey AS BIGINT) AS fid,
+                   CAST(ROUND((60 + (n_nationkey %% 4) * 20 + 10.0) * 110.0)
+                        AS BIGINT) AS area
+              FROM nation
+             WHERE (60 + (n_nationkey %% 4) * 20 + 10.0) * 110.0 > 12000
+        """.replace("%%", "%"),
+        "export_by_bounds_pts": with_ctes(
+            """SELECT fid FROM cust_points
+             WHERE px BETWEEN 100.5 AND 400.5 AND py BETWEEN 100.5 AND 500.5""",
+            "cust_points",
+        ),
+        "clip_by_geometry_box": with_ctes(
+            """SELECT fid, CAST(ROUND(
+                   GREATEST(LEAST(xmax, 655.5) - GREATEST(xmin, 105.5), 0)
+                 * GREATEST(LEAST(ymax, 633.5) - GREATEST(ymin, 77.5), 0))
+                 AS BIGINT) AS area
+              FROM nation_boxes
+             WHERE LEAST(xmax, 655.5) > GREATEST(xmin, 105.5)
+               AND LEAST(ymax, 633.5) > GREATEST(ymin, 77.5)""",
+            "nation_boxes",
+        ),
+        "apply_vectorized_affine": with_ctes(
+            """SELECT fid, CAST(ROUND(px + 10) AS BIGINT) AS qx,
+                   CAST(ROUND(py + 20) AS BIGINT) AS qy
+              FROM cust_points""",
+            "cust_points",
+        ),
+        "concat_nullfill": """
+            SELECT CAST(n_nationkey AS BIGINT) AS fid,
+                   CAST(n_nationkey * 3 AS BIGINT) AS alpha,
+                   CAST(NULL AS BIGINT) AS beta
+              FROM nation
+            UNION ALL
+            SELECT CAST(n_nationkey + 100 AS BIGINT),
+                   CAST(NULL AS BIGINT),
+                   CAST(n_nationkey * 7 AS BIGINT)
+              FROM nation
+        """,
+        "update_column_where": """
+            SELECT CAST(n_nationkey AS BIGINT) AS fid,
+                   CAST(CASE WHEN n_nationkey %% 2 = 0
+                             THEN n_nationkey * 2 + 5
+                             ELSE n_nationkey * 2 END AS BIGINT) AS val
+              FROM nation
+        """.replace("%%", "%"),
+        "dissolve_lines_merge": """
+            SELECT CAST(n_nationkey AS BIGINT) AS fid,
+                   CAST(2 AS BIGINT) AS n_parts,
+                   CAST(40 AS BIGINT) AS total_len
+              FROM nation
+        """,
+        "collection_extract_poly": """
+            SELECT CAST(n_nationkey AS BIGINT) AS fid,
+                   CAST((10 + (n_nationkey %% 5)) * (10 + (n_nationkey %% 5))
+                        AS BIGINT) AS area
+              FROM nation
+        """.replace("%%", "%"),
         "distance_sphere": with_ctes(
             """SELECT fid, CAST(ROUND(
                    2 * 6371008.8 * ASIN(SQRT(LEAST(
