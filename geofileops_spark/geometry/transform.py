@@ -1131,6 +1131,61 @@ def simplify_geom(geom: Geometry, tolerance: float, algorithm: str = "rdp") -> G
 
 
 # ---------------------------------------------------------------- subdivide
+def _cut_crossings(g: Geometry, axis: int, cut: float) -> np.ndarray:
+    """Sorted along-cut coordinates where the parent's boundary strictly
+    crosses the cut line — ONE canonical interpolation both halves snap
+    to, so the seams match bit-for-bit."""
+    vals = []
+    for rings in g.polygons():
+        for ring in rings:
+            a, b = ring[:-1], ring[1:]
+            ca = a[:, axis] - cut
+            cb = b[:, axis] - cut
+            m = (ca * cb) < 0.0
+            if m.any():
+                t = ca[m] / (ca[m] - cb[m])
+                o = 1 - axis
+                vals.append(a[m, o] + t * (b[m, o] - a[m, o]))
+    if not vals:
+        return np.empty(0)
+    return np.sort(np.concatenate(vals))
+
+
+def _snap_axis(
+    g: Geometry, axis: int, value: float, tol: float, crossings: np.ndarray
+) -> None:
+    """Pull vertices within ``tol`` of an axis-aligned cut line exactly
+    onto it, and snap their along-cut coordinate to the nearest parent
+    crossing (in place). The two halves of a cut interpolate the same
+    crossing with opposite operand order, so they disagree by ~1e-10 at
+    the seam — without both snaps, re-unioning the halves leaves
+    hairline slivers (and the union weld's exact edge cancellation sees
+    micro-segments and falls back to the perturbing clipper)."""
+    o = 1 - axis
+    for rings in g.polygons():
+        for ring in rings:
+            col = ring[:, axis]
+            near = np.abs(col - value) <= tol
+            if not near.any():
+                continue
+            col[near] = value
+            if crossings.size:
+                oc = ring[near, o]
+                idx = np.clip(
+                    np.searchsorted(crossings, oc), 0, crossings.size - 1
+                )
+                idx_lo = np.maximum(idx - 1, 0)
+                pick = np.where(
+                    np.abs(crossings[idx] - oc) <= np.abs(crossings[idx_lo] - oc),
+                    idx,
+                    idx_lo,
+                )
+                snapped = crossings[pick]
+                ok = np.abs(snapped - oc) <= tol
+                oc[ok] = snapped[ok]
+                ring[near, o] = oc
+
+
 def subdivide(geom: Geometry, max_coords: int = 2000) -> list[Geometry]:
     """Split complex geometries into parts of <= max_coords vertices by
     recursive bbox halving (the reference subdivides complex inputs before
@@ -1159,18 +1214,37 @@ def subdivide(geom: Geometry, max_coords: int = 2000) -> list[Geometry]:
             stack.extend(Geometry(POLYGON, poly) for poly in g.data)
             continue
         minx, miny, maxx, maxy = g_bounds(g)
-        if maxx - minx >= maxy - miny:
-            midx = (minx + maxx) / 2.0
+        cut_axis = 0 if maxx - minx >= maxy - miny else 1
+        cut = (minx + maxx) / 2.0 if cut_axis == 0 else (miny + maxy) / 2.0
+        # seam snap tolerance: relative to coordinate magnitude and span
+        # (GEOS-style); covers the clipper's ~1e-8 crossing interpolation
+        # error without disturbing genuine vertices
+        snap_tol = 1e-9 * max(1.0, abs(cut), maxx - minx, maxy - miny) * 100
+        # never cut exactly through (or within tol of) a vertex: the
+        # clipper resolves on-boundary vertices by PERTURBING the
+        # subject, and the two halves perturb differently — their seams
+        # then disagree by ~1e-8 and the re-union leaves slivers. A
+        # shifted cut keeps every crossing strict and canonical.
+        axis_coords = np.concatenate(
+            [ring[:, cut_axis] for rings in g.polygons() for ring in rings]
+            or [np.empty(0)]
+        )
+        if axis_coords.size:
+            for _ in range(16):
+                if np.min(np.abs(axis_coords - cut)) > snap_tol:
+                    break
+                cut += 2.7 * snap_tol
+        if cut_axis == 0:
             boxes = (
-                (minx - 1, miny - 1, midx, maxy + 1),
-                (midx, miny - 1, maxx + 1, maxy + 1),
+                (minx - 1, miny - 1, cut, maxy + 1),
+                (cut, miny - 1, maxx + 1, maxy + 1),
             )
         else:
-            midy = (miny + maxy) / 2.0
             boxes = (
-                (minx - 1, miny - 1, maxx + 1, midy),
-                (minx - 1, midy, maxx + 1, maxy + 1),
+                (minx - 1, miny - 1, maxx + 1, cut),
+                (minx - 1, cut, maxx + 1, maxy + 1),
             )
+        crossings = _cut_crossings(g, cut_axis, cut)
         halves = []
         for bx in boxes:
             # batched ring x box cut for big simple rings (the per-pair
@@ -1180,6 +1254,7 @@ def subdivide(geom: Geometry, max_coords: int = 2000) -> list[Geometry]:
             if piece is None:
                 piece = g_intersection(g, Geometry.box(*bx))
             if piece is not None and not piece.is_empty():
+                _snap_axis(piece, cut_axis, cut, snap_tol, crossings)
                 halves.append(piece)
         if len(halves) <= 1 or all(
             h.num_coords() >= g.num_coords() for h in halves

@@ -99,6 +99,11 @@ def _combine_vs_union_udf(mode: str):
     """(g1, array<g2>) -> g1 <op> union_all(g2s); None when empty.
 
     mode='difference': the DIFF_EMPTY path — empty result means drop.
+    mode='difference_union': union the blades FIRST, then one subtraction
+    — required when the blades are subdivided PARTS of one original
+    geometry: sequential subtraction leaves floating-point slivers along
+    the part seams, while the union heals them exactly (the reference
+    subtracts ``ST_Union(layer2_sub)``, ``_geoops_sql.py:1234-1241``).
     mode='intersection': the clip path — primitive of the *input* kept
     (clip layer contributes no attributes, ``_geoops_sql.py:1000-1028``).
     """
@@ -112,7 +117,13 @@ def _combine_vs_union_udf(mode: str):
                 continue
             g1 = W.loads(bytes(b1))
             g2s = [W.loads(bytes(b)) for b in arr if b is not None]
-            if mode == "difference":
+            if mode == "difference_union":
+                res = C.difference(g1, C.union_geoms(g2s))
+                if res is g1:
+                    out.append(W.dumps(g1.force_multi()))
+                    continue
+                res = _drop_degenerate(res.collection_extract(g1.dim() + 1), g1.dim() + 1)
+            elif mode == "difference":
                 res = g1
                 for g2 in g2s:
                     res = C.difference(res, g2)
@@ -302,17 +313,23 @@ def difference(
     where_post: str | None = None,
     subdivide_coords: int | None = None,
     keep_empty_geoms: bool = False,
+    blade_union: bool = False,
 ) -> DataFrame:
     """g1 minus the union of all intersecting layer-2 geometries
     (geofileops ``geoops.py:2138`` -> ``_geoops_sql.py:1058-1355``).
     Non-matching layer-1 rows pass through unchanged; rows whose
     difference is EMPTY are dropped (DIFF_EMPTY sentinel semantics).
 
-    ``subdivide_coords``: layer-1 geometries are exploded into bounded-
-    vertex parts, each part diffed against ITS candidates only, then
-    parts re-unioned ``GROUP BY {id_col}`` (``_geoops_sql.py:1279-1324``)
-    — difference distributes over the parts' union, so the result is
-    identical while the per-pair kernel cost stays bounded."""
+    ``subdivide_coords``: BOTH layers are exploded into bounded-vertex
+    parts (the reference subdivides the erase layer too,
+    ``_geoops_sql.py:1058-1355``). Layer-1 parts are each diffed against
+    THEIR candidates only, then re-unioned ``GROUP BY {id_col}``
+    (``_geoops_sql.py:1279-1324``) — difference distributes over the
+    parts' union, so the result is identical while the per-pair kernel
+    cost stays bounded. Layer-2 parts are independent subtrahend rows:
+    g1 − (p1 ∪ p2 ∪ …) subtracts each part in turn, and bbox pruning
+    then ships a parcel only the ~nearby slice of a 300k-coord blade
+    instead of the whole blob."""
     if subdivide_coords is not None:
         # deterministic per-part key (id, part index) — the id is
         # referenced from two plan branches (candidate collect + join),
@@ -322,15 +339,22 @@ def difference(
         s1 = s1.withColumn(
             "_pid", F.xxhash64(F.col(id_col), F.col("_subpos"))
         ).drop("_subpos")
+        # erase side: geometry-only parts (attributes never survive a
+        # difference); no part id needed — the default candidate plan
+        # dedups by reference point, not by id
+        s2 = subdivide_layer(df2.select(geom_col), subdivide_coords, geom_col)
         # the inner call keeps fully-erased parts as NULL-geometry rows so
         # the per-id re-union sees EVERY part: a row whose parts were all
         # erased survives the groupBy with NULL geometry, and the shared
         # _postprocess applies the caller's keep_empty_geoms exactly like
         # the non-subdivide branch (previously the flag was silently
         # ignored here and emptied rows were dropped)
+        # blade_union: the erase candidates are subdivided PARTS sharing
+        # seams — union them before the (single) subtraction or the
+        # sequential path leaves hairline slivers along each seam
         parts = difference(
-            s1, df2, res=res, geom_col=geom_col, id_col="_pid",
-            keep_empty_geoms=True,
+            s1, s2, res=res, geom_col=geom_col, id_col="_pid",
+            keep_empty_geoms=True, blade_union=True,
         ).drop("_pid")
         attrs = [c for c in parts.columns if c not in (id_col, geom_col)]
         out = parts.groupBy(id_col).agg(
@@ -343,11 +367,12 @@ def difference(
         )
     others = _collect_candidates(df1, df2, res, geom_col, id_col)
     joined = df1.join(others, on=id_col, how="left")
+    diff_mode = "difference_union" if blade_union else "difference"
     diffed = joined.withColumn(
         "_diff",
         F.when(
             F.col("_others").isNotNull(),
-            _combine_vs_union_udf("difference")(F.col(geom_col), F.col("_others")),
+            _combine_vs_union_udf(diff_mode)(F.col(geom_col), F.col("_others")),
         ),
     )
     # no candidates -> pass through; candidates + empty result -> drop
@@ -510,10 +535,28 @@ def identity(
     gridsize: float = 0.0,
     explodecollections: bool = False,
     where_post: str | None = None,
+    subdivide_coords: int | None = None,
 ) -> DataFrame:
     """intersection(1,2) ⊎ difference(1,2) (geofileops ``geoops.py:2525``
     -> ``_geoops_sql.py:2752-2911``). L2 columns NULL on difference rows.
-    Both branches share one candidate join + refine."""
+    Both branches share one candidate join + refine.
+
+    ``subdivide_coords``: composes the two subdivided branch ops like the
+    reference's sequential plan (``_geoops_sql.py:2770,2833-2880``) —
+    each branch bounds its per-pair kernel cost independently."""
+    if subdivide_coords is not None:
+        inter = intersection(
+            df1, df2, res=res, geom_col=geom_col, id_col=id_col,
+            gridsize=gridsize, explodecollections=explodecollections,
+            where_post=where_post, subdivide_coords=subdivide_coords,
+        )
+        d12 = difference(
+            df1, df2, res=res, geom_col=geom_col, id_col=id_col,
+            gridsize=gridsize, explodecollections=explodecollections,
+            where_post=where_post, subdivide_coords=subdivide_coords,
+        )
+        d12 = prefix_columns(d12, "l1_", exclude=(geom_col,))
+        return inter.unionByName(d12, allowMissingColumns=True)
     inter, d12, _ = _shared_overlay_parts(
         df1, df2, res, geom_col, id_col, (True, True, False)
     )
@@ -532,10 +575,29 @@ def symmetric_difference(
     gridsize: float = 0.0,
     explodecollections: bool = False,
     where_post: str | None = None,
+    subdivide_coords: int | None = None,
 ) -> DataFrame:
     """difference(1,2) ⊎ difference(2,1) with the other side's columns
     NULL-filled (geofileops ``geoops.py:3544`` -> ``_geoops_sql.py:
-    2914-3086``). Both branches share one candidate join + refine."""
+    2914-3086``). Both branches share one candidate join + refine.
+
+    ``subdivide_coords``: two subdivided ``difference`` calls exactly
+    like the reference's Step 2/3 plan (``_geoops_sql.py:2931,2999-3047``
+    — it differences subdivided temp layers then appends)."""
+    if subdivide_coords is not None:
+        d12 = difference(
+            df1, df2, res=res, geom_col=geom_col, id_col=id_col,
+            gridsize=gridsize, explodecollections=explodecollections,
+            where_post=where_post, subdivide_coords=subdivide_coords,
+        )
+        d21 = difference(
+            df2, df1, res=res, geom_col=geom_col, id_col=id_col,
+            gridsize=gridsize, explodecollections=explodecollections,
+            where_post=where_post, subdivide_coords=subdivide_coords,
+        )
+        d12 = prefix_columns(d12, "l1_", exclude=(geom_col,))
+        d21 = prefix_columns(d21, "l2_", exclude=(geom_col,))
+        return d12.unionByName(d21, allowMissingColumns=True)
     _, d12, d21 = _shared_overlay_parts(
         df1, df2, res, geom_col, id_col, (False, True, True)
     )
@@ -555,13 +617,38 @@ def union(
     gridsize: float = 0.0,
     explodecollections: bool = False,
     where_post: str | None = None,
+    subdivide_coords: int | None = None,
 ) -> DataFrame:
     """Overlay union = intersection(1,2) ⊎ difference(1,2) ⊎
     difference(2,1) (geofileops ``geoops.py:3695`` -> ``_geoops_sql.py:
     3089-3292``). The reference runs the three ops sequentially over
     shared subdivided inputs; here all three branches share ONE candidate
     join + intersects refine (the matched pairs are persisted and reused
-    — previously each branch re-ran the cover UDFs and refine)."""
+    — previously each branch re-ran the cover UDFs and refine).
+
+    ``subdivide_coords``: composes the three subdivided branch ops like
+    the reference's sequential plan (``_geoops_sql.py:3107,3180-3250``)."""
+    if subdivide_coords is not None:
+        inter = intersection(
+            df1, df2, res=res, geom_col=geom_col, id_col=id_col,
+            gridsize=gridsize, explodecollections=explodecollections,
+            where_post=where_post, subdivide_coords=subdivide_coords,
+        )
+        d12 = difference(
+            df1, df2, res=res, geom_col=geom_col, id_col=id_col,
+            gridsize=gridsize, explodecollections=explodecollections,
+            where_post=where_post, subdivide_coords=subdivide_coords,
+        )
+        d21 = difference(
+            df2, df1, res=res, geom_col=geom_col, id_col=id_col,
+            gridsize=gridsize, explodecollections=explodecollections,
+            where_post=where_post, subdivide_coords=subdivide_coords,
+        )
+        d12 = prefix_columns(d12, "l1_", exclude=(geom_col,))
+        d21 = prefix_columns(d21, "l2_", exclude=(geom_col,))
+        return inter.unionByName(d12, allowMissingColumns=True).unionByName(
+            d21, allowMissingColumns=True
+        )
     inter, d12, d21 = _shared_overlay_parts(
         df1, df2, res, geom_col, id_col, (True, True, True)
     )

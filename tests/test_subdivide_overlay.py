@@ -76,3 +76,44 @@ def test_clip_subdivided_matches_plain(spark, blobs, boxes):
     assert set(plain) == set(sub)
     for k in plain:
         assert abs(plain[k] - sub[k]) < 1e-3 * max(1.0, plain[k])
+
+
+def _sym_keys(df):
+    """(l1_fid, l2_fid) -> area for composite overlays (either may be NULL)."""
+    return areas(df, ["l1_fid", "l2_fid"])
+
+
+def test_symmetric_difference_subdivided_matches_plain(spark, blobs, boxes):
+    plain = _sym_keys(O.symmetric_difference(blobs, boxes, res=18))
+    sub = _sym_keys(
+        O.symmetric_difference(blobs, boxes, res=18, subdivide_coords=200)
+    )
+    assert set(plain) == set(sub)
+    for k in plain:
+        assert abs(plain[k] - sub[k]) < 1e-3 * max(1.0, plain[k])
+
+
+def test_union_subdivided_matches_plain(spark, blobs, boxes):
+    plain = _sym_keys(O.union(blobs, boxes, res=18))
+    sub = _sym_keys(O.union(blobs, boxes, res=18, subdivide_coords=200))
+    assert set(plain) == set(sub)
+    for k in plain:
+        assert abs(plain[k] - sub[k]) < 1e-3 * max(1.0, plain[k])
+
+
+def test_identity_subdivided_matches_plain(spark, blobs, boxes):
+    plain = _sym_keys(O.identity(blobs, boxes, res=18))
+    sub = _sym_keys(O.identity(blobs, boxes, res=18, subdivide_coords=200))
+    assert set(plain) == set(sub)
+    for k in plain:
+        assert abs(plain[k] - sub[k]) < 1e-3 * max(1.0, plain[k])
+
+
+def test_difference_subdivides_erase_layer(spark, boxes, blobs):
+    """Layer 2 (the erase side) is subdivided too: result identical when
+    the BLADE is the complex layer."""
+    plain = areas(O.difference(boxes, blobs, res=18), ["fid"])
+    sub = areas(O.difference(boxes, blobs, res=18, subdivide_coords=200), ["fid"])
+    assert set(plain) == set(sub)
+    for k in plain:
+        assert abs(plain[k] - sub[k]) < 1e-3 * max(1.0, plain[k])
