@@ -350,12 +350,21 @@ def st_forcemulti(wkb: pd.Series) -> pd.Series:
 def st_subdivide_array(col, max_coords: int = 2000) -> Column:
     """Array of WKB parts (explode afterwards) — gfo_subdivide twin."""
 
+    # WKB stores >= 16 bytes per coordinate, so a blob this short cannot
+    # exceed max_coords vertices — skip the decode/re-encode entirely
+    # (at the reference's 7500-10000 defaults virtually every simple row
+    # short-circuits; only genuinely complex geometries pay the kernel)
+    byte_bound = 16 * max_coords
+
     @pandas_udf(ArrayType(BinaryType()))
     def _sub(wkb: pd.Series) -> pd.Series:
         out = []
         for b in wkb:
             if b is None:
                 out.append(None)
+                continue
+            if len(b) <= byte_bound:
+                out.append([bytes(b)])
                 continue
             parts = T.subdivide(W.loads(bytes(b)), max_coords)
             out.append([W.dumps(p) for p in parts if p is not None])

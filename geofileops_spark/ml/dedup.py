@@ -345,7 +345,9 @@ def embedding_dedup_pairs(
     from .similarity import _dot, _norm, srp_bucket_expr
 
     if dim is None:
-        dim = len(df.select(vec_col).first()[0])
+        from .similarity import infer_dim
+
+        dim = infer_dim(df, vec_col)
     keyed = df.select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("_v"),
         F.posexplode(

@@ -76,6 +76,18 @@ def cosine_topk(
     )
 
 
+def infer_dim(df: DataFrame, vec_col: str) -> int:
+    """Vector dimensionality: schema metadata (``{"dim": N}`` on the
+    column, free) first, one-row probe job only as the fallback."""
+    try:
+        md = df.schema[vec_col].metadata
+        if md and "dim" in md:
+            return int(md["dim"])
+    except (KeyError, TypeError):
+        pass
+    return len(df.select(vec_col).first()[0])
+
+
 def _plane_component(b: int, dim: int, i):
     """Pseudo-random hyperplane component in [-0.5, 0.5): an integer
     Weyl-style sequence ((b*dim + i + 1) * 2654435761 mod 1000003) /
@@ -124,7 +136,7 @@ def lsh_topk(
     expression over deterministic formula hyperplanes, so the whole
     pipeline is a bucket-equi join + window — and SQL-oracle checkable."""
     if dim is None:
-        dim = len(corpus.select(vec_col).first()[0])
+        dim = infer_dim(corpus, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     ).withColumn("_bucket", srp_bucket_expr("_qv", dim, nbits))
