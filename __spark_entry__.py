@@ -173,6 +173,37 @@ def _q_distance_sphere(spark, sf_dir):
     )
 
 
+def _q_join_nearest_sphere(spark, sf_dir):
+    """Geodesic kNN (``metric="sphere"``): haversine METERS against a
+    broadcast dimension layer — the reference's geographic-CRS
+    ``join_nearest`` mode (``geoops.py:3216-3224``: meters via geodesic
+    formulas). px/py scaled into valid lon/lat like distance_sphere."""
+    from geofileops_spark.functions.st import st_point
+    from geofileops_spark.operators.join import join_nearest
+    from geofileops_spark.sources import tpch_geo as T
+
+    def lonlat(df):
+        return df.select(
+            "fid",
+            st_point(F.col("px") / 10.0, F.col("py") / 20.0 - 25.0).alias(
+                "geom_wkb"
+            ),
+        )
+
+    out = join_nearest(
+        lonlat(T.cust_points(spark, sf_dir)),
+        lonlat(T.supp_points(spark, sf_dir)),
+        nb_nearest=2, distance=1000.0, expand=True,
+        broadcast=True, metric="sphere",
+    )
+    return out.select(
+        F.col("l1_fid").alias("cust_fid"),
+        F.col("pos"),
+        F.col("l2_fid").alias("supp_fid"),
+        _bigint(F.col("distance")).alias("dist_m"),
+    )
+
+
 def _q_join_nearest(spark, sf_dir):
     from geofileops_spark.operators.join import join_nearest
     from geofileops_spark.sources import tpch_geo as T
@@ -1515,6 +1546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # never driver-graded, 9 graded only in r02); those lead. The tail
     # is round-3-green stable queries (see CORRECTNESS_r03.json).
     return {
+        "join_nearest_sphere": _q_join_nearest_sphere,
         "warp_polynomial": _q_warp_poly,
         "export_by_location_subdivide": _q_export_subdivide,
         "distance_sphere": _q_distance_sphere,
@@ -2044,6 +2076,28 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.7"""
             """SELECT fid, CAST(2*px + 3 AS BIGINT) AS wx, CAST(py + 10 AS BIGINT) AS wy
             FROM cust_points""",
             "cust_points",
+        ),
+        "join_nearest_sphere": with_ctes(
+            """SELECT cust_fid, CAST(pos AS INT) AS pos, supp_fid,
+                      CAST(ROUND(dm) AS BIGINT) AS dist_m
+              FROM (
+                SELECT cust_fid, supp_fid, dm,
+                       row_number() OVER (
+                         PARTITION BY cust_fid ORDER BY dm, supp_fid
+                       ) AS pos
+                FROM (
+                  SELECT c.fid AS cust_fid, s.fid AS supp_fid,
+                         2 * 6371008.8 * ASIN(SQRT(LEAST(
+                           POW(SIN((RADIANS(s.py/20.0 - 25.0)
+                                    - RADIANS(c.py/20.0 - 25.0))/2), 2)
+                           + COS(RADIANS(c.py/20.0 - 25.0))
+                             * COS(RADIANS(s.py/20.0 - 25.0))
+                             * POW(SIN((RADIANS(s.px/10.0)
+                                        - RADIANS(c.px/10.0))/2), 2),
+                           1.0))) AS dm
+                  FROM cust_points c CROSS JOIN supp_points s) d
+              ) t WHERE pos <= 2""",
+            "cust_points", "supp_points",
         ),
         "warp_polynomial": with_ctes(
             """SELECT fid, CAST(px*px - 3*py AS BIGINT) AS wx,

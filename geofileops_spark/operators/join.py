@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType, DoubleType, LongType
 
+from ..functions.st import _EARTH_RADIUS_M
 from ..geometry import kernels as K
 from ..geometry import predicates as P
 from ..geometry import wkb as W
@@ -1161,6 +1162,7 @@ def _broadcast_knn(
     expand: bool,
     geom_col: str,
     id_col: str,
+    metric: str = "planar",
 ) -> DataFrame:
     """kNN against a broadcast-small layer 2: collect l2 once, ship it to
     every task, and resolve each l1 row's k nearest INSIDE one
@@ -1169,7 +1171,15 @@ def _broadcast_knn(
     never pay per-round shuffles). Exactness: bbox distances lower-bound
     geometry distances, so candidates are scanned in lower-bound order
     and refinement stops once the k-th exact distance <= the next lower
-    bound. Ties rank by (distance, l2 id) like the ring path."""
+    bound. Ties rank by (distance, l2 id) like the ring path.
+
+    ``metric="sphere"``: both layers must be lon/lat POINT layers;
+    ``distance`` is in meters and the output ``distance`` column is the
+    haversine great-circle distance (same IUGG radius as
+    ``st_distance_sphere``), with ``distance_crs`` the planar degree
+    distance — the reference's geographic-CRS split
+    (``geoops.py:3216-3224``: meters via geodesic formulas, CRS units in
+    ``distance_crs``)."""
     import pandas as pd
 
     from pyspark.sql.types import StructType
@@ -1193,6 +1203,8 @@ def _broadcast_knn(
     out_schema = StructType(
         out_schema.fields + [_SF("pos", _I()), _SF("distance", _D())]
     )
+    if metric == "sphere":
+        out_schema = StructType(out_schema.fields + [_SF("distance_crs", _D())])
     g_idx = l2_cols.index(l2_geom)
     id_idx = l2_cols.index(l2_id)
     attr_cols = [c for c in l2_cols if c != l2_geom]
@@ -1220,6 +1232,10 @@ def _broadcast_knn(
             else:
                 all_l2_points = False
         valid = np.isfinite(bbs[:, 0])
+        if metric == "sphere":
+            # point layers: bbs[:, 0:2] ARE the lon/lat coordinates
+            l2lon = np.radians(bbs[:, 0])
+            l2lat = np.radians(bbs[:, 1])
         ids = [r[id_idx] for r in rows]
         attrs = pd.DataFrame(
             [[r[l2_cols.index(c)] for c in attr_cols] for r in rows],
@@ -1254,16 +1270,71 @@ def _broadcast_knn(
                     b1[i] = K.bounds(g)
             # exact path: point x point distances ARE the bbox distances
             exact = pts1 is not None and all_l2_points
+            if metric == "sphere" and not exact:
+                raise ValueError(
+                    "join_nearest(metric='sphere') requires non-NULL POINT "
+                    "geometries on both layers (lon/lat); got non-point or "
+                    "NULL rows"
+                )
             emit_l1: list[int] = []
             emit_l2: list[int] = []
             emit_pos: list[int] = []
             emit_d: list[float] = []
+            emit_dcrs: list[float] = []
             # the (batch x l2) lower-bound matrix is built in row chunks
             # bounded to ~4M cells (32 MB of float64 temporaries)
             chunk = max(1, 4_000_000 // m)
             for s in range(0, nrows, chunk):
                 e = min(nrows, s + chunk)
                 cb = b1[s:e]
+                if metric == "sphere":
+                    # exact haversine matrix (points x points): same
+                    # formula + radius as st_distance_sphere
+                    plon = np.radians(cb[:, 0])
+                    plat = np.radians(cb[:, 1])
+                    dlat = (l2lat[None, :] - plat[:, None]) / 2.0
+                    dlon = (l2lon[None, :] - plon[:, None]) / 2.0
+                    h = np.sin(dlat) ** 2 + (
+                        np.cos(plat)[:, None]
+                        * np.cos(l2lat)[None, :]
+                        * np.sin(dlon) ** 2
+                    )
+                    with np.errstate(invalid="ignore"):
+                        lb = 2.0 * _EARTH_RADIUS_M * np.arcsin(
+                            np.sqrt(np.minimum(h, 1.0))
+                        )
+                    lb[:, ~valid] = np.inf
+                    lb[~np.isfinite(cb[:, 0])] = np.inf
+                    lb = np.where(np.isnan(lb), np.inf, lb)
+                    kk = min(nb_nearest, int(valid.sum()))
+                    if kk == 0:
+                        continue
+                    kth = np.partition(lb, kk - 1, axis=1)[:, kk - 1]
+                    for i in range(e - s):
+                        cap = kth[i] if expand else min(kth[i], distance)
+                        cand = np.nonzero(
+                            (lb[i] <= cap) & np.isfinite(lb[i])
+                        )[0]
+                        if len(cand) == 0:
+                            continue
+                        best = sorted(
+                            ((float(lb[i][j]), ids[j], int(j)) for j in cand),
+                            key=_tiekey,
+                        )[:nb_nearest]
+                        for pos, (d, _lid, oi) in enumerate(best, start=1):
+                            emit_l1.append(s + i)
+                            emit_l2.append(oi)
+                            emit_pos.append(pos)
+                            emit_d.append(d)
+                            emit_dcrs.append(
+                                float(
+                                    np.hypot(
+                                        cb[i, 0] - bbs[oi, 0],
+                                        cb[i, 1] - bbs[oi, 1],
+                                    )
+                                )
+                            )
+                    continue
                 dx = np.maximum(
                     np.maximum(
                         bbs[None, :, 0] - cb[:, None, 2],
@@ -1347,10 +1418,13 @@ def _broadcast_knn(
             outdf = pd.concat([l1part, l2part], axis=1)
             outdf["pos"] = np.asarray(emit_pos, dtype=np.int32)
             outdf["distance"] = np.asarray(emit_d, dtype=np.float64)
+            if metric == "sphere":
+                outdf["distance_crs"] = np.asarray(emit_dcrs, dtype=np.float64)
             yield outdf[out_names]
 
     res = c1.mapInPandas(_knn, schema=out_schema)
-    res = res.withColumn("distance_crs", F.col("distance"))
+    if metric != "sphere":
+        res = res.withColumn("distance_crs", F.col("distance"))
     # same output contract as the ring path: the layer-1 geometry
     # comes back under its ORIGINAL name
     return res.withColumnRenamed(f"l1_{geom_col}", geom_col)
@@ -1367,6 +1441,7 @@ def join_nearest(
     id_col: str = "fid",
     max_expand_rounds: int = 4,
     broadcast: bool | None = None,
+    metric: str = "planar",
 ) -> DataFrame:
     """k-nearest join (geofileops ``geoops.py:3190`` →
     ``_geoops_sql.py:2581-2697``, Spatialite knn2 on the layer1 centroid).
@@ -1394,6 +1469,8 @@ def join_nearest(
     """
     if distance is None:
         raise ValueError("join_nearest requires a search `distance`")
+    if metric not in ("planar", "sphere"):
+        raise ValueError(f"metric must be 'planar' or 'sphere', got {metric!r}")
     if broadcast is None:
         small_l2 = _scan_size_bytes(df2)
         bcast = small_l2 is not None and 0 < small_l2 <= _BROADCAST_BYTES
@@ -1410,7 +1487,19 @@ def join_nearest(
         # per-round shuffles and ring explosion dominate runtime (the r2
         # bench regression: rings grow to 1089 cells/row by round 3).
         return _broadcast_knn(
-            df1, df2, nb_nearest, distance, expand, geom_col, id_col
+            df1, df2, nb_nearest, distance, expand, geom_col, id_col,
+            metric=metric,
+        )
+    if metric == "sphere":
+        # the ring machinery below generates candidates on a PLANAR cell
+        # grid; a meters-radius search over lon/lat degrees would need a
+        # latitude-aware degree bound per ring. The geodesic mode is the
+        # nearest-city / geocoding shape — layer 2 is a dimension table —
+        # so the broadcast path is the supported plan.
+        raise ValueError(
+            "metric='sphere' requires a broadcast-small layer 2 "
+            "(pass broadcast=True or shrink layer 2); the distributed "
+            "ring path is planar-only — pre-project to a planar CRS"
         )
     if res is None:
         # coarse bound: cell >= distance (1-ring covers the initial

@@ -265,3 +265,80 @@ def test_delete_duplicate_geometries(spark):
     out = J.delete_duplicate_geometries(df, priority_column="prio")
     got = sorted(r[0] for r in out.select("fid").collect())
     assert got == [4, 5]  # fid 5 has prio 0 -> kept over 1..3
+
+
+def test_join_nearest_sphere(spark):
+    # geodesic kNN (metric="sphere"): distance is haversine METERS,
+    # distance_crs the planar degree distance — the reference's
+    # geographic-CRS split (geoops.py:3216-3224)
+    import math
+
+    from geofileops_spark.functions.st import st_geomfromtext
+
+    def layer(rows):
+        df = spark.createDataFrame(rows, "fid long, wkt string")
+        return df.select(
+            "fid", st_geomfromtext(F.col("wkt")).alias("geom_wkb")
+        )
+
+    pts1 = {1: (4.35, 50.85), 2: (2.35, 48.86)}  # Brussels, Paris
+    pts2 = {10: (4.40, 51.22), 11: (5.57, 50.63), 12: (3.72, 51.05)}
+    l1 = layer([(f, f"POINT ({lo} {la})") for f, (lo, la) in pts1.items()])
+    l2 = layer([(f, f"POINT ({lo} {la})") for f, (lo, la) in pts2.items()])
+
+    def hav(lon1, lat1, lon2, lat2):
+        R = 6_371_008.8
+        p1, p2 = math.radians(lat1), math.radians(lat2)
+        dl = math.radians(lon2 - lon1)
+        h = (
+            math.sin((p2 - p1) / 2) ** 2
+            + math.cos(p1) * math.cos(p2) * math.sin(dl / 2) ** 2
+        )
+        return 2 * R * math.asin(math.sqrt(min(h, 1.0)))
+
+    out = J.join_nearest(
+        l1, l2, nb_nearest=2, distance=1000.0, expand=True,
+        broadcast=True, metric="sphere",
+    ).collect()
+    exp = {
+        f1: sorted((hav(lo, la, *pts2[f2]), f2) for f2 in pts2)[:2]
+        for f1, (lo, la) in pts1.items()
+    }
+    by = {}
+    for r in out:
+        by.setdefault(r["l1_fid"], []).append(
+            (r["pos"], r["l2_fid"], r["distance"], r["distance_crs"])
+        )
+    assert set(by) == {1, 2}
+    for f1, lst in by.items():
+        lst.sort()
+        for (pos, f2, d, dcrs), (ed, ef2) in zip(lst, exp[f1]):
+            assert f2 == ef2
+            assert abs(d - ed) < 0.5  # meters
+            lo, la = pts1[f1]
+            lo2, la2 = pts2[f2]
+            assert abs(dcrs - math.hypot(lo - lo2, la - la2)) < 1e-9
+
+    # expand=False: `distance` caps in METERS (60 km keeps only
+    # Brussels->Antwerp/Ghent; Paris is >200 km from every l2 point)
+    out_cap = J.join_nearest(
+        l1, l2, nb_nearest=2, distance=60_000.0, expand=False,
+        broadcast=True, metric="sphere",
+    ).collect()
+    assert {r["l1_fid"] for r in out_cap} == {1}
+    assert all(r["distance"] <= 60_000.0 for r in out_cap)
+
+    # the distributed ring path is planar-only: sphere must refuse
+    with pytest.raises(ValueError, match="sphere"):
+        J.join_nearest(
+            l1, l2, nb_nearest=1, distance=10.0, broadcast=False,
+            metric="sphere",
+        )
+
+    # non-point geometries refuse loudly inside the kernel
+    poly = layer([(1, "POLYGON ((0 0, 1 0, 1 1, 0 1, 0 0))")])
+    with pytest.raises(Exception, match="POINT"):
+        J.join_nearest(
+            poly, l2, nb_nearest=1, distance=10.0, broadcast=True,
+            metric="sphere",
+        ).collect()
