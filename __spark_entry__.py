@@ -204,6 +204,29 @@ def _q_join_nearest_sphere(spark, sf_dir):
     )
 
 
+def _q_export_by_distance_sphere(spark, sf_dir):
+    """Range semi-join in haversine METERS (geographic-CRS
+    ``export_by_distance``): customers with any supplier within 500 km."""
+    from geofileops_spark.functions.st import st_point
+    from geofileops_spark.operators.join import export_by_distance
+    from geofileops_spark.sources import tpch_geo as T
+
+    def lonlat(df):
+        return df.select(
+            "fid",
+            st_point(F.col("px") / 10.0, F.col("py") / 20.0 - 25.0).alias(
+                "geom_wkb"
+            ),
+        )
+
+    out = export_by_distance(
+        lonlat(T.cust_points(spark, sf_dir)),
+        lonlat(T.supp_points(spark, sf_dir)),
+        max_distance=500_000.0, metric="sphere",
+    )
+    return out.select("fid")
+
+
 def _q_join_nearest(spark, sf_dir):
     from geofileops_spark.operators.join import join_nearest
     from geofileops_spark.sources import tpch_geo as T
@@ -1547,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # is round-3-green stable queries (see CORRECTNESS_r03.json).
     return {
         "join_nearest_sphere": _q_join_nearest_sphere,
+        "export_by_distance_sphere": _q_export_by_distance_sphere,
         "warp_polynomial": _q_warp_poly,
         "export_by_location_subdivide": _q_export_subdivide,
         "distance_sphere": _q_distance_sphere,
@@ -2097,6 +2121,19 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.7"""
                            1.0))) AS dm
                   FROM cust_points c CROSS JOIN supp_points s) d
               ) t WHERE pos <= 2""",
+            "cust_points", "supp_points",
+        ),
+        "export_by_distance_sphere": with_ctes(
+            """SELECT c.fid FROM cust_points c WHERE EXISTS (
+              SELECT 1 FROM supp_points s
+              WHERE 2 * 6371008.8 * ASIN(SQRT(LEAST(
+                      POW(SIN((RADIANS(s.py/20.0 - 25.0)
+                               - RADIANS(c.py/20.0 - 25.0))/2), 2)
+                      + COS(RADIANS(c.py/20.0 - 25.0))
+                        * COS(RADIANS(s.py/20.0 - 25.0))
+                        * POW(SIN((RADIANS(s.px/10.0)
+                                   - RADIANS(c.px/10.0))/2), 2),
+                      1.0))) <= 500000.0)""",
             "cust_points", "supp_points",
         ),
         "warp_polynomial": with_ctes(

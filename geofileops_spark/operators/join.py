@@ -1103,10 +1103,33 @@ def export_by_distance(
     res: int | None = None,
     geom_col: str = "geom_wkb",
     id_col: str = "fid",
+    metric: str = "planar",
 ) -> DataFrame:
     """Range semi-join: keep layer1 rows having any layer2 feature within
     max_distance (geofileops ``geoops.py:2437`` → ``_geoops_sql.py:
-    1739-1802``: bbox expanded by distance, then ST_Distance <= d)."""
+    1739-1802``: bbox expanded by distance, then ST_Distance <= d).
+
+    ``metric="sphere"``: ``max_distance`` is haversine METERS over lon/lat
+    point layers (the reference's geographic-CRS distance mode,
+    ``geoops.py:3216-3224``) — composed as a 1-nearest sphere probe
+    against a broadcast-small layer 2, so the same plan constraints as
+    ``join_nearest(metric="sphere")`` apply."""
+    if metric == "sphere":
+        if df2.count() > _BROADCAST_MAX_ROWS:
+            # the sphere probe collects layer 2 onto the driver; refuse a
+            # layer that would not broadcast rather than OOM silently
+            raise ValueError(
+                "export_by_distance(metric='sphere') requires a "
+                "broadcast-small layer 2; pre-project to a planar CRS "
+                "for the distributed path"
+            )
+        near = _broadcast_knn(
+            df1.select(id_col, geom_col), df2.select(id_col, geom_col),
+            nb_nearest=1, distance=max_distance, expand=False,
+            geom_col=geom_col, id_col=id_col, metric="sphere",
+        )
+        key = near.select(F.col(f"l1_{id_col}").alias(id_col)).distinct()
+        return df1.join(key, on=id_col, how="left_semi")
     if res is None:
         res = min(
             _res_for_distance(max_distance),

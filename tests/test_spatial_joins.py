@@ -342,3 +342,26 @@ def test_join_nearest_sphere(spark):
             poly, l2, nb_nearest=1, distance=10.0, broadcast=True,
             metric="sphere",
         ).collect()
+
+
+def test_export_by_distance_sphere(spark):
+    # range semi-join in haversine METERS over lon/lat points
+    from geofileops_spark.functions.st import st_geomfromtext
+
+    def layer(rows):
+        df = spark.createDataFrame(rows, "fid long, wkt string")
+        return df.select(
+            "fid", st_geomfromtext(F.col("wkt")).alias("geom_wkb")
+        )
+
+    l1 = layer([
+        (1, "POINT (4.35 50.85)"),   # Brussels: ~41 km to Antwerp
+        (2, "POINT (2.35 48.86)"),   # Paris: >200 km to every l2 point
+    ])
+    l2 = layer([(10, "POINT (4.40 51.22)"), (11, "POINT (5.57 50.63)")])
+    out = J.export_by_distance(l1, l2, max_distance=60_000.0, metric="sphere")
+    assert sorted(r["fid"] for r in out.collect()) == [1]
+    # schema is layer 1 verbatim (semi-join contract)
+    assert out.columns == ["fid", "geom_wkb"]
+    far = J.export_by_distance(l1, l2, max_distance=10_000.0, metric="sphere")
+    assert far.count() == 0
