@@ -1245,6 +1245,19 @@ def _q_jaccard(spark, sf_dir):
     )
 
 
+def _q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: connected components over the Jaccard pair
+    set (min-label propagation, one shuffle join per round) — the
+    cluster-then-keep-canonical step of a dedup pipeline. Oracle is a
+    recursive min-reach CTE over the same edges."""
+    from geofileops_spark.ml.dedup import dup_clusters, ngram_jaccard_pairs
+
+    pairs = ngram_jaccard_pairs(_docs_with_near_dups(spark, sf_dir), n=3, threshold=0.7)
+    return dup_clusters(pairs).select(
+        F.col("id").alias("doc_id"), "cluster_id"
+    )
+
+
 def _q_minhash(spark, sf_dir):
     from geofileops_spark.ml.dedup import minhash_lsh_pairs
 
@@ -1571,6 +1584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "join_nearest_sphere": _q_join_nearest_sphere,
         "export_by_distance_sphere": _q_export_by_distance_sphere,
+        "dedup_clusters": _q_dedup_clusters,
         "warp_polynomial": _q_warp_poly,
         "export_by_location_subdivide": _q_export_subdivide,
         "distance_sphere": _q_distance_sphere,
@@ -1658,7 +1672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     from geofileops_spark.sources.tpch_geo import with_ctes
 
-    jacc_oracle = f"""WITH {_NEAR_DUPS_SQL},
+    _jacc_ctes = f"""{_NEAR_DUPS_SQL},
 norm AS (
   SELECT doc_id AS id,
          regexp_split_to_array(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '\\s+') AS arr
@@ -1671,13 +1685,30 @@ sizes AS (SELECT id, count(*) AS n FROM grams GROUP BY id),
 common AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
   FROM grams a JOIN grams b USING (gram)
-  WHERE a.id < b.id GROUP BY a.id, b.id)
+  WHERE a.id < b.id GROUP BY a.id, b.id)"""
+    jacc_oracle = f"""WITH {_jacc_ctes}
 SELECT id_a, id_b,
        CAST(round(round(c * 1.0 / (sa.n + sb.n - c), 6) * 1000000) AS BIGINT) AS jacc_ppm
 FROM common
 JOIN sizes sa ON sa.id = common.id_a
 JOIN sizes sb ON sb.id = common.id_b
 WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.7"""
+    # connected components over the SAME edge set: recursive min-reach
+    cluster_oracle = f"""WITH RECURSIVE {_jacc_ctes},
+edges AS (
+  SELECT id_a, id_b FROM common
+  JOIN sizes sa ON sa.id = common.id_a
+  JOIN sizes sb ON sb.id = common.id_b
+  WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.7),
+sym AS (
+  SELECT id_a AS src, id_b AS dst FROM edges
+  UNION
+  SELECT id_b AS src, id_a AS dst FROM edges),
+reach(id, r) AS (
+  SELECT src, src FROM sym
+  UNION
+  SELECT reach.id, sym.dst FROM reach JOIN sym ON reach.r = sym.src)
+SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id"""
 
     lang_case = """CASE
   WHEN greatest(s_en, s_fr, s_de, s_nl, s_es) = 0 THEN 'und'
@@ -2031,6 +2062,7 @@ WHERE round(c * 1.0 / (sa.n + sb.n - c), 6) >= 0.7"""
         SELECT doc_id FROM r WHERE rn = 1""",
         "dedup_ngram_jaccard": jacc_oracle,
         "dedup_minhash_lsh": jacc_oracle,
+        "dedup_clusters": cluster_oracle,
         # simhash: the md5-derived 64-bit token hash, per-bit majority
         # votes and banded pairing are all reproduced in SQL; with 4
         # bands, hamming<=3 pairs ALWAYS share a band (pigeonhole), so

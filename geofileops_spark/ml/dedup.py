@@ -373,3 +373,90 @@ def embedding_dedup_pairs(
     return scored.where(F.col("cosine") >= F.lit(threshold)).select(
         "id_a", "id_b", "cosine"
     )
+
+
+# ------------------------------------------------- near-dup clustering
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_rounds: int = 20,
+) -> DataFrame:
+    """Connected components over a dup-pair edge list: (id, cluster_id)
+    with ``cluster_id`` = the MIN id in the component — the
+    cluster-then-keep-canonical step after any pair generator in this
+    module (ngram_jaccard_pairs / minhash_lsh_pairs / simhash_pairs /
+    embedding_dedup_pairs).
+
+    Plan: iterative min-label propagation. Each round is one hash join
+    (labels onto the symmetrized edge list, shuffled on the edge key)
+    plus one groupBy(min) — the standard large-scale CC shape; rounds =
+    O(component diameter), and dup components are shallow (a near-dup
+    cluster's diameter is small by construction: members pair with a
+    shared template). Convergence is checked with a bounded count
+    aggregate per round, and the loop raises if ``max_rounds`` is hit
+    while labels are still moving rather than returning a wrong
+    clustering. Only ids that appear in ``pairs`` are returned;
+    singletons are their own cluster by definition (callers left-join
+    and coalesce to the doc's own id).
+    """
+    sym = pairs.select(
+        F.col(id_a).alias("src"), F.col(id_b).alias("dst")
+    ).union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+    sym = _cache.track(sym.persist())
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+    )
+    labels = _cache.track(labels.persist())
+    for _ in range(max_rounds):
+        nb_min = (
+            sym.join(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("label").alias("_dl")
+                ),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("_dl").alias("_nb"))
+        )
+        new = (
+            labels.join(nb_min.withColumnRenamed("src", "id"), "id", "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("_nb"), F.col("label"))
+                ).alias("label"),
+                (F.col("_nb") < F.col("label")).alias("_moved"),
+            )
+        )
+        new = _cache.track(new.persist())
+        moved = new.where(F.col("_moved")).limit(1).count()
+        new = new.drop("_moved")
+        labels.unpersist()
+        labels = new
+        if moved == 0:
+            return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
+    raise RuntimeError(
+        f"dup_clusters did not converge in {max_rounds} rounds — "
+        "component diameter exceeds the bound; raise max_rounds"
+    )
+
+
+def keep_canonical(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """One row per near-dup cluster: keep the MIN-id member of each
+    component of ``pairs`` plus every unpaired row verbatim — the final
+    collapse of a dedup pipeline (the doc-level twin of
+    delete_duplicate_geometries' keep-first contract)."""
+    comp = dup_clusters(pairs, id_a=id_a, id_b=id_b)
+    drop = comp.where(F.col("id") != F.col("cluster_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(drop, on=id_col, how="left_anti")

@@ -181,3 +181,38 @@ def test_ivf_topk_recall(spark, emb):
     assert len(e & a) >= len(e) // 2
     counts = approx.groupBy("query_id").count().collect()
     assert all(r["count"] <= 5 for r in counts)
+
+
+def test_dup_clusters_and_keep_canonical(spark):
+    # path component {1,2,3} (diameter 2 forces >1 propagation round),
+    # pair {10,11}, singleton 99 untouched
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    comp = {
+        r["id"]: r["cluster_id"]
+        for r in DD.dup_clusters(pairs).collect()
+    }
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in (1, 2, 3, 10, 11, 99)],
+        "doc_id long, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in DD.keep_canonical(docs, pairs, id_col="doc_id").collect()
+    )
+    assert kept == [1, 10, 99]
+
+    # empty edge list: nothing dropped
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert DD.dup_clusters(empty).count() == 0
+    assert DD.keep_canonical(docs, empty, id_col="doc_id").count() == 6
+
+    # long chain exceeding max_rounds raises instead of mis-clustering
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="converge"):
+        DD.dup_clusters(chain, max_rounds=2)
