@@ -404,12 +404,13 @@ def dup_clusters(
         F.col(id_a).alias("src"), F.col(id_b).alias("dst")
     ).union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
     sym = _cache.track(sym.persist())
-    labels = (
+    labels_p = _cache.track(
         sym.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
+        .persist()
     )
-    labels = _cache.track(labels.persist())
+    labels = labels_p
     for _ in range(max_rounds):
         nb_min = (
             sym.join(
@@ -421,7 +422,9 @@ def dup_clusters(
             .groupBy("src")
             .agg(F.min("_dl").alias("_nb"))
         )
-        new = (
+        # unpersist must target the PERSISTED frame, not a projection of
+        # it — 20 rounds of leaked label tables otherwise
+        new_p = _cache.track(
             labels.join(nb_min.withColumnRenamed("src", "id"), "id", "left")
             .select(
                 "id",
@@ -430,13 +433,14 @@ def dup_clusters(
                 ).alias("label"),
                 (F.col("_nb") < F.col("label")).alias("_moved"),
             )
+            .persist()
         )
-        new = _cache.track(new.persist())
-        moved = new.where(F.col("_moved")).limit(1).count()
-        new = new.drop("_moved")
-        labels.unpersist()
-        labels = new
+        moved = new_p.where(F.col("_moved")).limit(1).count()
+        labels_p.unpersist()
+        labels_p = new_p
+        labels = new_p.drop("_moved")
         if moved == 0:
+            sym.unpersist()
             return labels.select(F.col("id"), F.col("label").alias("cluster_id"))
     raise RuntimeError(
         f"dup_clusters did not converge in {max_rounds} rounds — "
