@@ -285,15 +285,50 @@ def _offset_ring(
     return np.vstack([out, out[:1]])
 
 
+# max input vertices per flattened offset sweep: full-batch sweeps build
+# ~40 temporaries of (total arc-expanded vertices) elements, and on the
+# target VM multi-MB fresh temporaries page-fault (measured on 20k
+# parcels/500k verts: one full sweep 1.2-34 s across the VM's fast/slow
+# modes vs a stable 0.4-0.5 s in 60k-vert groups — identical output).
+# Cache-resident groups also make the buffer bench mode-immune.
+_SWEEP_VERTS = 60_000
+
+
 def batch_offset_rings(
     rings_open: list, d: float, quad_segs: int, join_style: str,
     mitre_limit: float = 5.0,
 ) -> list:
-    """:func:`_offset_ring` over MANY open rings in one flattened set of
-    numpy sweeps (the batchclip amortization pattern: per-ring numpy-call
-    overhead was ~35% of the buffer kernel on parcel-sized rings).
-    Identical formulas/tolerances; returns per ring the closed offset
-    ring or None (degenerate -> caller falls back per ring)."""
+    """:func:`_offset_ring` over MANY open rings in flattened numpy
+    sweeps of at most ``_SWEEP_VERTS`` input vertices each (the batchclip
+    amortization + chunking pattern). Identical formulas/tolerances;
+    returns per ring the closed offset ring or None (degenerate ->
+    caller falls back per ring)."""
+    total = sum(len(r) for r in rings_open)
+    if total > _SWEEP_VERTS and len(rings_open) > 1:
+        out: list = []
+        grp: list = []
+        verts = 0
+        for r in rings_open:
+            if grp and verts + len(r) > _SWEEP_VERTS:
+                out.extend(
+                    _offset_rings_sweep(grp, d, quad_segs, join_style, mitre_limit)
+                )
+                grp = []
+                verts = 0
+            grp.append(r)
+            verts += len(r)
+        if grp:
+            out.extend(
+                _offset_rings_sweep(grp, d, quad_segs, join_style, mitre_limit)
+            )
+        return out
+    return _offset_rings_sweep(rings_open, d, quad_segs, join_style, mitre_limit)
+
+
+def _offset_rings_sweep(
+    rings_open: list, d: float, quad_segs: int, join_style: str,
+    mitre_limit: float = 5.0,
+) -> list:
     P = len(rings_open)
     if P == 0:
         return []
@@ -782,8 +817,11 @@ def buffer_geom(
 
 
 def _batch_vertex_closer(
-    pts_list: list, segs_list: list, thresh: float, chunk: int = 262144
+    pts_list: list, segs_list: list, thresh: float, chunk: int = 60_000
 ) -> np.ndarray:
+    # chunk default measured on 20k parcels/63M combos: 3.4 s at 30-60k
+    # vs 4-10 s at 262k and 10-22 s at 1M — same cache-residency cliff
+    # as _SWEEP_VERTS/_MAX_COMBOS, and mode-stable at the small sizes
     """Per-pair "any point closer than thresh to any segment" over many
     (points, open-ring) pairs — :func:`_any_vertex_closer` flattened
     across the batch (same squared-distance form), chunked so working
