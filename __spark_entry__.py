@@ -488,6 +488,76 @@ def _q_streaming_zone_rollup(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _q_streaming_dedup(spark, sf_dir):
+    """END-TO-END stateful streaming dedup graded against batch SQL:
+    documents (doubled, the duplicate copy stamped 3 hours later) are
+    written as six hourly parquet drops with monotone mtimes, streamed
+    two files per trigger (several micro-batches), and
+    ``streaming_dedup_first`` — applyInPandasWithState keyed on the
+    content md5, one boolean of state per distinct document — must emit
+    exactly the batch keep-first-by-(ts, url) winner set."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from geofileops_spark.sources.tpch_geo import load
+    from geofileops_spark.streaming.pipeline import (
+        run_available_now,
+        streaming_dedup_first,
+    )
+
+    base = tempfile.mkdtemp(prefix="gfo_streamdd_q_")
+    try:
+        d = load(spark, sf_dir, "documents").select("doc_id", "text")
+        both = d.withColumn("_hr", (F.col("doc_id") % 3).cast("int")).unionByName(
+            d.select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            ).withColumn("_hr", (F.lit(3) + F.col("doc_id") % 3).cast("int"))
+        )
+        docs = both.select(
+            F.concat(F.lit("https://example.com/doc/"), F.col("doc_id")).alias(
+                "url"
+            ),
+            (
+                F.to_timestamp(F.lit("2020-01-01 00:00:00"))
+                + F.expr("make_interval(0, 0, 0, 0, _hr, 0, 0)")
+            ).alias("warc_ts"),
+            F.md5(F.col("text")).alias("fp"),
+            F.col("_hr"),
+        )
+        stream_dir = os.path.join(base, "stream")
+        os.makedirs(stream_dir)
+        t0 = 1_600_000_000
+        for h in range(6):
+            tmp = os.path.join(base, "tmp_drop")
+            docs.where(F.col("_hr") == h).drop("_hr").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stream_dir, f"drop_{h:02d}.parquet")
+            shutil.move(part, dst)
+            # FileStreamSource orders by modification time: pin a
+            # strictly increasing mtime so drops replay in event order
+            os.utime(dst, times=(t0 + h, t0 + h))
+        stream = (
+            spark.readStream.schema("url string, warc_ts timestamp, fp string")
+            .option("maxFilesPerTrigger", 2)
+            .parquet(stream_dir)
+        )
+        dd = streaming_dedup_first(stream, key_col="fp")
+        name = "gfo_streamdd_oracle"
+        run_available_now(
+            dd, os.path.join(base, "ckpt"), query_name=name, output_mode="update"
+        )
+        out = spark.table(name)
+        return spark.createDataFrame(
+            out.select("url").collect(), "url string"
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _q_difference_keep_empty(spark, sf_dir):
     """keep_empty_geoms on two-layer difference: even fids get a
     full-cover blade (result NULL, retained), odd fids a left-half blade
@@ -1585,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_nearest_sphere": _q_join_nearest_sphere,
         "export_by_distance_sphere": _q_export_by_distance_sphere,
         "dedup_clusters": _q_dedup_clusters,
+        "streaming_dedup": _q_streaming_dedup,
         "warp_polynomial": _q_warp_poly,
         "export_by_location_subdivide": _q_export_subdivide,
         "distance_sphere": _q_distance_sphere,
@@ -2063,6 +2134,22 @@ SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id"""
         "dedup_ngram_jaccard": jacc_oracle,
         "dedup_minhash_lsh": jacc_oracle,
         "dedup_clusters": cluster_oracle,
+        # stateful streaming keep-first == batch keep-first by (hour,
+        # url): the stream replays hourly drops in event order, so the
+        # first-arrival winner per content md5 is the (hr, url) minimum
+        "streaming_dedup": """
+        WITH both_docs AS (
+          SELECT doc_id, text, doc_id % 3 AS hr FROM documents
+          UNION ALL
+          SELECT doc_id + 100000, text, 3 + ((doc_id + 100000) % 3)
+          FROM documents),
+        h AS (SELECT 'https://example.com/doc/' || doc_id AS url, hr,
+                     md5(text) AS fp
+              FROM both_docs),
+        r AS (SELECT url,
+                     row_number() OVER (PARTITION BY fp ORDER BY hr, url) AS rn
+              FROM h)
+        SELECT url FROM r WHERE rn = 1""",
         # simhash: the md5-derived 64-bit token hash, per-bit majority
         # votes and banded pairing are all reproduced in SQL; with 4
         # bands, hamming<=3 pairs ALWAYS share a band (pigeonhole), so

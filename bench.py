@@ -57,7 +57,9 @@ def materialize_pages(spark: SparkSession, n_pages: int) -> str:
     from geofileops_spark.sources.pages import synth_pages
 
     path = f"/tmp/gfo_bench_pages_{n_pages}.parquet"
-    if not os.path.exists(path):
+    # _SUCCESS check: an interrupted earlier write leaves a dir that
+    # exists but cannot be read (same guard as sources/parcels.py)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
         synth_pages(spark, n_pages, partitions=4 * CPUS).write.mode(
             "overwrite"
         ).parquet(path)
@@ -189,6 +191,12 @@ REF_SECONDS = {
     "parcels_export": 8.44,  # benchmark_results.csv:83
     # 515k parcels vs 3 multipolys of 4 x 300k coords, subdivided
     "parcels_export_complex": 94.40,  # benchmark_results.csv:84
+    "parcels_makevalid": 8.41,  # benchmark_results.csv:93
+    # self union with attrs pivoted to COLUMNS (heaviest single-layer op)
+    "parcels_union_full": 73.94,  # benchmark_results.csv:96
+    # 3 multipolys of 4 x 30k coords vs 515k parcels (ref default
+    # subdivide_coords=2000 for symmetric_difference)
+    "parcels_symdiff_complex": 36.38,  # benchmark_results.csv:94
 }
 # the union overlay runs minutes per rep; 2 reps bound the bench wall
 PARCEL_HEAVY_REPS = int(os.environ.get("SPARK_GRAFT_PARCEL_HEAVY_REPS", "2"))
@@ -210,12 +218,16 @@ def materialize_parcel_layers(spark):
 
 
 def parcel_queries(spark, pa: str, pb: str) -> dict:
-    from geofileops_spark.functions.st import st_buffer
+    from geofileops_spark.functions.st import st_buffer, st_makevalid
     from geofileops_spark.operators.dissolve import dissolve
     from geofileops_spark.operators.join import export_by_location, join_by_location
     from geofileops_spark.operators.overlay import clip as ov_clip
     from geofileops_spark.operators.overlay import intersection as ov_intersection
     from geofileops_spark.operators.overlay import union as ov_union
+    from geofileops_spark.operators.overlay import (
+        symmetric_difference as ov_symdiff,
+    )
+    from geofileops_spark.operators.union_full import union_full_self
     from geofileops_spark.sources.parcels import materialize_complex_polys
 
     p0 = spark.read.parquet(pa)
@@ -223,6 +235,14 @@ def parcel_queries(spark, pa: str, pb: str) -> dict:
     cx = spark.read.parquet(
         materialize_complex_polys(
             spark, N_PARCELS, f"/tmp/gfo_cxpoly_{N_PARCELS}.parquet"
+        )
+    )
+    # the symdiff-complex reference case uses 4 x 30k-coord rings
+    # (benchmarks_geofileops.py:630-668), NOT the 300k export case
+    cx30 = spark.read.parquet(
+        materialize_complex_polys(
+            spark, N_PARCELS, f"/tmp/gfo_cxpoly30k_{N_PARCELS}.parquet",
+            coords_per_ring=30_000,
         )
     )
     return {
@@ -243,6 +263,19 @@ def parcel_queries(spark, pa: str, pb: str) -> dict:
         # coords, layer 2 subdivided (its default subdivide_coords)
         "parcels_export_complex": lambda: export_by_location(
             p0, cx, "intersects is True", subdivide_coords=10000
+        ).count(),
+        "parcels_makevalid": lambda: p0.select(
+            st_makevalid(F.col("geom_wkb")).alias("g")
+        ).where(F.col("g").isNotNull()).count(),
+        # reference union_full_self_attr_cols: self-union of one layer
+        # with every attribute pivoted to COLUMNS
+        "parcels_union_full": lambda: union_full_self(
+            p0, agg_shape="COLUMNS"
+        ).count(),
+        # reference symmetric_difference_complexpolys_agri: 3 multipolys
+        # of 4 x 30k coords vs the parcel layer, default subdivide 2000
+        "parcels_symdiff_complex": lambda: ov_symdiff(
+            cx30, p1, subdivide_coords=2000
         ).count(),
     }
 
@@ -314,7 +347,7 @@ def main():
     vs_baseline = {}
     for name, fn in parcel_queries(spark, pa, pb).items():
         best = None
-        if name == "parcels_union":
+        if name in ("parcels_union", "parcels_union_full"):
             reps = PARCEL_HEAVY_REPS
         elif name == "parcels_buffer":
             reps = PARCEL_BUFFER_REPS

@@ -108,13 +108,20 @@ def materialize_parcels(
     spark: SparkSession, n_rows: int, layer: int, path: str, partitions: int = 64
 ) -> str:
     """Write the layer to parquet once (cached across bench runs)."""
-    import os
-
-    if not os.path.exists(path):
+    if not _complete(path):
         synth_parcels(spark, n_rows, layer, partitions=partitions).write.mode(
             "overwrite"
         ).parquet(path)
     return path
+
+
+def _complete(path: str) -> bool:
+    """A parquet dir counts as materialized only when its _SUCCESS marker
+    exists — a bare exists() check mistakes the debris of an interrupted
+    write for a finished one."""
+    import os
+
+    return os.path.exists(os.path.join(path, "_SUCCESS"))
 
 
 def synth_complex_polys(
@@ -168,10 +175,10 @@ def synth_complex_polys(
 
 
 def materialize_complex_polys(
-    spark: SparkSession, n_rows: int, path: str
+    spark: SparkSession, n_rows: int, path: str, coords_per_ring: int = 300_000
 ) -> str:
-    import os
-
-    if not os.path.exists(path):
-        synth_complex_polys(spark, n_rows).write.mode("overwrite").parquet(path)
+    if not _complete(path):
+        synth_complex_polys(
+            spark, n_rows, coords_per_ring=coords_per_ring
+        ).write.mode("overwrite").parquet(path)
     return path

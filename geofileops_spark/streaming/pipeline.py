@@ -75,6 +75,65 @@ def extract_points_streaming(pages: DataFrame) -> DataFrame:
     )
 
 
+def streaming_dedup_first(
+    docs: DataFrame,
+    key_col: str = "fp",
+    order_cols: tuple = ("warc_ts", "url"),
+) -> DataFrame:
+    """Stateful exactly-once novelty filter over a document stream: the
+    FIRST row seen per ``key_col`` (content fingerprint) is emitted, every
+    later duplicate is suppressed across micro-batches.
+
+    The batch twin is ``ml.dedup.dedup_exact`` (keep-first window); this
+    is its continuous shape — the crawl-ingest dedup a training-data
+    pipeline runs on the live feed. Implementation:
+    ``applyInPandasWithState`` grouped on the fingerprint, state = one
+    boolean "already emitted" per key, update-mode output. State is one
+    byte per distinct document, partitioned by the shuffle on ``key_col``
+    — at cluster scale the state store shards with the key space, and
+    RocksDB-backed state keeps memory bounded.
+
+    Within a micro-batch the group's rows are ordered by ``order_cols``
+    so the winner is deterministic; across micro-batches the winner is
+    the first ARRIVAL, which equals the global ``order_cols`` minimum
+    whenever the stream is replayed in event-time order (the availableNow
+    backfill case — file source processes drops in mtime order).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = docs.schema
+
+    def _keep_first(key, pdfs, state: GroupState):
+        if state.exists:
+            # key already emitted in an earlier micro-batch: drain the
+            # iterator, emit nothing
+            for _ in pdfs:
+                pass
+            return
+        best = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            pdf = pdf.sort_values(list(order_cols), kind="mergesort")
+            head = pdf.iloc[[0]]
+            if best is None or tuple(head.iloc[0][list(order_cols)]) < tuple(
+                best.iloc[0][list(order_cols)]
+            ):
+                best = head
+        if best is None:
+            return
+        state.update((True,))
+        yield best
+
+    return docs.groupBy(key_col).applyInPandasWithState(
+        _keep_first,
+        outputStructType=out_schema,
+        stateStructType="emitted boolean",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def run_available_now(
     result: DataFrame,
     checkpoint_dir: str,
