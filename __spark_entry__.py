@@ -1595,6 +1595,41 @@ def _q_update_column(spark, sf_dir):
     return df.select("fid", "val")
 
 
+def _q_dissolve_points(spark, sf_dir):
+    """dissolve on a POINT layer: distinct points per group (reference
+    ``_geoops_sql.py`` point branch — union of points dedupes). Each
+    nation gets four points with one exact duplicate; when
+    (2*i) % 5 == i % 5 a second pair collapses too, so n_parts is 2 or
+    3 and the centroid is the mean over DISTINCT points."""
+    from geofileops_spark.functions.st import (
+        st_centroid, st_geomfromtext, st_parts, st_x, st_y,
+    )
+    from geofileops_spark.operators.dissolve import dissolve
+    from geofileops_spark.sources import tpch_geo as T
+
+    n = T.load(spark, sf_dir, "nation")
+    i = F.col("n_nationkey").cast("long")
+    s = lambda c: c.cast("double").cast("string")
+    pt = lambda x, y: F.concat(
+        F.lit("POINT ("), s(x), F.lit(" "), s(y), F.lit(")")
+    )
+    pts = F.array(
+        pt(i % 5, i % 3), pt((i * 2) % 5, i % 3), pt(i % 5, i % 3),
+        pt(F.lit(4), F.lit(4)),
+    )
+    df = n.select(i.alias("fid"), F.explode(pts).alias("wkt")).select(
+        "fid", st_geomfromtext(F.col("wkt")).alias("geom_wkb")
+    )
+    out = dissolve(df, ["fid"])
+    c = st_centroid(F.col("geom_wkb"))
+    return out.select(
+        "fid",
+        F.size(st_parts(F.col("geom_wkb"))).cast("long").alias("n_parts"),
+        _bigint(st_x(c) * 1000).alias("cx_mm"),
+        _bigint(st_y(c) * 1000).alias("cy_mm"),
+    )
+
+
 def _q_dissolve_lines(spark, sf_dir):
     """dissolve on a LINE layer: ST_LineMerge(ST_Union(...)) per group
     (reference ``_geoops_sql.py:4765-4771``). Three touching collinear
@@ -1666,6 +1701,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "concat_nullfill": _q_concat_nullfill,
         "update_column_where": _q_update_column,
         "dissolve_lines_merge": _q_dissolve_lines,
+        "dissolve_points_distinct": _q_dissolve_points,
         "collection_extract_poly": _q_collection_extract,
         "union_full_columns": _q_union_full_columns,
         "union_full_self": _q_union_full_self,
@@ -1865,6 +1901,27 @@ SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id"""
                    CAST(2 AS BIGINT) AS n_parts,
                    CAST(40 AS BIGINT) AS total_len
               FROM nation
+        """,
+        # point dissolve = distinct points per group; centroid = mean
+        # over the distinct set (matches the engine's multipoint centroid)
+        "dissolve_points_distinct": """
+            WITH raw AS (
+              SELECT CAST(n_nationkey AS BIGINT) AS fid,
+                     CAST(n_nationkey % 5 AS DOUBLE) AS x,
+                     CAST(n_nationkey % 3 AS DOUBLE) AS y FROM nation
+              UNION ALL
+              SELECT n_nationkey, CAST((n_nationkey*2) % 5 AS DOUBLE),
+                     CAST(n_nationkey % 3 AS DOUBLE) FROM nation
+              UNION ALL
+              SELECT n_nationkey, CAST(n_nationkey % 5 AS DOUBLE),
+                     CAST(n_nationkey % 3 AS DOUBLE) FROM nation
+              UNION ALL
+              SELECT n_nationkey, 4.0, 4.0 FROM nation),
+            dd AS (SELECT DISTINCT fid, x, y FROM raw)
+            SELECT fid, COUNT(*) AS n_parts,
+                   CAST(ROUND(AVG(x) * 1000) AS BIGINT) AS cx_mm,
+                   CAST(ROUND(AVG(y) * 1000) AS BIGINT) AS cy_mm
+              FROM dd GROUP BY fid
         """,
         "collection_extract_poly": """
             SELECT CAST(n_nationkey AS BIGINT) AS fid,
