@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1427,6 +1428,65 @@ def _q_multimodal(spark, sf_dir):
     )
 
 
+def _q_multimodal_png(spark, sf_dir):
+    """REAL PNG decode end-to-end: blobs are actual PNGs encoded
+    executor-side; width/height come from parsing IHDR + inflating and
+    unfiltering the pixel data, and must equal the synth pattern's
+    closed-form dims. n_nonzero gates the luminance-histogram feature
+    kernel against the real pixels (normalization-independent)."""
+    from geofileops_spark.ml.multimodal import decode_images, synth_png_media
+
+    media = synth_png_media(spark, 200)
+    out = decode_images(media, dim=16)
+    return out.select(
+        "media_id",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.size("features").cast("long").alias("feat_dim"),
+        F.size(F.filter("features", lambda x: x != 0)).cast("long").alias("n_nonzero"),
+    )
+
+
+def _q_multimodal_wav(spark, sf_dir):
+    """REAL PCM WAV decode: RIFF parse + int16 samples; n_samples and
+    duration are closed-form in media_id."""
+    from geofileops_spark.ml.multimodal import decode_audio, synth_wav_media
+
+    media = synth_wav_media(spark, 120, rate=8000)
+    out = decode_audio(media, dim=8)
+    return out.select(
+        "media_id",
+        F.col("sample_rate").cast("long").alias("sample_rate"),
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.col("channels").cast("long").alias("channels"),
+        F.round(F.col("duration_s").cast("double"), 4).alias("duration_s"),
+    )
+
+
+def _q_frame_sample_apng(spark, sf_dir):
+    """REAL APNG frame sampling: acTL/fcTL/fdAT split, every 2nd of 6
+    frames -> true frame indices 0/2/4 per media_id, every emitted frame
+    a standalone PNG whose header matches the canvas dims."""
+    from geofileops_spark.ml.multimodal import frame_sample, synth_apng_media
+
+    media = synth_apng_media(spark, 60, n_frames=6)
+    out = frame_sample(media, every_n=2)
+    # decode each emitted frame's IHDR to prove it is a standalone PNG
+    from pyspark.sql.types import LongType
+
+    from geofileops_spark.ml.codecs import png_header
+
+    @F.pandas_udf(LongType())
+    def _frame_w(frames: pd.Series) -> pd.Series:
+        return frames.map(lambda b: int(png_header(bytes(b))[0]))
+
+    return out.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        _frame_w(F.col("frame")).alias("frame_width"),
+    )
+
+
 # -------------------------------------------------------------- relational
 def _q_agg_pricing(spark, sf_dir):
     from geofileops_spark.sources.tpch_geo import load
@@ -1687,6 +1747,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # never driver-graded, 9 graded only in r02); those lead. The tail
     # is round-3-green stable queries (see CORRECTNESS_r03.json).
     return {
+        "multimodal_decode_png": _q_multimodal_png,
+        "multimodal_decode_wav": _q_multimodal_wav,
+        "frame_sample_apng": _q_frame_sample_apng,
         "join_nearest_sphere": _q_join_nearest_sphere,
         "export_by_distance_sphere": _q_export_by_distance_sphere,
         "dedup_clusters": _q_dedup_clusters,
@@ -2575,6 +2638,46 @@ SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id"""
           FROM scored)
         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
         FROM ranked WHERE rank <= 5""",
+        # multimodal_decode_png: the REAL PNG path — the oracle re-derives
+        # the synth pattern's closed-form dims and recomputes the 16-bin
+        # luminance histogram support directly from the pixel formula
+        # (identical IEEE-double ops: ((0.299r + 0.587g) + 0.114b) * 16 / 256)
+        "multimodal_decode_png": """WITH px AS (
+          SELECT m.range AS media_id, y.range AS y, x.range AS x
+          FROM range(0, 200) AS m
+          JOIN range(0, 15) AS y ON y.range < 4 + m.range % 11
+          JOIN range(0, 17) AS x ON x.range < 4 + m.range % 13),
+        lum AS (
+          SELECT media_id,
+                 LEAST(15, GREATEST(0, CAST(FLOOR(
+                   (0.299e0 * ((media_id * 31 + y * 7 + x * 13) % 256)
+                    + 0.587e0 * ((media_id * 17 + y * 3 + x * 29) % 256)
+                    + 0.114e0 * ((media_id * 53 + y * 11 + x * 5) % 256))
+                   * 16 / 256) AS BIGINT))) AS bin
+          FROM px)
+        SELECT media_id,
+               CAST(4 + media_id % 13 AS BIGINT) AS width,
+               CAST(4 + media_id % 11 AS BIGINT) AS height,
+               CAST(16 AS BIGINT) AS feat_dim,
+               CAST(COUNT(DISTINCT bin) AS BIGINT) AS n_nonzero
+        FROM lum GROUP BY media_id""",
+        # multimodal_decode_wav: PCM WAV decode — closed-form sample counts;
+        # durations are exact multiples of 0.125 so float32 storage is exact
+        "multimodal_decode_wav": """SELECT
+               t.range AS media_id,
+               CAST(8000 AS BIGINT) AS sample_rate,
+               CAST(4000 + (t.range % 7) * 1000 AS BIGINT) AS n_samples,
+               CAST(1 AS BIGINT) AS channels,
+               0.5e0 + (t.range % 7) * 0.125e0 AS duration_s
+        FROM range(0, 120) AS t""",
+        # frame_sample_apng: every 2nd of 6 frames -> indices 0/2/4; each
+        # frame is a standalone PNG whose IHDR width equals the canvas's
+        "frame_sample_apng": """SELECT
+               m.range AS media_id,
+               CAST(f.frame_idx AS BIGINT) AS frame_idx,
+               CAST(4 + m.range % 13 AS BIGINT) AS frame_width
+        FROM range(0, 60) AS m
+        CROSS JOIN (VALUES (0), (2), (4)) AS f(frame_idx)""",
         # multimodal_decode: the synthetic blob is repeat(sha256-hex), so
         # the fake header parse (LE int of the first 4/next 4 ASCII byte
         # values) and byte-histogram nonzero count are exact SQL

@@ -159,16 +159,158 @@ def test_frame_sample(spark):
 
 
 def test_fake_decode_contract(spark, monkeypatch):
-    """Flipping FAKE_DECODE without a real codec backend must fail LOUDLY
-    at plan time — never silently keep serving byte-histogram fakes."""
+    """With FAKE_DECODE off, an unrecognized format must fail LOUDLY in
+    the task — never silently keep serving byte-histogram fakes. (PNG/
+    APNG/WAV blobs still decode for real; only the fallback is gated.)"""
     import pytest
 
-    media = MM.synth_media(spark, 2)
+    media = MM.synth_media(spark, 2)  # non-PNG blobs
     monkeypatch.setattr(MM, "FAKE_DECODE", False)
-    with pytest.raises(NotImplementedError):
-        MM.decode_images(media)
-    with pytest.raises(NotImplementedError):
-        MM.frame_sample(media)
+    with pytest.raises(Exception, match="NotImplementedError"):
+        MM.decode_images(media).collect()
+    with pytest.raises(Exception, match="NotImplementedError"):
+        MM.frame_sample(media).collect()
+
+
+def test_real_png_decode(spark, monkeypatch):
+    """REAL codec path: synth PNGs decode to their closed-form dims and
+    to the luminance histogram of the actual pixels — with the fake
+    fallback disabled, so nothing here can be served by the stub."""
+    import numpy as np
+
+    from geofileops_spark.ml import codecs as C
+
+    monkeypatch.setattr(MM, "FAKE_DECODE", False)
+    media = MM.synth_png_media(spark, 40)
+    rows = MM.decode_images(media, dim=16).select(
+        "media_id", "width", "height", "features"
+    ).collect()
+    assert len(rows) == 40
+    for r in rows:
+        i = r["media_id"]
+        exp = MM._synth_pixels(i)
+        assert (r["width"], r["height"]) == (exp.shape[1], exp.shape[0])
+        np.testing.assert_allclose(
+            np.array(r["features"]), C.image_features(exp, 16), rtol=1e-5
+        )
+
+
+def test_real_apng_frame_sample(spark, monkeypatch):
+    """REAL APNG path: sampled frames come back as standalone decodable
+    PNGs carrying the true frame index and the true per-frame pixels."""
+    import numpy as np
+
+    from geofileops_spark.ml import codecs as C
+
+    monkeypatch.setattr(MM, "FAKE_DECODE", False)
+    media = MM.synth_apng_media(spark, 6, n_frames=7)
+    frames = MM.frame_sample(media, every_n=3).collect()
+    # 7 frames sampled every 3 -> indices 0,3,6 per blob
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert all(sorted(v) == [0, 3, 6] for v in by_id.values())
+    assert len(by_id) == 6
+    for r in frames:
+        base = MM._synth_pixels(r["media_id"]).astype(np.int64)
+        exp = ((base + 11 * r["frame_idx"]) % 256).astype(np.uint8)
+        got = C.decode_png(bytes(r["frame"]))
+        assert np.array_equal(got, exp)
+
+
+def test_real_wav_decode(spark):
+    """REAL WAV path: rate/length/duration and RMS features match the
+    closed-form synth signal."""
+    import numpy as np
+
+    from geofileops_spark.ml import codecs as C
+
+    media = MM.synth_wav_media(spark, 14, rate=8000)
+    rows = MM.decode_audio(media, dim=8).collect()
+    assert len(rows) == 14
+    for r in rows:
+        i = r["media_id"]
+        n_exp = 8000 // 2 + (i % 7) * 8000 // 8
+        assert r["sample_rate"] == 8000
+        assert r["n_samples"] == n_exp
+        assert r["channels"] == 1
+        assert abs(r["duration_s"] - n_exp / 8000) < 1e-6
+        period = 20 + i % 30
+        t = np.arange(n_exp, dtype=np.int64)
+        sig = ((t % period) * (20000 // period) - 10000).astype(np.int16)
+        np.testing.assert_allclose(
+            np.array(r["features"]),
+            C.audio_features(sig.reshape(-1, 1), 8),
+            rtol=1e-5,
+        )
+
+
+def test_codec_roundtrips():
+    """Pure codec invariants, no Spark: PNG all-filter decode, APNG
+    split, WAV stereo roundtrip, strictness on malformed input."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest
+
+    from geofileops_spark.ml import codecs as C
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (11, 9, 3), dtype=np.uint8)
+    assert np.array_equal(C.decode_png(C.encode_png(img)), img)
+    gray = rng.integers(0, 256, (5, 17), dtype=np.uint8)
+    assert np.array_equal(C.decode_png(C.encode_png(gray)), gray)
+
+    # hand-filter every scanline with a different filter type, decode back
+    h, w, ch = img.shape
+    stride = w * ch
+    flat = img.reshape(h, stride).astype(np.int64)
+    raw = bytearray()
+    for y, f in enumerate([0, 1, 2, 3, 4, 1, 2, 3, 4, 0, 4]):
+        prev = flat[y - 1] if y > 0 else np.zeros(stride, dtype=np.int64)
+        cur = flat[y]
+        row = np.zeros(stride, dtype=np.int64)
+        for x in range(stride):
+            a = cur[x - ch] if x >= ch else 0
+            b = prev[x]
+            c = prev[x - ch] if x >= ch else 0
+            if f == 0:
+                pred = 0
+            elif f == 1:
+                pred = a
+            elif f == 2:
+                pred = b
+            elif f == 3:
+                pred = (a + b) >> 1
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+            row[x] = (cur[x] - pred) & 0xFF
+        raw.append(f)
+        raw += bytes(row.astype(np.uint8))
+    assert np.array_equal(C._unfilter(bytes(raw), w, h, ch), img)
+
+    frames = [((img.astype(np.int64) + 5 * i) % 256).astype(np.uint8) for i in range(3)]
+    parts = C.apng_frames(C.encode_apng(frames))
+    assert [p["frame_idx"] for p in parts] == [0, 1, 2]
+    for p, fr in zip(parts, frames):
+        assert np.array_equal(C.decode_png(p["png"]), fr)
+
+    sig = (rng.integers(-30000, 30000, (500, 2))).astype(np.int16)
+    rate, back = C.decode_wav(C.encode_wav(sig, 22050))
+    assert rate == 22050 and np.array_equal(back, sig)
+
+    with pytest.raises(ValueError):
+        C.decode_png(b"nope")
+    # corrupt a CRC byte -> strict failure
+    good = bytearray(C.encode_png(gray))
+    good[-1] ^= 0xFF
+    with pytest.raises(ValueError):
+        C.decode_png(bytes(good))
+    with pytest.raises(ValueError):
+        C.decode_wav(b"RIFFxxxxWAVE")
 
 
 def test_ivf_topk_recall(spark, emb):
