@@ -1487,6 +1487,49 @@ def _q_frame_sample_apng(spark, sf_dir):
     )
 
 
+def _q_stratified_sample(spark, sf_dir):
+    """Exact stratified sampling: quota smallest spread-hash rows per
+    (lang, source). The Spark plan is the scalable two-phase bucket
+    selection (histogram -> threshold bucket -> boundary-only ranking);
+    the oracle is the naive per-stratum window — results must be
+    IDENTICAL row sets."""
+    from geofileops_spark.ml.corpus import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = stratified_sample(docs, ["lang", "source"], quota=20)
+    return out.select("doc_id", "lang", "source")
+
+
+def _q_segment_dedup(spark, sf_dir):
+    """Corpus-wide exact segment dedup (the C4/RefinedWeb primitive):
+    8-token windows, keep-first by (doc_id, position), reassemble."""
+    from geofileops_spark.ml.corpus import segment_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = segment_dedup(docs, width=8)
+    return out.select(
+        "doc_id",
+        F.col("n_segs").cast("long").alias("n_segs"),
+        F.col("n_kept").cast("long").alias("n_kept"),
+        "text_dedup",
+    )
+
+
+def _q_contamination(spark, sf_dir):
+    """Train/eval n-gram overlap audit: eval set = doc_id % 97 == 0,
+    8-gram hits counted per doc via a broadcast join on the eval grams."""
+    from geofileops_spark.ml.corpus import contamination_flag
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    out = contamination_flag(docs, ev, n=8, min_hits=1)
+    return out.select(
+        "doc_id",
+        F.col("hits").cast("long").alias("hits"),
+        F.col("contaminated").cast("long").alias("flagged"),
+    )
+
+
 # -------------------------------------------------------------- relational
 def _q_agg_pricing(spark, sf_dir):
     from geofileops_spark.sources.tpch_geo import load
@@ -1750,6 +1793,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_decode_png": _q_multimodal_png,
         "multimodal_decode_wav": _q_multimodal_wav,
         "frame_sample_apng": _q_frame_sample_apng,
+        "stratified_sample": _q_stratified_sample,
+        "segment_dedup": _q_segment_dedup,
+        "contamination_ngram": _q_contamination,
         "join_nearest_sphere": _q_join_nearest_sphere,
         "export_by_distance_sphere": _q_export_by_distance_sphere,
         "dedup_clusters": _q_dedup_clusters,
@@ -2638,6 +2684,54 @@ SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id"""
           FROM scored)
         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
         FROM ranked WHERE rank <= 5""",
+        # stratified_sample: the oracle is the NAIVE per-stratum window;
+        # the Spark side must pick the identical row set via the scalable
+        # two-phase bucket selection
+        "stratified_sample": """SELECT doc_id, lang, source FROM (
+          SELECT doc_id, lang, source, row_number() OVER (
+                   PARTITION BY lang, source
+                   ORDER BY (doc_id * 2654435761) % 2147483648, doc_id) AS rk
+          FROM documents) WHERE rk <= 20""",
+        # segment_dedup: 8-token windows, keep-first by (doc_id, seg_idx)
+        # across the whole corpus, reassemble survivors in order
+        "segment_dedup": """WITH t AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                              ' ') AS toks
+          FROM documents),
+        segs AS (
+          SELECT doc_id, CAST(u.i AS BIGINT) AS seg_idx,
+                 array_to_string(toks[u.i * 8 + 1 : u.i * 8 + 8], ' ') AS seg
+          FROM t, UNNEST(range(CAST(ceil(len(toks) / 8.0) AS BIGINT))) AS u(i)),
+        nz AS (SELECT * FROM segs WHERE seg <> ''),
+        rn AS (
+          SELECT *, row_number() OVER (
+                   PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+          FROM nz)
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_segs,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+               COALESCE(string_agg(CASE WHEN rn = 1 THEN seg END, ' '
+                                   ORDER BY seg_idx), '') AS text_dedup
+        FROM rn GROUP BY doc_id""",
+        # contamination_ngram: distinct 8-gram overlap vs the eval subset
+        "contamination_ngram": """WITH t AS (
+          SELECT doc_id,
+                 string_split(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')),
+                              ' ') AS toks
+          FROM documents),
+        grams AS (
+          SELECT DISTINCT doc_id, array_to_string(toks[u.i + 1 : u.i + 8], ' ') AS g
+          FROM t, UNNEST(range(len(toks) - 7)) AS u(i)
+          WHERE len(toks) >= 8),
+        ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+        hits AS (
+          SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS hits
+          FROM grams JOIN ev USING (g) GROUP BY doc_id)
+        SELECT d.doc_id, COALESCE(h.hits, 0) AS hits,
+               CAST(CASE WHEN COALESCE(h.hits, 0) >= 1 THEN 1 ELSE 0 END
+                    AS BIGINT) AS flagged
+        FROM documents d LEFT JOIN hits h ON d.doc_id = h.doc_id""",
         # multimodal_decode_png: the REAL PNG path — the oracle re-derives
         # the synth pattern's closed-form dims and recomputes the 16-bin
         # luminance histogram support directly from the pixel formula

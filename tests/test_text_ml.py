@@ -358,3 +358,88 @@ def test_dup_clusters_and_keep_canonical(spark):
     )
     with pytest.raises(RuntimeError, match="converge"):
         DD.dup_clusters(chain, max_rounds=2)
+
+
+# ------------------------------------------------------------ corpus ops
+def test_stratified_sample_exact(spark, docs):
+    from geofileops_spark.ml import corpus as CP
+
+    out = CP.stratified_sample(docs, ["lang", "source"], quota=7).collect()
+    sizes = docs.groupBy("lang", "source").count().collect()
+    expect = {(r["lang"], r["source"]): min(7, r["count"]) for r in sizes}
+    got: dict = {}
+    for r in out:
+        got[(r["lang"], r["source"])] = got.get((r["lang"], r["source"]), 0) + 1
+    assert got == expect
+    # exactly the quota smallest spread hashes per stratum (the naive oracle)
+    naive = duckdb.sql(
+        f"""SELECT doc_id FROM (
+             SELECT doc_id, row_number() OVER (
+               PARTITION BY lang, source
+               ORDER BY (doc_id * 2654435761) % 2147483648, doc_id) AS rk
+             FROM '{SF}/documents.parquet') WHERE rk <= 7"""
+    ).fetchall()
+    assert sorted(r["doc_id"] for r in out) == sorted(x[0] for x in naive)
+    # determinism
+    out2 = CP.stratified_sample(docs, ["lang", "source"], quota=7).collect()
+    assert sorted(r["doc_id"] for r in out2) == sorted(r["doc_id"] for r in out)
+
+
+def test_stratified_sample_small_stratum(spark):
+    from geofileops_spark.ml import corpus as CP
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 3 else "b") for i in range(103)], "doc_id long, lang string"
+    )
+    out = CP.stratified_sample(df, ["lang"], quota=10)
+    counts = {r["lang"]: r["count"] for r in out.groupBy("lang").count().collect()}
+    assert counts == {"a": 3, "b": 10}
+
+
+def test_segment_dedup(spark):
+    from geofileops_spark.ml import corpus as CP
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d w x y z"),      # segs: "a b c d", "w x y z"
+            (2, "a b c d q q q q"),      # first seg duplicates doc 1
+            (3, "w x y z"),              # whole doc is a dup segment
+            (4, "q q q q tail"),         # dup of doc2's seg + short tail
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in CP.segment_dedup(docs, width=4).collect()}
+    assert out[1]["text_dedup"] == "a b c d w x y z" and out[1]["n_kept"] == 2
+    assert out[2]["text_dedup"] == "q q q q" and out[2]["n_kept"] == 1
+    assert out[3]["text_dedup"] == "" and out[3]["n_kept"] == 0
+    assert out[4]["text_dedup"] == "tail" and out[4]["n_segs"] == 2
+
+
+def test_contamination_flag(spark, docs):
+    from geofileops_spark.ml import corpus as CP
+
+    ev = docs.where(F.col("doc_id") % 97 == 0)
+    out = CP.contamination_flag(docs, ev, n=8, min_hits=1)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert len(rows) == docs.count()
+    # every eval doc with >= 8 tokens is trivially contaminated by itself
+    for r in ev.select("doc_id", "text").collect():
+        if len(r["text"].split()) >= 8:
+            assert rows[r["doc_id"]]["contaminated"], r["doc_id"]
+    # oracle: duckdb n-gram overlap count
+    naive = duckdb.sql(
+        f"""WITH toks AS (
+              SELECT doc_id, string_split(trim(text), ' ') AS t
+              FROM '{SF}/documents.parquet'),
+            grams AS (
+              SELECT DISTINCT doc_id,
+                     array_to_string(t[i + 1 : i + 8], ' ') AS g
+              FROM toks, UNNEST(range(len(t) - 7)) AS u(i)
+              WHERE len(t) >= 8),
+            ev AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0)
+            SELECT doc_id, count(*) AS hits
+            FROM grams JOIN ev USING (g) GROUP BY doc_id"""
+    ).fetchall()
+    exp = {d: h for d, h in naive}
+    for d, r in rows.items():
+        assert r["hits"] == exp.get(d, 0), d
