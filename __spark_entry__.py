@@ -1487,6 +1487,46 @@ def _q_frame_sample_apng(spark, sf_dir):
     )
 
 
+def _q_copy_layer(spark, sf_dir):
+    """copy_layer write/read roundtrip (fileops.py:3043 analogue): the
+    oracle reads the ORIGINAL table, so any write-path corruption or
+    column loss fails the value hash."""
+    from geofileops_spark import geoops as G
+    from geofileops_spark.sources import tpch_geo as T
+
+    n = T.load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    dst = "/tmp/gfo_entry_copy_layer.parquet"
+    G.copy_layer(n, dst, mode="overwrite")
+    back = spark.read.parquet(dst)
+    return back.select(
+        F.col("n_nationkey").cast("long").alias("fid"),
+        "n_name",
+        F.col("n_regionkey").cast("long").alias("rkey"),
+    )
+
+
+def _q_layerinfo(spark, sf_dir):
+    """get_layerinfo (fileops.py:322 LayerInfo): featurecount, exact
+    total_bounds and geometry-type inventory of the closed-form box
+    layer, returned as one row so the DuckDB twin can recompute it."""
+    from geofileops_spark import geoops as G
+    from geofileops_spark.sources import tpch_geo as T
+
+    info = G.get_layerinfo(T.nation_boxes(spark, sf_dir))
+    row = (
+        int(info["featurecount"]),
+        *[float(v) for v in info["total_bounds"]],
+        ",".join(info["geometrytypes"]),
+    )
+    return spark.createDataFrame(
+        [row],
+        "featurecount long, minx double, miny double, maxx double, "
+        "maxy double, geometrytypes string",
+    )
+
+
 def _q_stratified_sample(spark, sf_dir):
     """Exact stratified sampling: quota smallest spread-hash rows per
     (lang, source). The Spark plan is the scalable two-phase bucket
@@ -1796,6 +1836,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": _q_stratified_sample,
         "segment_dedup": _q_segment_dedup,
         "contamination_ngram": _q_contamination,
+        "copy_layer_roundtrip": _q_copy_layer,
+        "layerinfo_boxes": _q_layerinfo,
         "join_nearest_sphere": _q_join_nearest_sphere,
         "export_by_distance_sphere": _q_export_by_distance_sphere,
         "dedup_clusters": _q_dedup_clusters,
@@ -2684,6 +2726,25 @@ SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id"""
           FROM scored)
         SELECT query_id, CAST(rank AS BIGINT) AS rank, neighbor_id
         FROM ranked WHERE rank <= 5""",
+        # copy_layer_roundtrip: oracle reads the ORIGINAL table — the
+        # write+read roundtrip must be lossless
+        "copy_layer_roundtrip": """SELECT
+               CAST(n_nationkey AS BIGINT) AS fid,
+               n_name,
+               CAST(n_regionkey AS BIGINT) AS rkey
+        FROM nation""",
+        # layerinfo_boxes: closed-form bounds of the nation box layer
+        "layerinfo_boxes": """WITH b AS (
+          SELECT CAST((n_nationkey * 37) % 880 AS DOUBLE) AS xmin,
+                 CAST((n_nationkey * 61) % 860 AS DOUBLE) AS ymin,
+                 CAST((n_nationkey * 37) % 880 + 120 AS DOUBLE) AS xmax,
+                 CAST((n_nationkey * 61) % 860 + 150 AS DOUBLE) AS ymax
+          FROM nation)
+        SELECT CAST(COUNT(*) AS BIGINT) AS featurecount,
+               MIN(xmin) AS minx, MIN(ymin) AS miny,
+               MAX(xmax) AS maxx, MAX(ymax) AS maxy,
+               'POLYGON' AS geometrytypes
+        FROM b""",
         # stratified_sample: the oracle is the NAIVE per-stratum window;
         # the Spark side must pick the identical row set via the scalable
         # two-phase bucket selection
