@@ -234,14 +234,14 @@ def parcel_queries(spark, pa: str, pb: str) -> dict:
     p1 = spark.read.parquet(pb)
     cx = spark.read.parquet(
         materialize_complex_polys(
-            spark, N_PARCELS, f"/tmp/gfo_cxpoly_{N_PARCELS}.parquet"
+            spark, N_PARCELS, f"/tmp/gfo_cxpoly_v2_{N_PARCELS}.parquet"
         )
     )
     # the symdiff-complex reference case uses 4 x 30k-coord rings
     # (benchmarks_geofileops.py:630-668), NOT the 300k export case
     cx30 = spark.read.parquet(
         materialize_complex_polys(
-            spark, N_PARCELS, f"/tmp/gfo_cxpoly30k_{N_PARCELS}.parquet",
+            spark, N_PARCELS, f"/tmp/gfo_cxpoly30k_v2_{N_PARCELS}.parquet",
             coords_per_ring=30_000,
         )
     )

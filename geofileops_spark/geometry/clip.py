@@ -651,7 +651,78 @@ def mp_intersection(ma, mb):
     return out
 
 
+_TILED_DIFF_MIN_BLADES = 16
+
+
+def _mp_difference_tiled(ma, mb):
+    """Difference against MANY disjoint blade components via a spatial
+    grid over the subject: each tile subtracts only its bbox-intersecting
+    blades, results re-weld along the (axis-parallel, snap-matched) tile
+    seams. The sequential path is O(components x accumulated pieces) —
+    measured 7 s for a 5-vertex box minus 85 parcels; the grid bounds the
+    per-tile blade count so total work stays ~O(subject + blades).
+    Returns None when the weld cannot certify the reassembly (caller
+    falls back to the sequential path)."""
+    import math
+
+    bbs = [_poly_bbox(p) for p in ma]
+    x0 = min(b[0] for b in bbs)
+    y0 = min(b[1] for b in bbs)
+    x1 = max(b[2] for b in bbs)
+    y1 = max(b[3] for b in bbs)
+    if x1 <= x0 or y1 <= y0:
+        return None
+    blade_bb = np.asarray([_poly_bbox(p) for p in mb], dtype=np.float64)
+    nt = int(math.ceil(math.sqrt(len(mb) / 6.0)))
+    nt = max(2, min(nt, 24))
+    xs = np.linspace(x0, x1, nt + 1)
+    ys = np.linspace(y0, y1, nt + 1)
+    pieces: list[list[np.ndarray]] = []
+    for i in range(nt):
+        for j in range(nt):
+            tb = (xs[i], ys[j], xs[i + 1], ys[j + 1])
+            box = np.asarray(
+                [
+                    [tb[0], tb[1]],
+                    [tb[2], tb[1]],
+                    [tb[2], tb[3]],
+                    [tb[0], tb[3]],
+                    [tb[0], tb[1]],
+                ]
+            )
+            sub: list[list[np.ndarray]] = []
+            for p, pb in zip(ma, bbs):
+                if (
+                    pb[0] > tb[2] or pb[2] < tb[0]
+                    or pb[1] > tb[3] or pb[3] < tb[1]
+                ):
+                    continue
+                sub.extend(poly_intersection(p, [box]))
+            if not sub:
+                continue
+            sel = ~(
+                (blade_bb[:, 0] > tb[2]) | (blade_bb[:, 2] < tb[0])
+                | (blade_bb[:, 1] > tb[3]) | (blade_bb[:, 3] < tb[1])
+            )
+            cur = sub
+            for k in np.where(sel)[0]:
+                nxt = []
+                for pa in cur:
+                    nxt.extend(poly_difference(pa, mb[int(k)]))
+                cur = nxt
+                if not cur:
+                    break
+            pieces.extend(cur)
+    if not pieces:
+        return []
+    return weld_all(pieces)
+
+
 def mp_difference(ma, mb):
+    if len(mb) >= _TILED_DIFF_MIN_BLADES and ma:
+        tiled = _mp_difference_tiled(ma, mb)
+        if tiled is not None:
+            return tiled
     cur = list(ma)
     for pb in mb:
         nxt = []
@@ -699,7 +770,20 @@ def union_all_polys(polys: list[list[np.ndarray]]) -> list[list[np.ndarray]]:
         groups.setdefault(find(i), []).append(i)
     out: list[list[np.ndarray]] = []
     for idxs in groups.values():
-        out.extend(_merge_pass([polys[i] for i in idxs], max_rounds=32))
+        comp = [polys[i] for i in idxs]
+        if len(comp) >= 2:
+            # tiling fast path: subdivide-part re-unions are flocks of
+            # interior-disjoint edge-adjacent pieces — one global weld is
+            # ~O(E) where incremental merging re-nodes the growing result
+            # against every next part (quadratic; measured minutes-to-
+            # never on 30k-coord subdivided rings). Also beats _weld_pair
+            # for 2-element components: hash-cancel + targeted noding vs
+            # the all-vertices split scan.
+            welded = weld_all(comp)
+            if welded is not None:
+                out.extend(welded)
+                continue
+        out.extend(_merge_pass(comp, max_rounds=32))
     return out
 
 
@@ -897,6 +981,401 @@ def _merge_pass(polys: list[list[np.ndarray]], max_rounds: int = 8):
                 res.append(p)
         polys = res
     return polys
+
+
+def _walk_boundary(boundary: list[tuple]) -> list[np.ndarray] | None:
+    """Walk directed boundary segments into closed rings with the
+    most-counterclockwise-turn rule (region stays on the left). Returns
+    None when any walk dead-ends or segments remain unused — the same
+    contract as the walk inside :func:`_weld_pair`."""
+    import math
+
+    outgoing: dict[tuple, list[tuple]] = {}
+    for sa, sb in boundary:
+        outgoing.setdefault(sa, []).append(sb)
+    used: set[tuple] = set()
+    rings: list[np.ndarray] = []
+    for sa, sb in boundary:
+        if (sa, sb) in used:
+            continue
+        ring_pts = [sa, sb]
+        used.add((sa, sb))
+        cur, prv = sb, sa
+        ok = True
+        for _ in range(len(boundary) + 1):
+            if cur == ring_pts[0]:
+                break
+            outs = [w for w in outgoing.get(cur, []) if (cur, w) not in used]
+            if not outs:
+                ok = False
+                break
+            if len(outs) == 1:
+                nxt = outs[0]
+            else:
+                din = math.atan2(cur[1] - prv[1], cur[0] - prv[0])
+
+                def turn(w):
+                    ang = math.atan2(w[1] - cur[1], w[0] - cur[0]) - din + math.pi
+                    while ang < 0:
+                        ang += 2 * math.pi
+                    while ang >= 2 * math.pi:
+                        ang -= 2 * math.pi
+                    return ang
+
+                nxt = max(outs, key=turn)
+            used.add((cur, nxt))
+            ring_pts.append(nxt)
+            prv, cur = cur, nxt
+        if not ok or cur != ring_pts[0]:
+            return None
+        rings.append(np.asarray(ring_pts, dtype=np.float64))
+    if len(used) != len(boundary):
+        return None
+    return rings
+
+
+def _cancel_pairs(directed: list[tuple]) -> tuple[list[tuple], int] | None:
+    """Drop opposite-direction duplicate segments (interior seams).
+    Returns (surviving directed segments, number cancelled) or None when
+    an undirected edge appears more than twice / twice same-direction
+    (not a clean planar tiling)."""
+    seen: dict[tuple, list[tuple]] = {}
+    for d in directed:
+        key = d if d[0] < d[1] else (d[1], d[0])
+        seen.setdefault(key, []).append(d)
+    boundary: list[tuple] = []
+    shared = 0
+    for dirs in seen.values():
+        if len(dirs) == 1:
+            boundary.append(dirs[0])
+        elif len(dirs) == 2 and dirs[0] == (dirs[1][1], dirs[1][0]):
+            shared += 1
+        else:
+            return None
+    return boundary, shared
+
+
+def _node_boundary(boundary: list[tuple]) -> list[tuple]:
+    """Split boundary segments at OTHER boundary endpoints lying exactly
+    on them (exact collinearity + strict betweenness on raw floats) —
+    the T-junction repair pass. Grid-hashed so cost stays ~O(E)."""
+    import math
+
+    pts: set[tuple] = set()
+    for a, b in boundary:
+        pts.add(a)
+        pts.add(b)
+    lens = [
+        math.hypot(b[0] - a[0], b[1] - a[1]) for a, b in boundary[:2048]
+    ]
+    lens.sort()
+    cell = max(lens[len(lens) // 2], 1e-9)
+    grid: dict[tuple, list[tuple]] = {}
+    for p in pts:
+        grid.setdefault((int(p[0] // cell), int(p[1] // cell)), []).append(p)
+    out: list[tuple] = []
+    for a, b in boundary:
+        dx, dy = b[0] - a[0], b[1] - a[1]
+        L2 = dx * dx + dy * dy
+        gx0 = int(min(a[0], b[0]) // cell)
+        gx1 = int(max(a[0], b[0]) // cell)
+        gy0 = int(min(a[1], b[1]) // cell)
+        gy1 = int(max(a[1], b[1]) // cell)
+        mids = []
+        if (gx1 - gx0 + 1) * (gy1 - gy0 + 1) <= 4096:
+            for gx in range(gx0, gx1 + 1):
+                for gy in range(gy0, gy1 + 1):
+                    for v in grid.get((gx, gy), ()):
+                        if v == a or v == b:
+                            continue
+                        if dx * (v[1] - a[1]) - dy * (v[0] - a[0]) != 0.0:
+                            continue
+                        t = (v[0] - a[0]) * dx + (v[1] - a[1]) * dy
+                        if 0.0 < t < L2:
+                            mids.append((t, v))
+        mids.sort()
+        prev = a
+        for _, v in mids:
+            out.append((prev, v))
+            prev = v
+        out.append((prev, b))
+    return out
+
+
+def _polys_by_orientation(rings: list[np.ndarray]) -> list[list[np.ndarray]] | None:
+    """Assemble walked rings into polygons using orientation (the walk
+    keeps the region on the left, so CCW = exterior, CW = hole) and
+    assign each hole to its smallest containing exterior. Chunked
+    vectorized containment — never the O(R^2) generic _reassemble."""
+    from .kernels import points_in_ring
+
+    exts: list[tuple[float, np.ndarray]] = []
+    holes: list[np.ndarray] = []
+    for r in rings:
+        a = ring_signed_area(r)
+        if abs(a) <= _MIN_AREA:
+            continue
+        if a > 0:
+            exts.append((a, r))
+        else:
+            holes.append(r)
+    if not exts:
+        return None
+    polys: list[list[np.ndarray]] = [[r] for _, r in exts]
+    if not holes:
+        return polys
+    if len(exts) == 1:
+        return [[exts[0][1], *holes]]
+    hp = np.asarray([h[0] for h in holes], dtype=np.float64)
+    assigned = np.full(len(holes), -1, dtype=np.int64)
+    order = sorted(range(len(exts)), key=lambda i: exts[i][0])  # smallest first
+    for ei in order:
+        ring = exts[ei][1]
+        bb = (ring[:, 0].min(), ring[:, 1].min(), ring[:, 0].max(), ring[:, 1].max())
+        todo = np.where(assigned < 0)[0]
+        if len(todo) == 0:
+            break
+        cand = todo[
+            (hp[todo, 0] >= bb[0]) & (hp[todo, 0] <= bb[2])
+            & (hp[todo, 1] >= bb[1]) & (hp[todo, 1] <= bb[3])
+        ]
+        # chunk the (points x ring-edges) matrix to ~100 MB
+        step = max(1, int(1.5e7 // max(len(ring), 1)))
+        for lo in range(0, len(cand), step):
+            idx = cand[lo : lo + step]
+            res = points_in_ring(hp[idx], ring)
+            hit = idx[res == 2]
+            assigned[hit] = ei
+    for hi, ei in enumerate(assigned):
+        if ei < 0:
+            return None  # hole with no containing exterior: weld was wrong
+        polys[int(ei)].append(holes[hi])
+    return polys
+
+
+def weld_all(polys: list[list[np.ndarray]]) -> list[list[np.ndarray]] | None:
+    """EXACT union of MANY interior-disjoint polygons in one global pass
+    (the N-ary generalization of :func:`_weld_pair`): hash-cancel
+    opposite-direction shared edges across ALL inputs at once, walk the
+    surviving directed segments into rings, rebuild nesting by walk
+    orientation. One T-junction noding pass (split at existing vertices
+    only — no computed coordinates) retries when seam vertices disagree.
+
+    This is THE union shape for re-assembling ``subdivide`` parts after a
+    per-part overlay: incremental pairwise merging re-nodes the growing
+    result against every next part (quadratic in total edges — measured
+    minutes-to-never on 30k-coord rings), while the global weld is one
+    ~O(E) pass. Returns None (caller falls back to the general clipper
+    path) whenever the inputs are not a clean tiling; an exact area
+    conservation check guards against silently wrong welds.
+    """
+    if len(polys) < 2:
+        return list(polys)
+    want = 0.0
+    directed: list[tuple] = []
+    n_edges = 0
+    for p in polys:
+        want += abs(ring_signed_area(p[0]))
+        rings = [_ccw(p[0])] + [_cw(h) for h in p[1:]]
+        for h in p[1:]:
+            want -= abs(ring_signed_area(h))
+        for r in rings:
+            o = _open_ring(r)
+            n = len(o)
+            n_edges += n
+            for i in range(n):
+                a = (float(o[i][0]), float(o[i][1]))
+                b = (float(o[(i + 1) % n][0]), float(o[(i + 1) % n][1]))
+                if a != b:
+                    directed.append((a, b))
+
+    def _area(ps):
+        tot = 0.0
+        for p in ps:
+            tot += abs(ring_signed_area(p[0]))
+            for h in p[1:]:
+                tot -= abs(ring_signed_area(h))
+        return tot
+
+    cancelled = _cancel_pairs(directed)
+    if cancelled is None:
+        return None
+    boundary, shared = cancelled
+    xs = [p[0] for a, b in boundary for p in (a, b)]
+    ys = [p[1] for a, b in boundary for p in (a, b)]
+    span = max(max(xs) - min(xs), max(ys) - min(ys), 1e-300)
+    eps = span * 1e-9
+
+    def _snap(p):
+        return (round(p[0] / eps) * eps, round(p[1] / eps) * eps)
+
+    def _residual_shared(out) -> bool:
+        """True when two output polys still share a (snapped) boundary
+        edge — an under-merged seam the exact pass could not cancel."""
+        owner: dict[tuple, int] = {}
+        for pi, p in enumerate(out):
+            for r in p:
+                o = _open_ring(r)
+                n = len(o)
+                for i in range(n):
+                    a = _snap((float(o[i][0]), float(o[i][1])))
+                    b = _snap(
+                        (float(o[(i + 1) % n][0]), float(o[(i + 1) % n][1]))
+                    )
+                    if a == b:
+                        continue
+                    key = (a, b) if a < b else (b, a)
+                    prev = owner.setdefault(key, pi)
+                    if prev != pi:
+                        return True
+        return False
+
+    def _mids(poly):
+        segs = []
+        for r in poly:
+            segs.append((r[:-1] + r[1:]) * 0.5)
+        return np.concatenate(segs) if segs else np.empty((0, 2))
+
+    def _strict_inside_any(pts, poly) -> bool:
+        from .kernels import points_in_ring
+
+        if len(pts) == 0:
+            return False
+        hole_bb = [
+            (h[:, 0].min(), h[:, 1].min(), h[:, 0].max(), h[:, 1].max())
+            for h in poly[1:]
+        ]
+        step = max(1, int(2e7 // max(len(poly[0]), 1)))
+        for lo in range(0, len(pts), step):
+            chunk = pts[lo : lo + step]
+            res = points_in_ring(chunk, poly[0])
+            inside = res == 2
+            if not inside.any():
+                continue
+            sub = chunk[inside]
+            for h, hb in zip(poly[1:], hole_bb):
+                if len(sub) == 0:
+                    break
+                near = (
+                    (sub[:, 0] >= hb[0]) & (sub[:, 0] <= hb[2])
+                    & (sub[:, 1] >= hb[1]) & (sub[:, 1] <= hb[3])
+                )
+                if not near.any():
+                    continue
+                drop = np.zeros(len(sub), dtype=bool)
+                drop[np.where(near)[0][points_in_ring(sub[near], h) != 0]] = True
+                sub = sub[~drop]
+            if len(sub):
+                return True
+        return False
+
+    def _overlapping_pair(out) -> bool:
+        """True when two output pieces have interiors that overlap — the
+        case the area check CANNOT see (overlap is double-counted on both
+        sides of the comparison; five chained 10x10 squares 'conserve'
+        500 while the true union is 300). Because the walked segments are
+        noded, a piece's edge is fully inside / outside / on another
+        piece — so interiors overlap iff some boundary-edge MIDPOINT of
+        one piece is strictly inside the other. Midpoints are window-
+        filtered to the bbox overlap, so genuine tilings (tiny overlaps)
+        cost ~nothing; a size-capped GH fallback covers the rare huge-
+        pair case."""
+        n = len(out)
+        if n < 2:
+            return False
+        boxes = np.asarray([_poly_bbox(p) for p in out], dtype=np.float64)
+        mids_cache: dict[int, np.ndarray] = {}
+        # per-TARGET batching: gather the midpoints of every other piece
+        # falling in the target's bbox and run ONE chunked inside test —
+        # a giant piece with hundreds of islands costs one vectorized
+        # sweep instead of hundreds of tiny points_in_ring calls
+        for b in range(n):
+            tb = boxes[b]
+            cand = np.where(
+                (boxes[:, 0] <= tb[2]) & (boxes[:, 2] >= tb[0])
+                & (boxes[:, 1] <= tb[3]) & (boxes[:, 3] >= tb[1])
+            )[0]
+            gathered = []
+            for a in cand:
+                if a == b:
+                    continue
+                m = mids_cache.get(a)
+                if m is None:
+                    m = _mids(out[a])
+                    mids_cache[a] = m
+                m = m[
+                    (m[:, 0] >= tb[0]) & (m[:, 0] <= tb[2])
+                    & (m[:, 1] >= tb[1]) & (m[:, 1] <= tb[3])
+                ]
+                if len(m):
+                    gathered.append(m)
+            if gathered and _strict_inside_any(np.concatenate(gathered), out[b]):
+                return True
+        return False
+
+    def _try(b, tol) -> list[list[np.ndarray]] | None:
+        rings = _walk_boundary(b)
+        if rings is None:
+            return None
+        out = _polys_by_orientation(rings)
+        if out is None or abs(_area(out) - want) > tol * max(want, 1.0):
+            return None
+        return out
+
+    def _accept(out):
+        """Final gate, run ONCE on the candidate actually returned (the
+        overlap scan costs real time on hole-heavy outputs)."""
+        return None if out is None or _overlapping_pair(out) else out
+
+    if shared > 0:
+        out = _try(boundary, 1e-9)
+        if out is not None and not _residual_shared(out):
+            return _accept(out)
+    # T-junction repair: split segments at existing vertices, re-cancel.
+    # Subdivide cuts place DIFFERENT vertices on the two sides of a seam
+    # (each side was clipped against its own window), so exact twins only
+    # appear after noding — a zero exact-shared count must NOT bail early
+    # for tilings. But noding a flock of merely-OVERLAPPING polygons
+    # (e.g. a blade union of adjacent parcels) is pure waste: gate on
+    # cheap tiling evidence — subdivide seams are axis-parallel segments
+    # (the cuts are vertical/horizontal lines), overlapping organic
+    # shapes have essentially none.
+    if shared == 0:
+        n_axis = sum(1 for a, b in boundary if a[0] == b[0] or a[1] == b[1])
+        if n_axis < 2 * len(polys):
+            return None
+    cancelled = _cancel_pairs(_node_boundary(boundary))
+    if cancelled is not None:
+        if cancelled[1] == 0 and shared == 0:
+            # nothing touches even after noding: either genuinely
+            # disjoint or interior-overlapping — cannot certify a
+            # tiling, let the general clipper path decide
+            return None
+        out = _try(cancelled[0], 1e-9)
+        if out is not None and not _residual_shared(out):
+            return _accept(out)
+    # last-ulp repair: neighbouring parts compute the SAME seam crossing
+    # from different segment endpoints, so the floats disagree in the
+    # final ulps and exact cancellation misses those seams. Snap the
+    # boundary to a relative-epsilon grid, re-node, re-cancel, re-walk;
+    # the area check (at the snap scale) still rejects wrong welds.
+    snapped = []
+    for a, b in boundary:
+        sa, sb = _snap(a), _snap(b)
+        if sa != sb:
+            snapped.append((sa, sb))
+    cancelled = _cancel_pairs(snapped)
+    if cancelled is None:
+        return None
+    cancelled = _cancel_pairs(_node_boundary(cancelled[0]))
+    if cancelled is None:
+        return None
+    out = _try(cancelled[0], 1e-6)
+    if out is None or _residual_shared(out):
+        # seams remain even after snapping: not a weldable tiling —
+        # fall back to the general clipper so nothing stays un-merged
+        return None
+    return _accept(out)
 
 
 # --------------------------------------------------------- line clipping

@@ -111,6 +111,10 @@ def _combine_vs_union_udf(mode: str):
     @pandas_udf(BinaryType())
     def _combine(wkb1: pd.Series, others: pd.Series) -> pd.Series:
         out = []
+        # blade-union memo: neighbouring subjects collect the SAME blade
+        # candidate sets (e.g. thousands of parcels against the same 2-4
+        # subdivided ring parts) — union each distinct set once per batch
+        blade_memo: dict = {}
         for b1, arr in zip(wkb1, others):
             if b1 is None or arr is None or len(arr) == 0:
                 out.append(None)
@@ -118,7 +122,12 @@ def _combine_vs_union_udf(mode: str):
             g1 = W.loads(bytes(b1))
             g2s = [W.loads(bytes(b)) for b in arr if b is not None]
             if mode == "difference_union":
-                res = C.difference(g1, C.union_geoms(g2s))
+                key = hash(tuple(sorted(bytes(b) for b in arr if b is not None)))
+                blade = blade_memo.get(key)
+                if blade is None:
+                    blade = C.union_geoms(g2s)
+                    blade_memo[key] = blade
+                res = C.difference(g1, blade)
                 if res is g1:
                     out.append(W.dumps(g1.force_multi()))
                     continue

@@ -141,14 +141,24 @@ def synth_complex_polys(
     grid_w = int(np.ceil(np.sqrt(n_rows)))
     extent = grid_w * spacing
     rows = []
+    # centers on a fixed coarse grid with pitch > 2 * max radius so the
+    # member rings NEVER overlap: a multipolygon with overlapping members
+    # is invalid geometry (the real Flanders complex polys are valid),
+    # and overlapping subjects break the distributivity that lets
+    # subdivide re-union parts exactly
+    n_rings = n_multis * parts_per_multi
+    cols = int(np.ceil(np.sqrt(n_rings)))
+    rows_n = int(np.ceil(n_rings / cols))
+    pitch_x = 0.8 / cols
+    pitch_y = 0.8 / rows_n
+    radius_frac = 0.45 * min(pitch_x, pitch_y)  # max rad factor is 1.0
     for mi in range(n_multis):
         polys = []
         for pi in range(parts_per_multi):
             k = mi * parts_per_multi + pi
-            # centers on a jittered coarse grid across the extent
-            cx = extent * (0.2 + 0.6 * _u01(np.array([k]), 101)[0])
-            cy = extent * (0.2 + 0.6 * _u01(np.array([k]), 211)[0])
-            radius = extent * 0.12
+            cx = extent * (0.1 + pitch_x * ((k % cols) + 0.5))
+            cy = extent * (0.1 + pitch_y * ((k // cols) + 0.5))
+            radius = extent * radius_frac
             j = np.arange(coords_per_ring, dtype=np.int64)
             theta = 2.0 * np.pi * j / coords_per_ring
             # SMOOTH radius variation (a few harmonics, deterministic

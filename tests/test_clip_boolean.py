@@ -178,3 +178,83 @@ def test_weld_ring_of_triangles_forms_hole():
     u = C.union_geoms(pieces)
     assert K.area(u) == pytest.approx(144.0 - 36.0, rel=1e-9)
     assert len(u.parts()) == 1
+
+
+def test_weld_all_grid_tiling():
+    # 4x4 grid of unit boxes tiles a 4x4 square: global weld must give ONE
+    # polygon with exact area and no interior seams
+    polys = []
+    for i in range(4):
+        for j in range(4):
+            ring = np.array(
+                [[i, j], [i + 1, j], [i + 1, j + 1], [i, j + 1], [i, j]],
+                dtype=np.float64,
+            )
+            polys.append([ring])
+    out = C.weld_all(polys)
+    assert out is not None and len(out) == 1
+    assert abs(C.ring_signed_area(out[0][0])) == pytest.approx(16.0, abs=1e-12)
+    assert len(out[0]) == 1  # no holes
+
+
+def test_weld_all_tiling_with_hole():
+    # ring of 8 boxes around a missing centre: weld -> one polygon with one hole
+    polys = []
+    for i in range(3):
+        for j in range(3):
+            if i == 1 and j == 1:
+                continue
+            ring = np.array(
+                [[i, j], [i + 1, j], [i + 1, j + 1], [i, j + 1], [i, j]],
+                dtype=np.float64,
+            )
+            polys.append([ring])
+    out = C.weld_all(polys)
+    assert out is not None and len(out) == 1
+    assert len(out[0]) == 2  # exterior + hole
+    area = abs(C.ring_signed_area(out[0][0])) - abs(C.ring_signed_area(out[0][1]))
+    assert area == pytest.approx(8.0, abs=1e-12)
+
+
+def test_weld_all_rejects_overlap():
+    # two half-overlapping boxes sharing no edges: not a tiling
+    a = [np.array([[0, 0], [10, 0], [10, 10], [0, 10], [0, 0]], dtype=np.float64)]
+    b = [np.array([[5, 0], [15, 0], [15, 10], [5, 10], [5, 0]], dtype=np.float64)]
+    assert C.weld_all([a, b]) is None
+
+
+def test_mp_difference_tiled_matches_sequential():
+    # big box minus 30 disjoint small boxes: tiled path (>=16 blades) must
+    # equal the sequential result's area exactly
+    subject = [
+        np.array([[0, 0], [60, 0], [60, 60], [0, 60], [0, 0]], dtype=np.float64)
+    ]
+    blades = []
+    for k in range(30):
+        x = (k % 6) * 10 + 2.0
+        y = (k // 6) * 10 + 2.0
+        blades.append(
+            [
+                np.array(
+                    [[x, y], [x + 3, y], [x + 3, y + 3], [x, y + 3], [x, y]],
+                    dtype=np.float64,
+                )
+            ]
+        )
+    out = C.mp_difference([subject], blades)
+
+    def _area(mp):
+        return sum(abs(C.ring_signed_area(p[0])) for p in mp) - sum(
+            abs(C.ring_signed_area(h)) for p in mp for h in p[1:]
+        )
+
+    # sequential ground truth (below the tiled threshold per call)
+    seq = [subject]
+    cur = [subject]
+    for b in blades:
+        nxt = []
+        for pa in cur:
+            nxt.extend(C.poly_difference(pa, b))
+        cur = nxt
+    assert _area(out) == pytest.approx(60 * 60 - 30 * 9, rel=1e-9)
+    assert _area(cur) == pytest.approx(_area(out), rel=1e-9)
