@@ -267,16 +267,20 @@ def parcel_queries(spark, pa: str, pb: str) -> dict:
         "parcels_makevalid": lambda: p0.select(
             st_makevalid(F.col("geom_wkb")).alias("g")
         ).where(F.col("g").isNotNull()).count(),
-    }
-    # measured-infeasible at 500k in this round: both bottom out in the
-    # subdivided-part re-union (union_geoms merge passes) — symdiff vs
-    # 4x30k-coord rings did not finish at even 50k parcels, and
-    # union_full COLUMNS extrapolates to ~4x the reference. Opt-in only
-    # so the default bench run ALWAYS terminates; see BASELINE.md.
-    if os.environ.get("SPARK_GRAFT_BENCH_HEAVY", "") == "1":
-        queries["parcels_union_full"] = lambda: union_full_self(
+        # reference union_full_self_attr_cols: self-union of one layer with
+        # every attribute pivoted to COLUMNS (58.7 s measured at 500k after
+        # the one-kernel-per-pair pass rewrite — 0.79x the reference)
+        "parcels_union_full": lambda: union_full_self(
             p0, agg_shape="COLUMNS"
-        ).count()
+        ).count(),
+    }
+    # measured-infeasible at 500k this round: symmetric_difference vs
+    # 4x30k-coord rings bottoms out in the d12 side — 3 giant features
+    # concentrate all kernel work on 3 tasks and the Python ring walk is
+    # ~10x GEOS C there (100 s at 50k even after the weld-union kernel;
+    # was never-finishing). Opt-in only so the default bench run ALWAYS
+    # terminates; see BASELINE.md.
+    if os.environ.get("SPARK_GRAFT_BENCH_HEAVY", "") == "1":
         queries["parcels_symdiff_complex"] = lambda: ov_symdiff(
             cx30, p1, subdivide_coords=2000
         ).count()

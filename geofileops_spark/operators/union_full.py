@@ -65,30 +65,29 @@ def _interior_point_udf(wkb: pd.Series) -> pd.Series:
     return pd.Series(out)
 
 
-def _overlap_pairs(cur: DataFrame, geom_col: str, res: int | None) -> DataFrame:
-    """Candidate self-pairs (id1 != id2) whose interiors overlap (area>0
-    intersection), as l1_/l2_ prefixed rows."""
+def _overlap_half_pairs(cur: DataFrame, geom_col: str, res: int | None) -> DataFrame:
+    """Each unordered candidate self-pair ONCE (l1__uid < l2__uid) with
+    its area-positive intersection in ``_inter`` — the intersection IS
+    the overlap test (``_pair_intersection_udf`` extracts the polygon
+    primitive and returns NULL when empty), so one kernel call per pair
+    serves both the partner detection and the next pass's input. The
+    previous shape ran a full intersection per DIRECTED pair for a
+    boolean and then recomputed the geometry for the kept half — 3x the
+    kernel work per pass."""
+    from .overlay import _pair_intersection_udf
+
     pairs, _ = candidate_pairs(
         cur, cur, res=res, geom_col1=geom_col, geom_col2=geom_col,
         light_ids=("_uid", "_uid"),
     )
-    pairs = pairs.where(F.col("l1__uid") != F.col("l2__uid"))
-    g1, g2 = f"l1_{geom_col}", f"l2_{geom_col}"
-
-    @pandas_udf("boolean")
-    def _overlaps_area(wkb1: pd.Series, wkb2: pd.Series) -> pd.Series:
-        from ..geometry import kernels as K
-
-        out = []
-        for b1, b2 in zip(wkb1, wkb2):
-            if b1 is None or b2 is None:
-                out.append(False)
-                continue
-            inter = C.intersection(W.loads(bytes(b1)), W.loads(bytes(b2)))
-            out.append(K.area(inter) > 0.0)
-        return pd.Series(out, dtype="boolean")
-
-    return pairs.where(_overlaps_area(F.col(g1), F.col(g2)))
+    half = pairs.where(F.col("l1__uid") < F.col("l2__uid"))
+    half = half.withColumn(
+        "_inter",
+        _pair_intersection_udf(
+            F.col(f"l1_{geom_col}"), F.col(f"l2_{geom_col}")
+        ),
+    )
+    return half.where(F.col("_inter").isNotNull())
 
 
 def union_full_self(
@@ -148,9 +147,24 @@ def union_full_self(
                 f"union_full_self: overlap depth exceeds max_passes="
                 f"{max_passes}; pieces remain undecomposed"
             )
-        pairs = _overlap_pairs(cur, geom_col, res)
-        partners = pairs.groupBy(F.col("l1__uid").alias("_uid")).agg(
-            F.collect_list(F.col(f"l2_{geom_col}")).alias("_others")
+        # one intersection kernel per unordered pair, materialized once
+        # and consumed by BOTH the partner lists and the next-pass input
+        half = _overlap_half_pairs(cur, geom_col, res).localCheckpoint(
+            eager=True
+        )
+        partners = (
+            half.select(
+                F.col("l1__uid").alias("_uid"),
+                F.col(f"l2_{geom_col}").alias("_pg"),
+            )
+            .unionByName(
+                half.select(
+                    F.col("l2__uid").alias("_uid"),
+                    F.col(f"l1_{geom_col}").alias("_pg"),
+                )
+            )
+            .groupBy("_uid")
+            .agg(F.collect_list("_pg").alias("_others"))
         )
         joined = cur.join(partners, on="_uid", how="left")
 
@@ -168,21 +182,9 @@ def union_full_self(
         )
         faces = new_faces if faces is None else faces.unionByName(new_faces)
 
-        # pairwise intersections (each unordered pair once), deduped by
+        # the already-computed pairwise intersections, deduped by
         # normalized geometry -> next pass input
-        from .overlay import _pair_intersection_udf
-
-        inters = (
-            pairs.where(F.col("l1__uid") < F.col("l2__uid"))
-            .withColumn(
-                geom_col,
-                _pair_intersection_udf(
-                    F.col(f"l1_{geom_col}"), F.col(f"l2_{geom_col}")
-                ),
-            )
-            .where(F.col(geom_col).isNotNull())
-            .select(geom_col)
-        )
+        inters = half.select(F.col("_inter").alias(geom_col))
         inters = delete_duplicate_geometries(inters, geom_col=geom_col)
         cur = inters.select(
             F.monotonically_increasing_id().alias("_uid"), geom_col
