@@ -1038,61 +1038,103 @@ def _cancel_pairs(directed: list[tuple]) -> tuple[list[tuple], int] | None:
     """Drop opposite-direction duplicate segments (interior seams).
     Returns (surviving directed segments, number cancelled) or None when
     an undirected edge appears more than twice / twice same-direction
-    (not a clean planar tiling)."""
-    seen: dict[tuple, list[tuple]] = {}
-    for d in directed:
-        key = d if d[0] < d[1] else (d[1], d[0])
-        seen.setdefault(key, []).append(d)
-    boundary: list[tuple] = []
-    shared = 0
-    for dirs in seen.values():
-        if len(dirs) == 1:
-            boundary.append(dirs[0])
-        elif len(dirs) == 2 and dirs[0] == (dirs[1][1], dirs[1][0]):
-            shared += 1
-        else:
-            return None
-    return boundary, shared
+    (not a clean planar tiling).
+
+    Vectorized: lexsort the (E, 4) undirected-key array and classify the
+    equal-key runs — the per-edge Python dict pass cost ~10 s per million
+    edges on the hole-heavy re-union boundaries."""
+    n = len(directed)
+    if n == 0:
+        return [], 0
+    arr = np.asarray(directed, dtype=np.float64).reshape(n, 4)
+    a = arr[:, 0:2]
+    b = arr[:, 2:4]
+    a_first = (a[:, 0] < b[:, 0]) | ((a[:, 0] == b[:, 0]) & (a[:, 1] < b[:, 1]))
+    key = np.where(a_first[:, None], np.hstack([a, b]), np.hstack([b, a]))
+    order = np.lexsort((key[:, 3], key[:, 2], key[:, 1], key[:, 0]))
+    k = key[order]
+    new_run = np.ones(n, dtype=bool)
+    new_run[1:] = (k[1:] != k[:-1]).any(axis=1)
+    run_ids = np.cumsum(new_run) - 1
+    counts = np.bincount(run_ids)
+    if counts.max(initial=0) > 2:
+        return None
+    starts = np.where(new_run)[0]
+    # runs of 2: must be opposite directions (a_first flags differ)
+    af_sorted = a_first[order]
+    two = counts == 2
+    if two.any():
+        s2 = starts[two]
+        if (af_sorted[s2] == af_sorted[s2 + 1]).any():
+            return None  # same-direction duplicate
+    singles = starts[counts == 1]
+    idx = order[singles]
+    boundary = [directed[i] for i in idx]
+    return boundary, int(two.sum())
 
 
-def _node_boundary(boundary: list[tuple]) -> list[tuple]:
+def _node_boundary(boundary: list[tuple], axis_only: bool = False) -> list[tuple]:
     """Split boundary segments at OTHER boundary endpoints lying exactly
     on them (exact collinearity + strict betweenness on raw floats) —
-    the T-junction repair pass. Grid-hashed so cost stays ~O(E)."""
+    the T-junction repair pass. Grid-hashed so cost stays ~O(E).
+
+    ``axis_only`` restricts splitting to axis-parallel segments: in a
+    subdivide tiling, everything two neighbours share lies ON the
+    (vertical/horizontal) cut lines, so only those segments can need a
+    T-junction split — the hole-arc bulk (99% of a re-union boundary)
+    skips the scan entirely. Non-axis tilings then simply fall back to
+    the general clipper (slower, still correct)."""
     import math
 
-    pts: set[tuple] = set()
-    for a, b in boundary:
-        pts.add(a)
-        pts.add(b)
-    lens = [
-        math.hypot(b[0] - a[0], b[1] - a[1]) for a, b in boundary[:2048]
-    ]
-    lens.sort()
-    cell = max(lens[len(lens) // 2], 1e-9)
-    grid: dict[tuple, list[tuple]] = {}
-    for p in pts:
-        grid.setdefault((int(p[0] // cell), int(p[1] // cell)), []).append(p)
+    n = len(boundary)
+    if n == 0:
+        return []
+    arr = np.asarray(boundary, dtype=np.float64).reshape(n, 4)
+    is_axis = (arr[:, 0] == arr[:, 2]) | (arr[:, 1] == arr[:, 3])
+    todo = np.where(is_axis)[0] if axis_only else np.arange(n)
+    if len(todo) == 0:
+        return list(boundary)
+    lens = np.hypot(arr[:2048, 2] - arr[:2048, 0], arr[:2048, 3] - arr[:2048, 1])
+    cell = max(float(np.median(lens)), 1e-9)
+    # vectorized grid build over the unique endpoints
+    pts = np.unique(arr.reshape(2 * n, 2), axis=0)
+    gx = np.floor(pts[:, 0] / cell).astype(np.int64)
+    gy = np.floor(pts[:, 1] / cell).astype(np.int64)
+    order = np.lexsort((gy, gx))
+    gxs, gys = gx[order], gy[order]
+    new_cell = np.ones(len(order), dtype=bool)
+    new_cell[1:] = (gxs[1:] != gxs[:-1]) | (gys[1:] != gys[:-1])
+    starts = np.where(new_cell)[0]
+    ends = np.append(starts[1:], len(order))
+    grid: dict[tuple, np.ndarray] = {}
+    for s, e in zip(starts, ends):
+        grid[(int(gxs[s]), int(gys[s]))] = pts[order[s:e]]
     out: list[tuple] = []
-    for a, b in boundary:
+    todo_set = set(todo.tolist()) if axis_only else None
+    for i, (a, b) in enumerate(boundary):
+        if todo_set is not None and i not in todo_set:
+            out.append((a, b))
+            continue
         dx, dy = b[0] - a[0], b[1] - a[1]
         L2 = dx * dx + dy * dy
-        gx0 = int(min(a[0], b[0]) // cell)
-        gx1 = int(max(a[0], b[0]) // cell)
-        gy0 = int(min(a[1], b[1]) // cell)
-        gy1 = int(max(a[1], b[1]) // cell)
+        gx0 = int(math.floor(min(a[0], b[0]) / cell))
+        gx1 = int(math.floor(max(a[0], b[0]) / cell))
+        gy0 = int(math.floor(min(a[1], b[1]) / cell))
+        gy1 = int(math.floor(max(a[1], b[1]) / cell))
         mids = []
         if (gx1 - gx0 + 1) * (gy1 - gy0 + 1) <= 4096:
-            for gx in range(gx0, gx1 + 1):
-                for gy in range(gy0, gy1 + 1):
-                    for v in grid.get((gx, gy), ()):
-                        if v == a or v == b:
-                            continue
-                        if dx * (v[1] - a[1]) - dy * (v[0] - a[0]) != 0.0:
-                            continue
-                        t = (v[0] - a[0]) * dx + (v[1] - a[1]) * dy
-                        if 0.0 < t < L2:
-                            mids.append((t, v))
+            for cgx in range(gx0, gx1 + 1):
+                for cgy in range(gy0, gy1 + 1):
+                    vs = grid.get((cgx, cgy))
+                    if vs is None:
+                        continue
+                    cross = dx * (vs[:, 1] - a[1]) - dy * (vs[:, 0] - a[0])
+                    t = (vs[:, 0] - a[0]) * dx + (vs[:, 1] - a[1]) * dy
+                    hit = (cross == 0.0) & (t > 0.0) & (t < L2)
+                    for vi in np.where(hit)[0]:
+                        v = (float(vs[vi, 0]), float(vs[vi, 1]))
+                        if v != a and v != b:
+                            mids.append((float(t[vi]), v))
         mids.sort()
         prev = a
         for _, v in mids:
@@ -1344,7 +1386,7 @@ def weld_all(polys: list[list[np.ndarray]]) -> list[list[np.ndarray]] | None:
         n_axis = sum(1 for a, b in boundary if a[0] == b[0] or a[1] == b[1])
         if n_axis < 2 * len(polys):
             return None
-    cancelled = _cancel_pairs(_node_boundary(boundary))
+    cancelled = _cancel_pairs(_node_boundary(boundary, axis_only=True))
     if cancelled is not None:
         if cancelled[1] == 0 and shared == 0:
             # nothing touches even after noding: either genuinely
@@ -1367,7 +1409,7 @@ def weld_all(polys: list[list[np.ndarray]]) -> list[list[np.ndarray]] | None:
     cancelled = _cancel_pairs(snapped)
     if cancelled is None:
         return None
-    cancelled = _cancel_pairs(_node_boundary(cancelled[0]))
+    cancelled = _cancel_pairs(_node_boundary(cancelled[0], axis_only=True))
     if cancelled is None:
         return None
     out = _try(cancelled[0], 1e-6)
