@@ -1245,8 +1245,21 @@ def weld_all(polys: list[list[np.ndarray]]) -> list[list[np.ndarray]] | None:
     boundary, shared = cancelled
     xs = [p[0] for a, b in boundary for p in (a, b)]
     ys = [p[1] for a, b in boundary for p in (a, b)]
-    span = max(max(xs) - min(xs), max(ys) - min(ys), 1e-300)
-    eps = span * 1e-9
+    # GLOBAL power-of-two snap quantum from the coordinate magnitude, NOT
+    # the local span: independent welds over neighbouring regions (e.g.
+    # hierarchical block re-unions) must snap to the SAME grid or their
+    # shared seams never cancel downstream. ~1.4e-14 x magnitude — two
+    # orders above float64 ulp noise (GH crossings recomputed from
+    # different windows disagree by ~1e-16 x magnitude), far below any
+    # feature scale.
+    import math
+
+    max_abs = max(
+        max((abs(v) for v in xs), default=0.0),
+        max((abs(v) for v in ys), default=0.0),
+        1e-300,
+    )
+    eps = 2.0 ** (math.frexp(max_abs)[1] - 46)
 
     def _snap(p):
         return (round(p[0] / eps) * eps, round(p[1] / eps) * eps)
