@@ -1135,6 +1135,26 @@ def _node_boundary(boundary: list[tuple], axis_only: bool = False) -> list[tuple
                         v = (float(vs[vi, 0]), float(vs[vi, 1]))
                         if v != a and v != b:
                             mids.append((float(t[vi]), v))
+        else:
+            # segment spans too many grid cells (mixed-scale boundary):
+            # direct bbox-prefiltered scan of the full endpoint array —
+            # slower but never silently skips the split (which would make
+            # the weld certification fail downstream with no signal why)
+            m = (
+                (pts[:, 0] >= min(a[0], b[0]))
+                & (pts[:, 0] <= max(a[0], b[0]))
+                & (pts[:, 1] >= min(a[1], b[1]))
+                & (pts[:, 1] <= max(a[1], b[1]))
+            )
+            vs = pts[m]
+            if len(vs):
+                cross = dx * (vs[:, 1] - a[1]) - dy * (vs[:, 0] - a[0])
+                t = (vs[:, 0] - a[0]) * dx + (vs[:, 1] - a[1]) * dy
+                hit = (cross == 0.0) & (t > 0.0) & (t < L2)
+                for vi in np.where(hit)[0]:
+                    v = (float(vs[vi, 0]), float(vs[vi, 1]))
+                    if v != a and v != b:
+                        mids.append((float(t[vi]), v))
         mids.sort()
         prev = a
         for _, v in mids:

@@ -275,9 +275,52 @@ def rename_layer(spark, layer: str, new_layer: str) -> None:
     spark.catalog.dropTempView(layer)
 
 
+def listlayers(spark, only_spatial_layers: bool = True) -> list[str]:
+    """geofileops ``fileops.py:114``: enumerate the layers of the current
+    catalog — our 'layers' are registered views/tables.  With
+    ``only_spatial_layers`` keep only those exposing a binary geometry
+    column (the WKB ``geom_wkb`` convention), mirroring the reference's
+    spatial-vs-attribute table split."""
+    names = [t.name for t in spark.catalog.listTables()]
+    if not only_spatial_layers:
+        return sorted(names)
+    out = []
+    for n in names:
+        try:
+            schema = spark.table(n).schema
+        except Exception:
+            continue
+        if any(
+            f.name == GEOM or f.dataType.simpleString() == "binary" for f in schema
+        ):
+            out.append(n)
+    return sorted(out)
+
+
 def add_column(df: DataFrame, name: str, expression: str) -> DataFrame:
     """geofileops ``fileops.py:1000`` (SQL expression)."""
     return df.withColumn(name, F.expr(expression))
+
+
+def add_columns(df: DataFrame, new_columns: list[tuple]) -> DataFrame:
+    """geofileops ``fileops.py:1169``: batch column add. Each tuple is
+    ``(name, type)`` or ``(name, type, sql_expression)``; without an
+    expression the column is NULL of the given type.  Like the reference,
+    expressions may NOT reference sibling columns added in the same call
+    (all are evaluated against the input schema) — enforced by building
+    every value expression before any ``withColumns``."""
+    vals = {}
+    for spec in new_columns:
+        if len(spec) == 2:
+            name, dtype = spec
+            expr = None
+        else:
+            name, dtype, expr = spec
+        vals[name] = (
+            F.lit(None).cast(str(dtype)) if expr is None
+            else F.expr(expr).cast(str(dtype))
+        )
+    return df.withColumns(vals)
 
 
 def drop_column(df: DataFrame, name: str) -> DataFrame:
@@ -315,6 +358,49 @@ def read_file(
         keep = list(columns) + ([geom_col] if geom_col in df.columns else [])
         df = df.select(*keep)
     return df
+
+
+def read_file_nogeom(
+    spark,
+    path: str,
+    columns: list[str] | None = None,
+    where: str | None = None,
+    geom_col: str = GEOM,
+) -> DataFrame:
+    """geofileops ``fileops.py:1746`` (deprecated there in favour of
+    ``read_file(ignore_geometry=True)``): attribute-only read — the
+    geometry column never leaves the parquet scan (column pruning)."""
+    df = spark.read.parquet(path)
+    if where:
+        df = df.where(F.expr(where))
+    keep = columns if columns is not None else [c for c in df.columns if c != geom_col]
+    return df.select(*[c for c in keep if c != geom_col])
+
+
+def read_file_sql(
+    spark,
+    path: str,
+    sql_stmt: str,
+    layer: str | None = None,
+    ignore_geometry: bool = False,
+    geom_col: str = GEOM,
+) -> DataFrame:
+    """geofileops ``fileops.py:2192`` (deprecated convenience): read a
+    file through a SQL statement.  The statement references the layer via
+    the reference's ``{input_layer}``/``{geometrycolumn}`` placeholders
+    (or the ``layer`` name verbatim); runs through :func:`sqlops.select`
+    so the full placeholder set works."""
+    df = spark.read.parquet(path)
+    if layer is not None:
+        import re as _re
+
+        sql_stmt = _re.sub(
+            r'"?\b%s\b"?' % _re.escape(layer), "{input_layer}", sql_stmt
+        )
+    out = select(df, sql_stmt, geom_col=geom_col)
+    if ignore_geometry and geom_col in out.columns:
+        out = out.drop(geom_col)
+    return out
 
 
 # ----------------------------------------------------------------- shared

@@ -41,8 +41,20 @@ _SPREAD_MOD = 1 << 31
 
 
 def spread_hash(id_col) -> F.Column:
-    """Deterministic pseudo-uniform rank key in [0, 2^31)."""
-    return F.pmod(F.col(id_col) * F.lit(_SPREAD_MULT), F.lit(_SPREAD_MOD))
+    """Deterministic pseudo-uniform rank key in [0, 2^31).
+
+    The id is reduced mod 2^31 BEFORE the multiply so the 64-bit product
+    never exceeds (2^31-1)*2654435761 < 2^63 — no silent wrap (non-ANSI)
+    or overflow error (ANSI mode) for large ids, and an external ANSI-SQL
+    engine (which may promote to a wider integer) reproduces the exact
+    same value.  Injectivity holds for ids below 2^31 (odd multiplier);
+    above that the pre-mod folds ids 2^31 apart onto the same key, which
+    is acceptable for sampling (ties broken by id downstream).
+    """
+    return F.pmod(
+        F.pmod(F.col(id_col), F.lit(_SPREAD_MOD)) * F.lit(_SPREAD_MULT),
+        F.lit(_SPREAD_MOD),
+    )
 
 
 def stratified_sample(

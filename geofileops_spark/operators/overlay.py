@@ -122,7 +122,9 @@ def _combine_vs_union_udf(mode: str):
             g1 = W.loads(bytes(b1))
             g2s = [W.loads(bytes(b)) for b in arr if b is not None]
             if mode == "difference_union":
-                key = hash(tuple(sorted(bytes(b) for b in arr if b is not None)))
+                # key on the sorted byte tuple itself (NOT hash(): a 64-bit
+                # collision would silently reuse the wrong unioned blade)
+                key = tuple(sorted(bytes(b) for b in arr if b is not None))
                 blade = blade_memo.get(key)
                 if blade is None:
                     blade = C.union_geoms(g2s)

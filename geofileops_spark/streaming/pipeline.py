@@ -93,42 +93,59 @@ def streaming_dedup_first(
     — at cluster scale the state store shards with the key space, and
     RocksDB-backed state keeps memory bounded.
 
-    Within a micro-batch the group's rows are ordered by ``order_cols``
-    so the winner is deterministic; across micro-batches the winner is
-    the first ARRIVAL, which equals the global ``order_cols`` minimum
-    whenever the stream is replayed in event-time order (the availableNow
-    backfill case — file source processes drops in mtime order).
+    Out-of-order streams converge too: the state stores the WINNING
+    ``order_cols`` key (not just an "emitted" bit), and when a later
+    micro-batch delivers a row with a strictly smaller order key the new
+    winner is emitted as a correction — update output mode explicitly
+    allows re-emitting a key. On an in-order replay (availableNow file
+    backfill — file source processes drops in mtime order) no correction
+    ever fires and exactly one row per key is emitted; on a live
+    out-of-order stream the LAST emitted row per key equals the batch
+    keep-first twin's winner once the stream quiesces, instead of
+    silently diverging. Downstream sinks must upsert on ``key_col``
+    (standard update-mode contract).
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import StructField, StructType
 
     out_schema = docs.schema
+    # state = the current winner's order key, typed from the input schema
+    state_schema = StructType(
+        [StructField(c, docs.schema[c].dataType, True) for c in order_cols]
+    )
+    ocols = list(order_cols)
 
     def _keep_first(key, pdfs, state: GroupState):
-        if state.exists:
-            # key already emitted in an earlier micro-batch: drain the
-            # iterator, emit nothing
-            for _ in pdfs:
-                pass
-            return
         best = None
         for pdf in pdfs:
             if len(pdf) == 0:
                 continue
-            pdf = pdf.sort_values(list(order_cols), kind="mergesort")
+            pdf = pdf.sort_values(ocols, kind="mergesort")
             head = pdf.iloc[[0]]
-            if best is None or tuple(head.iloc[0][list(order_cols)]) < tuple(
-                best.iloc[0][list(order_cols)]
+            if best is None or tuple(head.iloc[0][ocols]) < tuple(
+                best.iloc[0][ocols]
             ):
                 best = head
         if best is None:
             return
-        state.update((True,))
+        new_key = tuple(best.iloc[0][c] for c in ocols)
+        if state.exists:
+            old_key = tuple(state.get)
+            # pandas Timestamps compare against the datetimes that come
+            # back from the state store; normalize via to_pydatetime
+            new_cmp = tuple(
+                v.to_pydatetime() if hasattr(v, "to_pydatetime") else v
+                for v in new_key
+            )
+            if not (new_cmp < old_key):
+                return  # current winner still stands: suppress duplicate
+        state.update(new_key)
         yield best
 
     return docs.groupBy(key_col).applyInPandasWithState(
         _keep_first,
         outputStructType=out_schema,
-        stateStructType="emitted boolean",
+        stateStructType=state_schema,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

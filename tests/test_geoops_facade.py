@@ -141,3 +141,50 @@ def test_crs_and_rename_layer(spark, boxes):
 
     with pytest.raises(AnalysisException):
         spark.table("layer_old")
+
+
+def test_listlayers(spark, boxes, tmp_path):
+    boxes.createOrReplaceTempView("lay_spatial")
+    spark.createDataFrame([(1, "a")], "id long, s string").createOrReplaceTempView(
+        "lay_attr"
+    )
+    try:
+        spatial = gfo.listlayers(spark)
+        assert "lay_spatial" in spatial and "lay_attr" not in spatial
+        everything = gfo.listlayers(spark, only_spatial_layers=False)
+        assert {"lay_spatial", "lay_attr"} <= set(everything)
+    finally:
+        spark.catalog.dropTempView("lay_spatial")
+        spark.catalog.dropTempView("lay_attr")
+
+
+def test_add_columns_batch(spark, boxes):
+    out = gfo.add_columns(
+        boxes,
+        [
+            ("area", "double", "0.0"),
+            ("tag", "string", "'x'"),
+            ("empty_col", "int"),
+        ],
+    )
+    r = out.limit(1).collect()[0]
+    assert r["area"] == 0.0 and r["tag"] == "x" and r["empty_col"] is None
+    assert dict(out.dtypes)["empty_col"] == "int"
+
+
+def test_read_file_nogeom_and_sql(spark, boxes, tmp_path):
+    p = str(tmp_path / "boxes.parquet")
+    boxes.write.parquet(p)
+    ng = gfo.read_file_nogeom(spark, p)
+    assert "geom_wkb" not in ng.columns and ng.count() == 6
+    ng2 = gfo.read_file_nogeom(spark, p, columns=["fid"], where="fid < 3")
+    assert ng2.columns == ["fid"] and ng2.count() == 3
+    out = gfo.read_file_sql(
+        spark, p, 'SELECT fid, {geometrycolumn} FROM "{input_layer}" WHERE fid >= 4'
+    )
+    assert sorted(r["fid"] for r in out.collect()) == [4, 5]
+    out2 = gfo.read_file_sql(
+        spark, p, "SELECT fid, geom_wkb FROM boxes WHERE fid = 0",
+        layer="boxes", ignore_geometry=True,
+    )
+    assert out2.columns == ["fid"] and out2.collect()[0]["fid"] == 0

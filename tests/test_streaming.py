@@ -73,3 +73,50 @@ def test_streaming_resume_processes_only_new_files(spark, tdir):
     # BOTH drops (state restored from checkpoint + only new files read)
     assert n1 is not None and n1 > 0
     assert rows2 is not None and rows2 > n1
+
+
+def test_streaming_dedup_out_of_order_correction(spark, tdir):
+    """Out-of-order replay: the true (smallest warc_ts) winner arrives in
+    a LATER micro-batch; update-mode must emit a correction so the last
+    emitted row per key equals the batch keep-first winner."""
+    import glob
+    import os
+
+    stream_dir = f"{tdir}/in"
+    os.makedirs(stream_dir)
+    rows_by_drop = [
+        # drop 0 (arrives first): the LATE copies
+        [("https://a/2", "2020-01-01 02:00:00", "k1"),
+         ("https://b/2", "2020-01-01 02:00:00", "k2")],
+        # drop 1 (arrives second): the true event-time winners
+        [("https://a/1", "2020-01-01 01:00:00", "k1"),
+         ("https://b/3", "2020-01-01 03:00:00", "k2")],  # NOT a winner
+    ]
+    t0 = 1_600_000_000
+    for i, rows in enumerate(rows_by_drop):
+        df = spark.createDataFrame(rows, "url string, ts string, fp string").select(
+            "url", F.to_timestamp("ts").alias("warc_ts"), "fp"
+        )
+        tmp = f"{tdir}/tmp{i}"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(f"{tmp}/part-*.parquet")[0]
+        dst = f"{stream_dir}/drop_{i}.parquet"
+        shutil.move(part, dst)
+        os.utime(dst, times=(t0 + i, t0 + i))
+
+    stream = (
+        spark.readStream.schema("url string, warc_ts timestamp, fp string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    dd = SP.streaming_dedup_first(stream, key_col="fp")
+    q = SP.run_available_now(dd, f"{tdir}/ckpt", query_name="t3", output_mode="update")
+    got = spark.sql("select * from t3").collect()
+    q.stop()
+    # k1: initial emit https://a/2 then correction https://a/1 (2 rows);
+    # k2: https://b/2 only (the later arrival has a LARGER key: suppressed)
+    by_key: dict = {}
+    for r in got:
+        by_key.setdefault(r["fp"], []).append(r["url"])
+    assert by_key["k1"] == ["https://a/2", "https://a/1"]
+    assert by_key["k2"] == ["https://b/2"]
