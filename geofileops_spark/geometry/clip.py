@@ -422,6 +422,14 @@ def _ring_op(ringA: np.ndarray, ringB: np.ndarray, op: str) -> list[np.ndarray]:
     ra, rb = _as_rect(a), _as_rect(b)
     if ra is not None and rb is not None and op in ("intersection", "difference"):
         return _rect_op(ra, rb, op)
+    # no-crossings fast path for asymmetric sizes (tiny parcel vs huge
+    # subdivided blade part, the difference/clip hot shape): a boundary
+    # crossing needs an edge of one ring inside the OTHER ring's bbox —
+    # when none exists the pair is pure containment/disjoint, decided by
+    # one representative-point test instead of the O(na*nb) clipper.
+    if len(a) >= 64 or len(b) >= 64:
+        if not _edges_touch_bbox(b, bb_a) or not _edges_touch_bbox(a, bb_b):
+            return _no_intersection_fallback(a, b, op, None)
     # bboxes overlapping only in a degenerate line/point: interiors cannot
     # intersect (open 2-D sets can't fit in a measure-zero strip), so skip
     # the clipper — its perturbation retry would manufacture slivers here.
@@ -457,6 +465,21 @@ def _ring_op(ringA: np.ndarray, ringB: np.ndarray, op: str) -> list[np.ndarray]:
         return _no_intersection_fallback(a, b, op, force=True)
 
 
+def _edges_touch_bbox(r: np.ndarray, bb) -> bool:
+    """True when any edge of the open ring ``r`` (wrap-around closing edge
+    included) has a bbox overlapping ``bb``."""
+    x1, y1 = r[:, 0], r[:, 1]
+    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
+    return bool(
+        (
+            (np.maximum(x1, x2) >= bb[0])
+            & (np.minimum(x1, x2) <= bb[2])
+            & (np.maximum(y1, y2) >= bb[1])
+            & (np.minimum(y1, y2) <= bb[3])
+        ).any()
+    )
+
+
 def _no_intersection_fallback(a, b, op, _unused=None, force=False):
     """Handle containment / disjoint cases (no boundary crossings).
 
@@ -467,8 +490,6 @@ def _no_intersection_fallback(a, b, op, _unused=None, force=False):
 
     closed_a = np.vstack([a, a[:1]])
     closed_b = np.vstack([b, b[:1]])
-    ip_a = interior_point([closed_a])
-    ip_b = interior_point([closed_b])
     tol = 1e-9
     ba, bb = _ring_bbox(a), _ring_bbox(b)
     bbox_a_in_b = (
@@ -479,16 +500,23 @@ def _no_intersection_fallback(a, b, op, _unused=None, force=False):
         bb[0] >= ba[0] - tol and bb[1] >= ba[1] - tol
         and bb[2] <= ba[2] + tol and bb[3] <= ba[3] + tol
     )
-    a_in_b = (
-        bbox_a_in_b
-        and ip_a is not None
-        and points_in_ring(ip_a.reshape(1, 2), closed_b)[0] == 2
-    )
-    b_in_a = (
-        bbox_b_in_a
-        and ip_b is not None
-        and points_in_ring(ip_b.reshape(1, 2), closed_a)[0] == 2
-    )
+    # interior points are computed LAZILY: the hot asymmetric case (tiny
+    # subject vs huge blade part) only ever needs the small ring's point,
+    # and interior_point on a dense 2000-coord ring costs ~0.4 ms
+    a_in_b = False
+    if bbox_a_in_b:
+        ip_a = interior_point([closed_a])
+        a_in_b = (
+            ip_a is not None
+            and points_in_ring(ip_a.reshape(1, 2), closed_b)[0] == 2
+        )
+    b_in_a = False
+    if bbox_b_in_a:
+        ip_b = interior_point([closed_b])
+        b_in_a = (
+            ip_b is not None
+            and points_in_ring(ip_b.reshape(1, 2), closed_a)[0] == 2
+        )
     if op == "intersection":
         if a_in_b:
             return [closed_a]
@@ -983,13 +1011,97 @@ def _merge_pass(polys: list[list[np.ndarray]], max_rounds: int = 8):
     return polys
 
 
-def _walk_boundary(boundary: list[tuple]) -> list[np.ndarray] | None:
-    """Walk directed boundary segments into closed rings with the
-    most-counterclockwise-turn rule (region stays on the left). Returns
-    None when any walk dead-ends or segments remain unused — the same
-    contract as the walk inside :func:`_weld_pair`."""
+def _walk_boundary(boundary) -> list[np.ndarray] | None:
+    """Walk directed boundary segments ((E,4) ndarray of (ax,ay,bx,by)
+    rows) into closed rings with the most-counterclockwise-turn rule
+    (region stays on the left).
+
+    Vectorized face tracing: endpoints map to integer node ids, each
+    dart pairs with its successor — the unique outgoing dart at
+    degree-1 head nodes (the vast majority), the max-CCW-turn dart at
+    junctions (few: only T-junction seam nodes). The successor map of a
+    clean planar boundary is a permutation whose cycles ARE the rings;
+    when it is not a bijection the sequential dict walk decides (same
+    contract: None when any walk dead-ends or segments remain unused)."""
+    arr = np.asarray(boundary, dtype=np.float64).reshape(-1, 4)
+    n = len(arr)
+    if n == 0:
+        return []
+    # + 0.0 normalizes -0.0 to +0.0: np.unique(axis=0) compares BYTES,
+    # and a node spelled -0.0 by one segment and 0.0 by another must
+    # still be one node (float == treats them equal; bytes do not)
+    pts = np.vstack([arr[:, :2], arr[:, 2:]]) + 0.0
+    # lexsort-based dedup: np.unique(axis=0) goes through void views
+    # (byte comparisons) — 3-4x slower and -0.0 != 0.0 there
+    po = np.lexsort((pts[:, 1], pts[:, 0]))
+    sp = pts[po]
+    first = np.ones(len(sp), dtype=bool)
+    first[1:] = (sp[1:] != sp[:-1]).any(axis=1)
+    gid = np.cumsum(first) - 1
+    inv = np.empty(len(pts), dtype=np.int64)
+    inv[po] = gid
+    nnode_total = int(gid[-1]) + 1 if len(gid) else 0
+    src, dst = inv[:n], inv[n:]
+    dx = arr[:, 2] - arr[:, 0]
+    dy = arr[:, 3] - arr[:, 1]
+    theta = np.arctan2(dy, dx)  # dart angle at its tail node
+    theta_rev = np.arctan2(-dy, -dx)  # reverse-dart angle at the head
+    nnode = nnode_total
+    out_deg = np.bincount(src, minlength=nnode)
+    if (out_deg[dst] == 0).any():
+        return None  # dead end: a head node with no outgoing dart
+    order = np.lexsort((theta, src))
+    starts = np.searchsorted(src[order], np.arange(nnode + 1))
+    nxt = np.empty(n, dtype=np.int64)
+    simple = out_deg[dst] == 1
+    nxt[simple] = order[starts[dst[simple]]]
+    for i in np.where(~simple)[0]:
+        v = dst[i]
+        block = order[starts[v] : starts[v + 1]]
+        # same rule as the sequential walk: turn = (angle(out) - din + pi)
+        # mod 2pi maximal; din + pi == theta_rev mod 2pi
+        turn = np.mod(theta[block] - theta_rev[i], 2.0 * np.pi)
+        nxt[i] = block[int(np.argmax(turn))]
+    if np.bincount(nxt, minlength=n).max(initial=0) > 1:
+        # two darts claim the same successor: not a clean face tracing —
+        # the order-dependent sequential walk (with its used-filter) may
+        # still find a decomposition
+        return _walk_boundary_seq(arr)
+    tails = arr[:, :2]
+    rings: list[np.ndarray] = []
+    # plain-python list chase: numpy scalar indexing per step costs ~4x
+    # (one million boxed np.int64 round-trips on a 1M-edge boundary)
+    nxt_l = nxt.tolist()
+    seen = bytearray(n)
+    for s in range(n):
+        if seen[s]:
+            continue
+        cyc = []
+        app = cyc.append
+        cur = s
+        while not seen[cur]:
+            seen[cur] = 1
+            app(cur)
+            cur = nxt_l[cur]
+        if cur != s:  # defensive: unreachable for a true permutation
+            return _walk_boundary_seq(arr)
+        idx = np.asarray(cyc, dtype=np.int64)
+        ring = np.empty((len(idx) + 1, 2), dtype=np.float64)
+        ring[:-1] = tails[idx]
+        ring[-1] = tails[idx[0]]
+        rings.append(ring)
+    return rings
+
+
+def _walk_boundary_seq(arr: np.ndarray) -> list[np.ndarray] | None:
+    """Sequential dict walk (the pre-vectorization implementation) —
+    order-dependent used-filtering handles boundaries whose successor
+    map is not a bijection."""
     import math
 
+    boundary = [
+        ((float(r[0]), float(r[1])), (float(r[2]), float(r[3]))) for r in arr
+    ]
     outgoing: dict[tuple, list[tuple]] = {}
     for sa, sb in boundary:
         outgoing.setdefault(sa, []).append(sb)
@@ -1034,8 +1146,9 @@ def _walk_boundary(boundary: list[tuple]) -> list[np.ndarray] | None:
     return rings
 
 
-def _cancel_pairs(directed: list[tuple]) -> tuple[list[tuple], int] | None:
+def _cancel_pairs(directed) -> tuple[np.ndarray, int] | None:
     """Drop opposite-direction duplicate segments (interior seams).
+    Takes and returns (E, 4) ndarrays of directed (ax,ay,bx,by) rows.
     Returns (surviving directed segments, number cancelled) or None when
     an undirected edge appears more than twice / twice same-direction
     (not a clean planar tiling).
@@ -1043,10 +1156,10 @@ def _cancel_pairs(directed: list[tuple]) -> tuple[list[tuple], int] | None:
     Vectorized: lexsort the (E, 4) undirected-key array and classify the
     equal-key runs — the per-edge Python dict pass cost ~10 s per million
     edges on the hole-heavy re-union boundaries."""
-    n = len(directed)
+    arr = np.asarray(directed, dtype=np.float64).reshape(-1, 4)
+    n = len(arr)
     if n == 0:
-        return [], 0
-    arr = np.asarray(directed, dtype=np.float64).reshape(n, 4)
+        return arr, 0
     a = arr[:, 0:2]
     b = arr[:, 2:4]
     a_first = (a[:, 0] < b[:, 0]) | ((a[:, 0] == b[:, 0]) & (a[:, 1] < b[:, 1]))
@@ -1068,15 +1181,92 @@ def _cancel_pairs(directed: list[tuple]) -> tuple[list[tuple], int] | None:
         if (af_sorted[s2] == af_sorted[s2 + 1]).any():
             return None  # same-direction duplicate
     singles = starts[counts == 1]
-    idx = order[singles]
-    boundary = [directed[i] for i in idx]
-    return boundary, int(two.sum())
+    return arr[order[singles]], int(two.sum())
 
 
-def _node_boundary(boundary: list[tuple], axis_only: bool = False) -> list[tuple]:
+def _rings_edges(rings: list[np.ndarray]) -> np.ndarray:
+    """Batched directed-edge build for MANY closed rings at once: one
+    concatenate + index arithmetic instead of np.roll/hstack per ring
+    (the per-ring numpy overhead costs seconds on 80k-ring weld
+    boundaries). Zero-length edges dropped."""
+    opens = [r[:-1] for r in rings if len(r) > 1]
+    if not opens:
+        return np.empty((0, 4), dtype=np.float64)
+    cat = np.concatenate(opens, axis=0).astype(np.float64, copy=False)
+    lens = np.fromiter((len(o) for o in opens), dtype=np.int64, count=len(opens))
+    ends = np.cumsum(lens)
+    starts = ends - lens
+    nxt = np.arange(len(cat), dtype=np.int64) + 1
+    nxt[ends - 1] = starts
+    e = np.empty((len(cat), 4), dtype=np.float64)
+    e[:, :2] = cat
+    e[:, 2:] = cat[nxt]
+    return e[(e[:, 0] != e[:, 2]) | (e[:, 1] != e[:, 3])]
+
+
+def _node_axis_vec(arr: np.ndarray, todo: np.ndarray, pts: np.ndarray):
+    """Vectorized T-junction noding for AXIS-PARALLEL segments: a point
+    splits a horizontal segment iff its y equals the segment's y exactly
+    and its x lies strictly between the endpoints (and symmetrically for
+    vertical segments) — an exact-equality interval query, answered for
+    every segment at once with complex-key searchsorted (numpy orders
+    complex lexicographically (real, imag), so complex(y, x) ranges ARE
+    the equal-y x-intervals). Returns (unchanged row mask over ``todo``,
+    list of replacement row arrays for the split segments)."""
+    seg = arr[todo]
+    horiz = seg[:, 1] == seg[:, 3]
+    # sorted composite keys over the endpoint set, both orientations
+    key_yx = np.sort(pts[:, 1] + 1j * pts[:, 0])
+    key_xy = np.sort(pts[:, 0] + 1j * pts[:, 1])
+    n = len(seg)
+    left = np.empty(n, dtype=np.int64)
+    right = np.empty(n, dtype=np.int64)
+    lo_h = np.minimum(seg[:, 0], seg[:, 2])
+    hi_h = np.maximum(seg[:, 0], seg[:, 2])
+    lo_v = np.minimum(seg[:, 1], seg[:, 3])
+    hi_v = np.maximum(seg[:, 1], seg[:, 3])
+    h = np.where(horiz)[0]
+    v = np.where(~horiz)[0]
+    if len(h):
+        left[h] = np.searchsorted(key_yx, seg[h, 1] + 1j * lo_h[h], side="right")
+        right[h] = np.searchsorted(key_yx, seg[h, 1] + 1j * hi_h[h], side="left")
+    if len(v):
+        left[v] = np.searchsorted(key_xy, seg[v, 0] + 1j * lo_v[v], side="right")
+        right[v] = np.searchsorted(key_xy, seg[v, 0] + 1j * hi_v[v], side="left")
+    needs = right > left
+    pieces: list[np.ndarray] = []
+    pts_yx = pts[np.lexsort((pts[:, 0], pts[:, 1]))]
+    pts_xy = pts[np.lexsort((pts[:, 1], pts[:, 0]))]
+    for k in np.where(needs)[0]:
+        src = pts_yx if horiz[k] else pts_xy
+        mids = src[left[k] : right[k]]
+        a = (seg[k, 0], seg[k, 1])
+        b = (seg[k, 2], seg[k, 3])
+        # order along the segment direction
+        axis = 0 if horiz[k] else 1
+        vals = mids[:, axis]
+        order = np.argsort(vals, kind="stable")
+        if (a[axis] > b[axis]):
+            order = order[::-1]
+        chain = np.empty((len(mids) + 2, 2), dtype=np.float64)
+        chain[0] = a
+        chain[1:-1] = mids[order]
+        chain[-1] = b
+        rows = np.empty((len(chain) - 1, 4), dtype=np.float64)
+        rows[:, :2] = chain[:-1]
+        rows[:, 2:] = chain[1:]
+        rows = rows[(rows[:, 0] != rows[:, 2]) | (rows[:, 1] != rows[:, 3])]
+        pieces.append(rows)
+    return needs, pieces
+
+
+def _node_boundary(boundary, axis_only: bool = False) -> np.ndarray:
     """Split boundary segments at OTHER boundary endpoints lying exactly
     on them (exact collinearity + strict betweenness on raw floats) —
-    the T-junction repair pass. Grid-hashed so cost stays ~O(E).
+    the T-junction repair pass. Takes and returns (E, 4) ndarrays of
+    directed rows. Grid-hashed so cost stays ~O(E); only the ``todo``
+    segments are visited in Python — untouched rows pass through as one
+    array slice.
 
     ``axis_only`` restricts splitting to axis-parallel segments: in a
     subdivide tiling, everything two neighbours share lies ON the
@@ -1086,18 +1276,34 @@ def _node_boundary(boundary: list[tuple], axis_only: bool = False) -> list[tuple
     the general clipper (slower, still correct)."""
     import math
 
-    n = len(boundary)
+    arr = np.asarray(boundary, dtype=np.float64).reshape(-1, 4)
+    n = len(arr)
     if n == 0:
-        return []
-    arr = np.asarray(boundary, dtype=np.float64).reshape(n, 4)
+        return arr
     is_axis = (arr[:, 0] == arr[:, 2]) | (arr[:, 1] == arr[:, 3])
     todo = np.where(is_axis)[0] if axis_only else np.arange(n)
     if len(todo) == 0:
-        return list(boundary)
+        return arr
+    # vectorized grid build over the unique endpoints (lexsort dedup —
+    # np.unique(axis=0) byte-compares via void views, 3-4x slower)
+    allp = arr.reshape(2 * n, 2)
+    apo = np.lexsort((allp[:, 1], allp[:, 0]))
+    sap = allp[apo]
+    afirst = np.ones(len(sap), dtype=bool)
+    afirst[1:] = (sap[1:] != sap[:-1]).any(axis=1)
+    pts = sap[afirst]
+    if axis_only:
+        # axis-parallel segments admit an exact-equality interval query:
+        # fully vectorized, no grid, no per-segment Python for the
+        # (overwhelming) majority that needs no split
+        needs, pieces = _node_axis_vec(arr, todo, pts)
+        if not pieces:
+            return arr
+        keep_mask = np.ones(n, dtype=bool)
+        keep_mask[todo[needs]] = False
+        return np.vstack([arr[keep_mask], *pieces])
     lens = np.hypot(arr[:2048, 2] - arr[:2048, 0], arr[:2048, 3] - arr[:2048, 1])
     cell = max(float(np.median(lens)), 1e-9)
-    # vectorized grid build over the unique endpoints
-    pts = np.unique(arr.reshape(2 * n, 2), axis=0)
     gx = np.floor(pts[:, 0] / cell).astype(np.int64)
     gy = np.floor(pts[:, 1] / cell).astype(np.int64)
     order = np.lexsort((gy, gx))
@@ -1109,12 +1315,12 @@ def _node_boundary(boundary: list[tuple], axis_only: bool = False) -> list[tuple
     grid: dict[tuple, np.ndarray] = {}
     for s, e in zip(starts, ends):
         grid[(int(gxs[s]), int(gys[s]))] = pts[order[s:e]]
-    out: list[tuple] = []
-    todo_set = set(todo.tolist()) if axis_only else None
-    for i, (a, b) in enumerate(boundary):
-        if todo_set is not None and i not in todo_set:
-            out.append((a, b))
-            continue
+    keep_mask = np.ones(n, dtype=bool)
+    keep_mask[todo] = False
+    pieces: list[np.ndarray] = [arr[keep_mask]]
+    for i in todo:
+        a = (float(arr[i, 0]), float(arr[i, 1]))
+        b = (float(arr[i, 2]), float(arr[i, 3]))
         dx, dy = b[0] - a[0], b[1] - a[1]
         L2 = dx * dx + dy * dy
         gx0 = int(math.floor(min(a[0], b[0]) / cell))
@@ -1155,13 +1361,17 @@ def _node_boundary(boundary: list[tuple], axis_only: bool = False) -> list[tuple
                     v = (float(vs[vi, 0]), float(vs[vi, 1]))
                     if v != a and v != b:
                         mids.append((float(t[vi]), v))
+        if not mids:
+            pieces.append(arr[i : i + 1])
+            continue
         mids.sort()
-        prev = a
-        for _, v in mids:
-            out.append((prev, v))
-            prev = v
-        out.append((prev, b))
-    return out
+        chain = [a] + [v for _, v in mids] + [b]
+        rows = np.empty((len(chain) - 1, 4), dtype=np.float64)
+        for j in range(len(chain) - 1):
+            rows[j, 0], rows[j, 1] = chain[j]
+            rows[j, 2], rows[j, 3] = chain[j + 1]
+        pieces.append(rows)
+    return np.vstack(pieces)
 
 
 def _polys_by_orientation(rings: list[np.ndarray]) -> list[list[np.ndarray]] | None:
@@ -1234,22 +1444,14 @@ def weld_all(polys: list[list[np.ndarray]]) -> list[list[np.ndarray]] | None:
     if len(polys) < 2:
         return list(polys)
     want = 0.0
-    directed: list[tuple] = []
-    n_edges = 0
+    ring_list: list[np.ndarray] = []
     for p in polys:
         want += abs(ring_signed_area(p[0]))
-        rings = [_ccw(p[0])] + [_cw(h) for h in p[1:]]
+        ring_list.append(_ccw(p[0]))
         for h in p[1:]:
             want -= abs(ring_signed_area(h))
-        for r in rings:
-            o = _open_ring(r)
-            n = len(o)
-            n_edges += n
-            for i in range(n):
-                a = (float(o[i][0]), float(o[i][1]))
-                b = (float(o[(i + 1) % n][0]), float(o[(i + 1) % n][1]))
-                if a != b:
-                    directed.append((a, b))
+            ring_list.append(_cw(h))
+    directed = _rings_edges(ring_list)
 
     def _area(ps):
         tot = 0.0
@@ -1263,8 +1465,6 @@ def weld_all(polys: list[list[np.ndarray]]) -> list[list[np.ndarray]] | None:
     if cancelled is None:
         return None
     boundary, shared = cancelled
-    xs = [p[0] for a, b in boundary for p in (a, b)]
-    ys = [p[1] for a, b in boundary for p in (a, b)]
     # GLOBAL power-of-two snap quantum from the coordinate magnitude, NOT
     # the local span: independent welds over neighbouring regions (e.g.
     # hierarchical block re-unions) must snap to the SAME grid or their
@@ -1274,36 +1474,56 @@ def weld_all(polys: list[list[np.ndarray]]) -> list[list[np.ndarray]] | None:
     # feature scale.
     import math
 
-    max_abs = max(
-        max((abs(v) for v in xs), default=0.0),
-        max((abs(v) for v in ys), default=0.0),
-        1e-300,
-    )
+    max_abs = max(float(np.max(np.abs(boundary), initial=0.0)), 1e-300)
     eps = 2.0 ** (math.frexp(max_abs)[1] - 46)
-
-    def _snap(p):
-        return (round(p[0] / eps) * eps, round(p[1] / eps) * eps)
 
     def _residual_shared(out) -> bool:
         """True when two output polys still share a (snapped) boundary
-        edge — an under-merged seam the exact pass could not cancel."""
-        owner: dict[tuple, int] = {}
+        edge — an under-merged seam the exact pass could not cancel.
+        Vectorized: snapped undirected edge keys lexsorted, a key run
+        spanning two owner polys is a residual seam."""
+        rings_l: list[np.ndarray] = []
+        ring_owner: list[int] = []
         for pi, p in enumerate(out):
             for r in p:
-                o = _open_ring(r)
-                n = len(o)
-                for i in range(n):
-                    a = _snap((float(o[i][0]), float(o[i][1])))
-                    b = _snap(
-                        (float(o[(i + 1) % n][0]), float(o[(i + 1) % n][1]))
-                    )
-                    if a == b:
-                        continue
-                    key = (a, b) if a < b else (b, a)
-                    prev = owner.setdefault(key, pi)
-                    if prev != pi:
-                        return True
-        return False
+                rings_l.append(r)
+                ring_owner.append(pi)
+        if not rings_l:
+            return False
+        # batch: snap every ring once, build all edges in one pass, and
+        # carry the owner id per edge via the same length bookkeeping
+        opens = [np.round(r[:-1] / eps) * eps for r in rings_l if len(r) > 1]
+        owners = [o for r, o in zip(rings_l, ring_owner) if len(r) > 1]
+        if not opens:
+            return False
+        cat = np.concatenate(opens, axis=0)
+        lens = np.fromiter((len(o) for o in opens), dtype=np.int64, count=len(opens))
+        ends_i = np.cumsum(lens)
+        starts_i = ends_i - lens
+        nxt_i = np.arange(len(cat), dtype=np.int64) + 1
+        nxt_i[ends_i - 1] = starts_i
+        e = np.empty((len(cat), 4), dtype=np.float64)
+        e[:, :2] = cat
+        e[:, 2:] = cat[nxt_i]
+        own = np.repeat(np.asarray(owners, dtype=np.int64), lens)
+        nz = (e[:, 0] != e[:, 2]) | (e[:, 1] != e[:, 3])
+        e = e[nz]
+        own = own[nz]
+        a, b = e[:, :2], e[:, 2:]
+        a_first = (a[:, 0] < b[:, 0]) | ((a[:, 0] == b[:, 0]) & (a[:, 1] < b[:, 1]))
+        key = np.where(a_first[:, None], e, np.hstack([b, a]))
+        order = np.lexsort((key[:, 3], key[:, 2], key[:, 1], key[:, 0]))
+        k = key[order]
+        so = own[order]
+        new_run = np.ones(len(k), dtype=bool)
+        new_run[1:] = (k[1:] != k[:-1]).any(axis=1)
+        starts = np.where(new_run)[0]
+        return bool(
+            (
+                np.minimum.reduceat(so, starts)
+                != np.maximum.reduceat(so, starts)
+            ).any()
+        )
 
     def _mids(poly):
         segs = []
@@ -1416,7 +1636,12 @@ def weld_all(polys: list[list[np.ndarray]]) -> list[list[np.ndarray]] | None:
     # (the cuts are vertical/horizontal lines), overlapping organic
     # shapes have essentially none.
     if shared == 0:
-        n_axis = sum(1 for a, b in boundary if a[0] == b[0] or a[1] == b[1])
+        n_axis = int(
+            (
+                (boundary[:, 0] == boundary[:, 2])
+                | (boundary[:, 1] == boundary[:, 3])
+            ).sum()
+        )
         if n_axis < 2 * len(polys):
             return None
     cancelled = _cancel_pairs(_node_boundary(boundary, axis_only=True))
@@ -1434,11 +1659,8 @@ def weld_all(polys: list[list[np.ndarray]]) -> list[list[np.ndarray]] | None:
     # final ulps and exact cancellation misses those seams. Snap the
     # boundary to a relative-epsilon grid, re-node, re-cancel, re-walk;
     # the area check (at the snap scale) still rejects wrong welds.
-    snapped = []
-    for a, b in boundary:
-        sa, sb = _snap(a), _snap(b)
-        if sa != sb:
-            snapped.append((sa, sb))
+    sb = np.round(boundary / eps) * eps
+    snapped = sb[(sb[:, 0] != sb[:, 2]) | (sb[:, 1] != sb[:, 3])]
     cancelled = _cancel_pairs(snapped)
     if cancelled is None:
         return None

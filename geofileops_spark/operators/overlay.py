@@ -26,6 +26,7 @@ kernels never cross the Arrow batch boundary row-by-row.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -208,6 +209,10 @@ def subdivide_layer(
 
     df = df.withColumn("_subparts", st_subdivide_array(F.col(geom_col), max_coords))
     if with_pos:
+        # _nparts lets the caller route single-part rows (the vast
+        # majority for small-geometry layers) around the per-id re-union
+        # shuffle entirely — subdivide + union of one part is the identity
+        df = df.withColumn("_nparts", F.size("_subparts"))
         df = df.select(
             *[c for c in df.columns if c not in (geom_col, "_subparts")],
             F.posexplode("_subparts").alias("_subpos", geom_col),
@@ -313,6 +318,284 @@ def _collect_candidates(
     )
 
 
+def _broadcast_eligible(df2: DataFrame) -> bool:
+    from .join import (
+        _EXPORT_BCAST_BYTES,
+        _EXPORT_BCAST_MAX_ROWS,
+        _scan_size_bytes,
+    )
+
+    sz = _scan_size_bytes(df2)
+    if sz is None or sz <= 0 or sz > _EXPORT_BCAST_BYTES:
+        return False
+    return df2.count() <= _EXPORT_BCAST_MAX_ROWS
+
+
+import os as _os  # noqa: E402
+
+_COMBINE_BCAST_BYTES = int(
+    _os.environ.get("GFO_COMBINE_BROADCAST_BYTES", str(64 * 1024 * 1024))
+)
+
+
+def _combine_plan(df1: DataFrame, df2: DataFrame) -> str:
+    """Physical-plan pick for the blade-combine ops (difference/clip),
+    decided on the RAW layer scan sizes:
+
+    - ``reverse``: subjects MUCH smaller than blades (3 complex rings vs
+      500k parcels) — broadcast the subject BBOXES (tiny), stream the
+      blades map-side emitting (subject, blade) hits, group per subject.
+      Avoids both the candidate-join shuffle (which would replicate each
+      multi-KB subject per blade pair) and the forward build's full-blade
+      collect.
+    - ``forward``: blades much smaller than subjects — grid-index +
+      broadcast the blades, stream subjects, zero shuffle.
+    - ``shuffle``: comparable sizes — the distributed cell join (the
+      100-TB default shape).
+    """
+    from .join import _EXPORT_BCAST_BYTES, _scan_size_bytes
+
+    s1 = _scan_size_bytes(df1)
+    s2 = _scan_size_bytes(df2)
+    if s1 is None or s2 is None or s1 <= 0 or s2 <= 0:
+        return "shuffle"
+    if s1 * 4 <= s2 and s1 <= _EXPORT_BCAST_BYTES:
+        return "reverse"
+    if s2 <= _COMBINE_BCAST_BYTES and (s2 * 4 <= s1 or s2 <= 16 * 1024 * 1024):
+        return "forward"
+    return "shuffle"
+
+
+def _reverse_collect_candidates(
+    df1: DataFrame, df2: DataFrame, geom_col: str, id_col: str
+) -> DataFrame:
+    """(id, collect_list(blade geom)) — the reverse-broadcast twin of
+    :func:`_collect_candidates` for FEW subjects vs MANY blades: only the
+    subjects' (id, bbox) rows are collected and broadcast (a few dozen
+    bytes per subject); the blade layer streams through one mapInPandas
+    emitting its matches, and only matching blades enter the (small)
+    groupBy shuffle."""
+    from pyspark.sql.types import StructField, StructType
+
+    from ..geometry import kernels as K
+    from .join import _batch_candidates, _bounds_udf, _grid_index
+
+    spark = df1.sparkSession
+    pdf = (
+        df1.select(F.col(id_col).alias("_sid"), geom_col)
+        .withColumn("_b", _bounds_udf(F.col(geom_col)))
+        .select("_sid", "_b.minx", "_b.miny", "_b.maxx", "_b.maxy")
+        .toPandas()
+    )
+    id_field = df1.schema[id_col]
+    out_schema = StructType(
+        [
+            StructField("_sid", id_field.dataType),
+            StructField("_blade", BinaryType()),
+        ]
+    )
+    bb_all = pdf[["minx", "miny", "maxx", "maxy"]].to_numpy(np.float64)
+    valid = np.isfinite(bb_all[:, 0])
+    bb = np.ascontiguousarray(bb_all[valid])
+    sids = pdf["_sid"].to_numpy()[valid]
+    empty = spark.createDataFrame([], out_schema)
+    if len(bb) == 0:
+        return empty.groupBy(F.col("_sid").alias(id_col)).agg(
+            F.collect_list("_blade").alias("_others")
+        )
+    ext = np.maximum(bb[:, 2] - bb[:, 0], bb[:, 3] - bb[:, 1])
+    med = float(np.median(ext))
+    span = max(
+        float(bb[:, 2].max() - bb[:, 0].min()),
+        float(bb[:, 3].max() - bb[:, 1].min()),
+        1e-9,
+    )
+    cellsz = max(0.5 * med if med > 0 else span / 256.0, span / 4096.0)
+    gx0 = float(bb[:, 0].min())
+    gy0 = float(bb[:, 1].min())
+    index = _grid_index(bb, cellsz, gx0, gy0)
+    bc = spark.sparkContext.broadcast((index, bb, sids, cellsz, gx0, gy0))
+
+    def _emit(batches):
+        import numpy as np
+        import pandas as pd
+
+        (ukey, starts, ends, srow, big_rows), bbv, ids, csz, x0, y0 = bc.value
+        for pdf2 in batches:
+            n = len(pdf2)
+            if n == 0:
+                continue
+            col = pdf2[geom_col].to_numpy(object)
+            B = np.full((n, 4), np.nan)
+            for i, b2 in enumerate(col):
+                if b2 is None:
+                    continue
+                g2 = W.loads(bytes(b2))
+                if g2.is_empty():
+                    continue
+                B[i] = K.bounds(g2)
+            pr, pl = _batch_candidates(
+                B, ukey, starts, ends, srow, big_rows, csz, x0, y0, bbv
+            )
+            if len(pr) == 0:
+                continue
+            yield pd.DataFrame(
+                {"_sid": ids[pl], "_blade": col[pr]}
+            )
+
+    hits = df2.select(geom_col).mapInPandas(_emit, schema=out_schema)
+    return hits.groupBy(F.col("_sid").alias(id_col)).agg(
+        F.collect_list("_blade").alias("_others")
+    )
+
+
+def _broadcast_combine(
+    df1: DataFrame,
+    df2: DataFrame,
+    mode: str,
+    geom_col: str,
+    keep_empty_geoms: bool = False,
+) -> DataFrame:
+    """Map-side difference/clip against a SMALL blade layer: layer 2 is
+    grid-indexed and broadcast once (same machinery as the export
+    broadcast probe, join.py `_layer2_grid_broadcast`), layer 1 streams
+    through ONE mapInPandas — no candidate join, no shuffle, and no
+    duplication of multi-KB blade blobs into every candidate pair (the
+    shuffle plan ships each subdivided 2000-coord blade part to every
+    nearby subject row: ~40 KB x 45k rows of pure serialization at 50k
+    parcels vs 3 giant rings).
+
+    Semantics identical to the `_collect_candidates` + combine plan:
+    candidates are bbox matches; `difference`/`difference_union` pass
+    non-matching rows through verbatim and drop (or NULL out, under
+    ``keep_empty_geoms``) fully-erased rows; `intersection` (the clip
+    shape) keeps only rows with a non-empty clipped result, unioning the
+    per-blade fragments."""
+    import numpy as np  # noqa: F401 — rebound inside _probe for workers
+
+    from ..geometry import kernels as K
+    from ..geometry.batchclip import batch_intersection
+    from .join import _batch_candidates, _layer2_grid_broadcast
+
+    spark = df1.sparkSession
+    bc = _layer2_grid_broadcast(spark, df2, geom_col)
+    if bc is None:  # empty blade layer
+        return df1 if mode.startswith("difference") else df1.limit(0)
+    # mapInPandas inherits the input partitioning: subjects that descend
+    # from a few huge rows (a subdivided 3-row complex layer explodes to
+    # hundreds of parts but keeps 3 partitions) would run on 3 cores —
+    # rebalance cheap subject rows across the executor width first
+    target = spark.sparkContext.defaultParallelism * 2
+    if df1.rdd.getNumPartitions() < max(2, target // 2):
+        df1 = df1.repartition(target)
+    schema = df1.schema
+    gpos = df1.columns.index(geom_col)
+    is_diff = mode.startswith("difference")
+    union_first = mode == "difference_union"
+
+    def _probe(batches):
+        import numpy as np
+
+        (ukey, starts, ends, srow, big_rows), bbv, buf2, off2, csz, x0, y0 = (
+            bc.value
+        )
+        cacheg: dict[int, object] = {}
+
+        def g2_at(j):
+            g = cacheg.get(j)
+            if g is None:
+                g = W.loads(buf2[off2[j] : off2[j + 1]])
+                cacheg[j] = g
+            return g
+
+        blade_memo: dict[tuple, object] = {}
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pdf
+                continue
+            col = pdf.iloc[:, gpos].to_numpy(object)
+            geoms: list = [None] * n
+            B = np.full((n, 4), np.nan)
+            for i, b1 in enumerate(col):
+                if b1 is None:
+                    continue
+                g1 = W.loads(bytes(b1))
+                if g1.is_empty():
+                    continue
+                geoms[i] = g1
+                B[i] = K.bounds(g1)
+            pr, pl = _batch_candidates(
+                B, ukey, starts, ends, srow, big_rows, csz, x0, y0, bbv
+            )
+            newg = col.copy() if is_diff else np.full(n, None, dtype=object)
+            keep = (
+                np.ones(n, dtype=bool) if is_diff else np.zeros(n, dtype=bool)
+            )
+            if len(pr):
+                row_start = np.concatenate(
+                    ([0], np.nonzero(np.diff(pr))[0] + 1, [len(pr)])
+                )
+                for s, e in zip(row_start[:-1], row_start[1:]):
+                    i = int(pr[s])
+                    g1 = geoms[i]
+                    if g1 is None:
+                        continue
+                    cand = pl[s:e]
+                    if is_diff:
+                        if union_first:
+                            # memo key: candidate-INDEX tuple — ints, not
+                            # the multi-KB byte blobs of the shuffle plan
+                            key = tuple(sorted(int(j) for j in cand))
+                            blade = blade_memo.get(key)
+                            if blade is None:
+                                blade = C.union_geoms(
+                                    [g2_at(int(j)) for j in cand]
+                                )
+                                blade_memo[key] = blade
+                            res = C.difference(g1, blade)
+                        else:
+                            res = g1
+                            for j in cand:
+                                res = C.difference(res, g2_at(int(j)))
+                                if res.is_empty():
+                                    break
+                        if res is g1:
+                            newg[i] = W.dumps(g1.force_multi())
+                            continue
+                        res = _drop_degenerate(
+                            res.collection_extract(g1.dim() + 1), g1.dim() + 1
+                        )
+                        if res.is_empty():
+                            newg[i] = None
+                            keep[i] = keep_empty_geoms
+                        else:
+                            newg[i] = W.dumps(res.force_multi())
+                    else:
+                        g2s = [g2_at(int(j)) for j in cand]
+                        pieces = []
+                        for g2, inter in zip(
+                            g2s, batch_intersection([g1] * len(g2s), g2s)
+                        ):
+                            prim = _min_primitive(g1, g2)
+                            if prim >= 1:
+                                inter = _drop_degenerate(
+                                    inter.collection_extract(prim), prim
+                                )
+                            if not inter.is_empty():
+                                pieces.append(inter)
+                        if pieces:
+                            merged = C.union_geoms(pieces)
+                            if not merged.is_empty():
+                                newg[i] = W.dumps(merged.force_multi())
+                                keep[i] = True
+            out = pdf.copy()
+            out.iloc[:, gpos] = newg
+            yield out[keep]
+
+    return df1.mapInPandas(_probe, schema=schema)
+
+
 def difference(
     df1: DataFrame,
     df2: DataFrame,
@@ -325,6 +608,8 @@ def difference(
     subdivide_coords: int | None = None,
     keep_empty_geoms: bool = False,
     blade_union: bool = False,
+    broadcast: bool | None = None,
+    _plan: str | None = None,
 ) -> DataFrame:
     """g1 minus the union of all intersecting layer-2 geometries
     (geofileops ``geoops.py:2138`` -> ``_geoops_sql.py:1058-1355``).
@@ -341,6 +626,15 @@ def difference(
     g1 − (p1 ∪ p2 ∪ …) subtracts each part in turn, and bbox pruning
     then ships a parcel only the ~nearby slice of a 300k-coord blade
     instead of the whole blob."""
+    if _plan is None:
+        # decide on the RAW layer scans (post-subdivide plans hide the
+        # size statistics from Catalyst's estimator)
+        if broadcast is True:
+            _plan = "forward"
+        elif broadcast is False:
+            _plan = "shuffle"
+        else:
+            _plan = _combine_plan(df1, df2)
     if subdivide_coords is not None:
         # deterministic per-part key (id, part index) — the id is
         # referenced from two plan branches (candidate collect + join),
@@ -365,20 +659,40 @@ def difference(
         # sequential path leaves hairline slivers along each seam
         parts = difference(
             s1, s2, res=res, geom_col=geom_col, id_col="_pid",
-            keep_empty_geoms=True, blade_union=True,
+            keep_empty_geoms=True, blade_union=True, _plan=_plan,
         ).drop("_pid")
-        attrs = [c for c in parts.columns if c not in (id_col, geom_col)]
-        out = parts.groupBy(id_col).agg(
+        # single-part subjects (every geometry under subdivide_coords —
+        # the whole layer when only the OTHER side is complex) skip the
+        # re-union: subdivide produced exactly one part, so grouping it
+        # back is the identity and the groupBy would shuffle + run one
+        # union kernel per row for nothing (measured ~50 s of the 58 s
+        # d21 stage at 500k parcels)
+        parts = cache.track(parts.persist())
+        attrs = [c for c in parts.columns if c not in (id_col, geom_col, "_nparts")]
+        singles = parts.where(F.col("_nparts") <= 1).drop("_nparts")
+        multi = parts.where(F.col("_nparts") > 1).drop("_nparts")
+        out = multi.groupBy(id_col).agg(
             _union_parts_udf()(F.collect_list(geom_col)).alias(geom_col),
             *[F.first(c).alias(c) for c in attrs],
+        ).unionByName(singles.select(id_col, geom_col, *attrs))
+        return _postprocess(
+            out, geom_col, gridsize, explodecollections, where_post,
+            keep_empty_geoms,
+        )
+    diff_mode = "difference_union" if blade_union else "difference"
+    if _plan == "forward":
+        out = _broadcast_combine(
+            df1, df2, diff_mode, geom_col, keep_empty_geoms
         )
         return _postprocess(
             out, geom_col, gridsize, explodecollections, where_post,
             keep_empty_geoms,
         )
-    others = _collect_candidates(df1, df2, res, geom_col, id_col)
+    if _plan == "reverse":
+        others = _reverse_collect_candidates(df1, df2, geom_col, id_col)
+    else:
+        others = _collect_candidates(df1, df2, res, geom_col, id_col)
     joined = df1.join(others, on=id_col, how="left")
-    diff_mode = "difference_union" if blade_union else "difference"
     diffed = joined.withColumn(
         "_diff",
         F.when(
@@ -443,22 +757,47 @@ def clip(
     explodecollections: bool = False,
     where_post: str | None = None,
     subdivide_coords: int | None = None,
+    broadcast: bool | None = None,
+    _plan: str | None = None,
 ) -> DataFrame:
     """g1 intersected with the union of intersecting clip geometries;
     clip layer contributes no attributes, non-intersecting rows dropped
     (geofileops ``geoops.py:1908`` -> ``_geoops_sql.py:942-1055``)."""
+    if _plan is None:
+        if broadcast is True:
+            _plan = "forward"
+        elif broadcast is False:
+            _plan = "shuffle"
+        else:
+            # clip has no reverse kernel shape: few-subjects-vs-many-
+            # blades still runs the pairwise cell join
+            _plan = _combine_plan(df1, df2)
+            if _plan == "reverse":
+                _plan = "shuffle"
     if subdivide_coords is not None:
         s1 = subdivide_layer(df1, subdivide_coords, geom_col, with_pos=True)
         s1 = s1.withColumn(
             "_pid", F.xxhash64(F.col(id_col), F.col("_subpos"))
         ).drop("_subpos")
-        parts = clip(s1, df2, res=res, geom_col=geom_col, id_col="_pid").drop("_pid")
-        attrs = [c for c in parts.columns if c not in (id_col, geom_col)]
-        out = parts.groupBy(id_col).agg(
+        parts = clip(
+            s1, df2, res=res, geom_col=geom_col, id_col="_pid",
+            _plan=_plan,
+        ).drop("_pid")
+        # single-part subjects skip the re-union (see difference)
+        parts = cache.track(parts.persist())
+        attrs = [c for c in parts.columns if c not in (id_col, geom_col, "_nparts")]
+        singles = parts.where(F.col("_nparts") <= 1).drop("_nparts")
+        multi = parts.where(F.col("_nparts") > 1).drop("_nparts")
+        out = multi.groupBy(id_col).agg(
             _union_parts_udf()(F.collect_list(geom_col)).alias(geom_col),
             *[F.first(c).alias(c) for c in attrs],
-        )
+        ).unionByName(singles.select(id_col, geom_col, *attrs))
         return _postprocess(out, geom_col, gridsize, explodecollections, where_post)
+    if _plan == "forward":
+        out = _broadcast_combine(df1, df2, "intersection", geom_col)
+        return _postprocess(
+            out, geom_col, gridsize, explodecollections, where_post
+        )
     # l1 ∩ union(blades) = union(l1 ∩ blade_i): compute PAIRWISE
     # intersections with the batched Arrow kernel, then union the (small)
     # result fragments per l1 row — unioning full blade polygons first
