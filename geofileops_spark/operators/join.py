@@ -477,6 +477,72 @@ def join_points_in_polygons(
             poly_id_col, F.element_at(ids_arr, F.col("_pidx") + 1)
         ).drop("_pidx")
 
+    if len(payload) > 256:
+        # grid-indexed path for large irregular polygon sides: the plain
+        # fallback below scans every polygon per batch (O(polys x batch)
+        # — a 100k-polygon layer would crawl). Same bbox grid the export
+        # broadcast probe uses; per batch, candidates come from one
+        # vectorized probe and each polygon tests only ITS candidate
+        # points.
+        bbs = np.ascontiguousarray(
+            np.asarray([K.bounds(W.loads(b)) for _, b in payload], dtype=np.float64)
+        )
+        ext = np.maximum(bbs[:, 2] - bbs[:, 0], bbs[:, 3] - bbs[:, 1])
+        med = float(np.median(ext))
+        span = max(
+            float(bbs[:, 2].max() - bbs[:, 0].min()),
+            float(bbs[:, 3].max() - bbs[:, 1].min()),
+            1e-9,
+        )
+        cellsz = max(2.0 * med if med > 0 else span / 256.0, span / 4096.0)
+        gx0 = float(bbs[:, 0].min())
+        gy0 = float(bbs[:, 1].min())
+        grid = _grid_index(bbs, cellsz, gx0, gy0)
+        bc_grid = points.sparkSession.sparkContext.broadcast(
+            (grid, bbs, cellsz, gx0, gy0)
+        )
+
+        @pandas_udf("array<long>")
+        def _match_grid(xs: pd.Series, ys: pd.Series) -> pd.Series:
+            (ukey, starts, ends, srow, big_rows), bbv, csz, x0, y0 = bc_grid.value
+            payload_v = bc_payload.value
+            pts = np.column_stack(
+                [xs.to_numpy(np.float64), ys.to_numpy(np.float64)]
+            )
+            hit_lists: list = [None] * len(pts)
+            B = np.column_stack([pts, pts])  # degenerate point bboxes
+            pr, pl = _batch_candidates(
+                B, ukey, starts, ends, srow, big_rows, csz, x0, y0, bbv
+            )
+            if len(pr) == 0:
+                return pd.Series(hit_lists)
+            # group candidate pairs by POLYGON (ascending index == the
+            # payload order the plain path appends in) so each polygon
+            # runs ONE vectorized PIP over just its candidate points
+            order = np.argsort(pl, kind="stable")
+            pl_s, pr_s = pl[order], pr[order]
+            pstarts = np.concatenate(
+                ([0], np.nonzero(np.diff(pl_s))[0] + 1, [len(pl_s)])
+            )
+            for s, e in zip(pstarts[:-1], pstarts[1:]):
+                j = int(pl_s[s])
+                pid, blob = payload_v[j]
+                g = W.loads(blob)
+                sub = pr_s[s:e]
+                inside = K.points_in_multipolygon(pts[sub], g) >= 1
+                for i in sub[inside]:
+                    if hit_lists[i] is None:
+                        hit_lists[i] = []
+                    hit_lists[i].append(pid)
+            return pd.Series(hit_lists)
+
+        _match_grid = _match_grid.asNondeterministic()
+        out = points.withColumn(
+            "_hits", _match_grid(F.col(x_col), F.col(y_col))
+        )
+        out = out.where(F.col("_hits").isNotNull())
+        return out.withColumn(poly_id_col, F.explode("_hits")).drop("_hits")
+
     @pandas_udf("array<long>")
     def _match(xs: pd.Series, ys: pd.Series) -> pd.Series:
         geoms = [(pid, W.loads(b)) for pid, b in bc_payload.value]

@@ -365,3 +365,46 @@ def test_export_by_distance_sphere(spark):
     assert out.columns == ["fid", "geom_wkb"]
     far = J.export_by_distance(l1, l2, max_distance=10_000.0, metric="sphere")
     assert far.count() == 0
+
+
+def test_join_points_in_polygons_grid_path_matches_scan(spark):
+    """>256 irregular (non-rect) polygons engage the grid-indexed probe;
+    its (point, polygon) pairs must equal the plain per-polygon scan."""
+    import numpy as np
+
+    from geofileops_spark.functions.st import st_geomfromtext
+    from geofileops_spark.operators.join import join_points_in_polygons
+
+    rng = np.random.RandomState(11)
+    n_poly = 400
+    tris = []
+    for i in range(n_poly):
+        cx, cy = rng.uniform(0, 1000, 2)
+        r = rng.uniform(5, 25)
+        pts = [(cx + r * np.cos(a + 0.3), cy + r * np.sin(a + 0.3))
+               for a in (0.0, 2.1, 4.2)]
+        wkt = "POLYGON ((" + ", ".join(f"{x} {y}" for x, y in pts + [pts[0]]) + "))"
+        tris.append((i, wkt))
+    polys = spark.createDataFrame(tris, "fid long, wkt string").withColumn(
+        "geom_wkb", st_geomfromtext(F.col("wkt"))
+    ).drop("wkt")
+    pts_rows = [(int(i), float(x), float(y)) for i, (x, y) in
+                enumerate(rng.uniform(0, 1000, size=(3000, 2)))]
+    points = spark.createDataFrame(pts_rows, "pt long, lon double, lat double")
+
+    got = sorted(
+        (r["pt"], r["fid"])
+        for r in join_points_in_polygons(points, polys, "lon", "lat", "fid").collect()
+    )
+
+    # oracle: brute-force bbox+PIP over every polygon, driver-side
+    from geofileops_spark.geometry import kernels as K
+    from geofileops_spark.geometry import wkb as W
+
+    geoms = {r["fid"]: W.loads(bytes(r["geom_wkb"])) for r in polys.collect()}
+    P = np.asarray([(x, y) for _, x, y in pts_rows])
+    exp = []
+    for fid in sorted(geoms):
+        inside = K.points_in_multipolygon(P, geoms[fid]) >= 1
+        exp.extend((int(i), fid) for i in np.nonzero(inside)[0])
+    assert got == sorted(exp) and len(got) > 0

@@ -443,3 +443,35 @@ def test_contamination_flag(spark, docs):
     exp = {d: h for d, h in naive}
     for d, r in rows.items():
         assert r["hits"] == exp.get(d, 0), d
+
+
+def test_dup_clusters_deep_chain_pointer_doubling(spark):
+    # 1001-node path: diameter 1000 — plain min-propagation would need
+    # ~1000 rounds; pointer doubling converges in O(log n) well inside
+    # the default max_rounds=20
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(1000)], "id_a long, id_b long"
+    )
+    comp = DD.dup_clusters(chain)
+    labels = {r["id"]: r["cluster_id"] for r in comp.collect()}
+    assert len(labels) == 1001
+    assert set(labels.values()) == {0}
+
+
+def test_ivf_centroid_training_spread(spark):
+    # corpus clustered by partition: partition 0 holds ONLY cluster-A
+    # vectors, partition 1 only cluster-B. A head-biased limit() sample
+    # would train every centroid on cluster A; the spread sampler must
+    # produce centroids from both clusters.
+    import numpy as np
+
+    from geofileops_spark.ml.similarity import _train_centroids
+
+    rows_a = [([0.0 + 0.001 * i, 0.0],) for i in range(2000)]
+    rows_b = [([100.0 + 0.001 * i, 100.0],) for i in range(2000)]
+    a = spark.createDataFrame(rows_a, "v array<double>").repartition(1)
+    b = spark.createDataFrame(rows_b, "v array<double>").repartition(1)
+    corpus = a.union(b)  # partition-clustered by construction
+    cents = _train_centroids(corpus, "v", n_centroids=4, seed=7, sample=256)
+    xs = np.asarray(cents)[:, 0]
+    assert (xs < 50).any() and (xs > 50).any()
