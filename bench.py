@@ -273,17 +273,18 @@ def parcel_queries(spark, pa: str, pb: str) -> dict:
         "parcels_union_full": lambda: union_full_self(
             p0, agg_shape="COLUMNS"
         ).count(),
-    }
-    # measured-infeasible at 500k this round: symmetric_difference vs
-    # 4x30k-coord rings bottoms out in the d12 side — 3 giant features
-    # concentrate all kernel work on 3 tasks and the Python ring walk is
-    # ~10x GEOS C there (100 s at 50k even after the weld-union kernel;
-    # was never-finishing). Opt-in only so the default bench run ALWAYS
-    # terminates; see BASELINE.md.
-    if os.environ.get("SPARK_GRAFT_BENCH_HEAVY", "") == "1":
-        queries["parcels_symdiff_complex"] = lambda: ov_symdiff(
+        # UNGATED in round 5 (was SPARK_GRAFT_BENCH_HEAVY-only):
+        # symmetric_difference vs 4x30k-coord rings. The r4 scale-killer
+        # (d12 kernel work concentrated on 3 tasks + per-segment Python
+        # in the weld) was fixed by the reverse-broadcast candidate plan,
+        # the _nparts re-union bypass, banded point-in-ring and the
+        # vectorized weld pipeline: never-finishing -> ~15 min -> ~2.5-3
+        # min at 500k. Still the one op above the 2x bar (ref 36.4 s on
+        # its Flanders data) — honest number, always terminates.
+        "parcels_symdiff_complex": lambda: ov_symdiff(
             cx30, p1, subdivide_coords=2000
-        ).count()
+        ).count(),
+    }
     return queries
 
 
@@ -358,6 +359,13 @@ def main():
             reps = PARCEL_HEAVY_REPS
         elif name == "parcels_buffer":
             reps = PARCEL_BUFFER_REPS
+        elif name == "parcels_symdiff_complex":
+            # single COLD rep: the subdivide plan persists its parts
+            # frame, so a second rep would reuse it via Spark's
+            # plan-equality cache and measure only the re-union — a
+            # warm-rep min here would overstate the one op that is still
+            # above the 2x bar
+            reps = 1
         else:
             reps = PARCEL_REPS
         for _ in range(reps):

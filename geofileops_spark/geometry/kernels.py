@@ -151,6 +151,14 @@ def points_in_ring(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
     if n == 0:
         return np.empty(0, dtype=np.int8)
     m = len(ring) - 1
+    if n == 1:
+        # overlay kernels issue MILLIONS of 1-point containment probes
+        # (orientation picks, interior-point tests) against small rings;
+        # the dense (n,m) broadcast path costs ~0.35 ms of pure numpy
+        # setup per call — the flat single-point path is ~5x cheaper
+        out = np.empty(1, dtype=np.int8)
+        out[0] = _pir_single(float(pts[0, 0]), float(pts[0, 1]), ring)
+        return out
     if n * m > 2_000_000 and m > 512:
         return _points_in_ring_banded(pts, ring)
     x, y = pts[:, 0:1], pts[:, 1:2]  # (n,1)
@@ -178,6 +186,36 @@ def points_in_ring(pts: np.ndarray, ring: np.ndarray) -> np.ndarray:
     out[inside] = 2
     out[on_boundary] = 1
     return out
+
+
+def _pir_single(px: float, py: float, ring: np.ndarray) -> int:
+    """One point vs one closed ring — flat 1-D twin of the dense path
+    (formulas identical, including every EPS threshold); returns the
+    same 0/1/2 code. Exists purely to kill the (n,1)x(1,m) broadcast
+    setup cost on the million-call single-probe pattern."""
+    x1 = ring[:-1, 0]
+    y1 = ring[:-1, 1]
+    x2 = ring[1:, 0]
+    y2 = ring[1:, 1]
+    dx = x2 - x1
+    dy = y2 - y1
+    rx = px - x1
+    ry = py - y1
+    cross = rx * dy - ry * dx
+    seg2 = dx * dx + dy * dy
+    on_line = cross * cross <= (EPS * 1e6) ** 2 * np.maximum(seg2, EPS)
+    if on_line.any():
+        dot = rx * dx + ry * dy
+        if (on_line & (dot >= -EPS) & (dot <= seg2 + EPS)).any():
+            return 1
+    cond = (y1 > py) != (y2 > py)
+    idx = np.nonzero(cond)[0]
+    if len(idx) == 0:
+        return 0
+    # dy is never 0 where cond holds (the endpoints straddle py strictly
+    # on one side), so the division needs no errstate guard
+    xints = x1[idx] + (py - y1[idx]) * dx[idx] / dy[idx]
+    return 2 if (np.count_nonzero(px < xints) & 1) else 0
 
 
 def _pir_dense(px, py, ex1, ey1, ex2, ey2):

@@ -162,25 +162,65 @@ def prefix_columns(df: DataFrame, prefix: str, exclude: tuple = ()) -> DataFrame
 
 
 def sample_rows_spread(df: DataFrame, col: str, sample: int = 2000):
-    """Planning sample that is NOT head-biased: take the first rows of
-    EVERY partition (one cheap task each, reading only its first Arrow
-    chunk) instead of ``limit(n)`` (which reads partition 0 only — on
-    cell-clustered input, the head is one spatial neighbourhood and any
-    extent/density estimate from it is wrong)."""
+    """Planning sample that is NOT head-biased.
+
+    Many-partition frames (the 100-TB shape): take the first rows of
+    EVERY ``stride``-th partition (one cheap task each, reading only its
+    first Arrow chunk) instead of ``limit(n)`` (which reads partition 0
+    only — on cell-clustered input, the head is one spatial neighbourhood
+    and any extent/density estimate from it is wrong). Partition striding
+    (not a tail ``limit``) keeps the yield ≈ ``sample`` when there are
+    more partitions than budget — a plain limit would keep only the FIRST
+    partitions' heads, re-introducing the bias across partitions.
+
+    Few-partition frames (< 8 — e.g. AQE coalesced a small input into
+    ONE partition, where "head of every partition" degenerates to a
+    plain head): stride WITHIN the partition instead, thinning with a
+    doubling step so memory stays bounded at ~2x the budget while the
+    kept rows stay evenly spread across the whole partition."""
+    import numpy as np
     import pandas as pd
+    from pyspark import TaskContext
 
     sub = df.select(col)
-    per_part = max(4, sample // max(sub.rdd.getNumPartitions(), 1))
+    nparts = max(sub.rdd.getNumPartitions(), 1)
+    per_part = max(4, sample // nparts)
+    part_stride = max(1, (nparts * per_part) // max(sample, 1))
+    thin_scan = nparts < 8
 
     def _heads(batches):
-        taken = 0
+        ctx = TaskContext.get()
+        pid = ctx.partitionId() if ctx is not None else 0
+        if pid % part_stride != 0:
+            return
+        if not thin_scan:
+            taken = 0
+            for pdf in batches:
+                take = min(len(pdf), per_part - taken)
+                if take > 0:
+                    yield pdf.head(take)
+                taken += take
+                if taken >= per_part:
+                    return
+            return
+        kept = None
+        stride = 1
         for pdf in batches:
-            take = min(len(pdf), per_part - taken)
-            if take > 0:
-                yield pdf.head(take)
-            taken += take
-            if taken >= per_part:
-                break
+            part = pdf if stride == 1 else pdf.iloc[::stride]
+            kept = part if kept is None else pd.concat(
+                [kept, part], ignore_index=True
+            )
+            while len(kept) > 2 * per_part:
+                kept = kept.iloc[::2].reset_index(drop=True)
+                stride *= 2
+        if kept is None or not len(kept):
+            return
+        if len(kept) <= per_part:
+            yield kept
+        else:
+            yield kept.iloc[
+                np.linspace(0, len(kept) - 1, per_part).astype(int)
+            ]
 
     return sub.mapInPandas(_heads, schema=sub.schema).limit(sample).collect()
 

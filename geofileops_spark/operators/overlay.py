@@ -204,23 +204,38 @@ def subdivide_layer(
     (geofileops ``_geoops_sql.py:1358-1444``): all attribute columns are
     retained on every part; downstream re-union groups on the stable id.
     ``with_pos`` adds a ``_subpos`` part-index column (deterministic —
-    posexplode order), for callers that need a stable per-part key."""
+    posexplode order), for callers that need a stable per-part key.
+
+    Rows whose WKB is at most ``16 * max_coords`` bytes cannot exceed
+    ``max_coords`` vertices (WKB stores >= 16 bytes per coordinate), so
+    they bypass the pandas UDF entirely on a pure-JVM length filter —
+    for a 500k-parcel layer under the reference's 2000-10000 defaults
+    that removes the whole Arrow round trip; only genuinely complex
+    geometries pay the Python kernel. NULL geometries are dropped by
+    both branches, matching the explode(NULL-array) behavior of the
+    single-branch plan."""
     from ..functions.st import st_subdivide_array
 
-    df = df.withColumn("_subparts", st_subdivide_array(F.col(geom_col), max_coords))
+    small = F.length(F.col(geom_col)) <= F.lit(16 * max_coords)
+    big = df.where(~small).withColumn(
+        "_subparts", st_subdivide_array(F.col(geom_col), max_coords)
+    )
     if with_pos:
         # _nparts lets the caller route single-part rows (the vast
         # majority for small-geometry layers) around the per-id re-union
         # shuffle entirely — subdivide + union of one part is the identity
-        df = df.withColumn("_nparts", F.size("_subparts"))
-        df = df.select(
-            *[c for c in df.columns if c not in (geom_col, "_subparts")],
+        big = big.withColumn("_nparts", F.size("_subparts"))
+        big = big.select(
+            *[c for c in big.columns if c not in (geom_col, "_subparts")],
             F.posexplode("_subparts").alias("_subpos", geom_col),
         )
-        return df
-    return (
-        df.withColumn(geom_col, F.explode("_subparts")).drop("_subparts")
-    )
+        sm = df.where(small).withColumn("_nparts", F.lit(1)).withColumn(
+            "_subpos", F.lit(0)
+        )
+        return big.unionByName(sm.select(*big.columns))
+    sm = df.where(small)
+    big = big.withColumn(geom_col, F.explode("_subparts")).drop("_subparts")
+    return big.unionByName(sm.select(*big.columns))
 
 
 def _union_parts_udf():
@@ -644,6 +659,12 @@ def difference(
         s1 = s1.withColumn(
             "_pid", F.xxhash64(F.col(id_col), F.col("_subpos"))
         ).drop("_subpos")
+        if _plan == "reverse":
+            # the reverse plan evaluates s1 twice (bbox collect + the
+            # combine join) and the subdivide of a few giant rows runs
+            # on as many tasks as there are ROWS — persist the exploded
+            # parts so the multi-second explode happens once
+            s1 = cache.track(s1.persist())
         # erase side: geometry-only parts (attributes never survive a
         # difference); no part id needed — the default candidate plan
         # dedups by reference point, not by id
@@ -693,6 +714,16 @@ def difference(
     else:
         others = _collect_candidates(df1, df2, res, geom_col, id_col)
     joined = df1.join(others, on=id_col, how="left")
+    if _plan == "reverse":
+        # few-subjects path: the collect_list shuffle output is only a
+        # few dozen MB, so AQE coalesces it to a handful of partitions —
+        # but each row carries a MINUTES-scale combine kernel (one giant
+        # blade union + difference per subject part). Explicit
+        # round-robin repartition (AQE never coalesces an explicit
+        # repartition) spreads the ~hundreds of kernel rows across the
+        # executor width; the shuffled bytes are trivial by construction.
+        n = joined.sparkSession.sparkContext.defaultParallelism * 2
+        joined = joined.repartition(n)
     diffed = joined.withColumn(
         "_diff",
         F.when(
