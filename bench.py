@@ -388,6 +388,19 @@ def main():
     value_core = round(sum(timings[k] for k in core if k in timings), 3)
     eff_primary = round((t_lo / t_mid) / (SCALING_MID / SCALING_LO), 4)
     eff_hi = round((t_mid / t_hi) / (CPUS / SCALING_MID), 4)
+
+    # hardware bandwidth ceiling at the secondary pair's widths (~8 s):
+    # independent-process streaming copies — an engine-free upper bound
+    # on how any bandwidth-bound stage can scale on this box
+    from tools.bw_probe import aggregate_gbps
+
+    bw = {
+        str(SCALING_MID): round(aggregate_gbps(SCALING_MID, dur=2.0), 1),
+        str(CPUS): round(aggregate_gbps(CPUS, dur=2.0), 1),
+    }
+    bw_eff = round(
+        (bw[str(CPUS)] / bw[str(SCALING_MID)]) / (CPUS / SCALING_MID), 4
+    )
     print(
         json.dumps(
             {
@@ -409,6 +422,13 @@ def main():
                     "pair_secondary": f"{SCALING_MID}->{CPUS}",
                     "t_hi_sec": round(t_hi, 3),
                     "efficiency_hi": eff_hi,
+                    # hardware context for the secondary pair: aggregate
+                    # streaming memory bandwidth of N independent OS
+                    # processes (tools/bw_probe.py — no JVM/Spark). The
+                    # scan/string-bound flagship cannot scale past this
+                    # ceiling; see BASELINE.md "Scaling ceiling".
+                    "bw_gbps": bw,
+                    "bw_efficiency_hi": bw_eff,
                 },
             }
         )

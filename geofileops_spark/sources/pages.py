@@ -167,8 +167,12 @@ def extract_points(pages: DataFrame, res: int = 12, with_geom: bool = True) -> D
         .where(F.col("_t") != "")
         .select(
             "url",
-            F.split(F.col("_t"), ",")[0].cast("double").alias("lat"),
-            F.split(F.col("_t"), ",")[1].cast("double").alias("lon"),
+            # substring_index, not split: split allocates a 2-element
+            # array per row (and project-collapsing evaluates it once per
+            # consumer) — on a bandwidth-ceilinged box every avoided
+            # allocation is measurable at full width
+            F.substring_index(F.col("_t"), ",", 1).cast("double").alias("lat"),
+            F.substring_index(F.col("_t"), ",", -1).cast("double").alias("lon"),
         )
         .withColumn("fid", F.xxhash64(F.col("url")))
     )
@@ -194,7 +198,25 @@ def zones_wkt() -> list[tuple[int, str, str]]:
 
 
 def synth_zones(spark: SparkSession) -> DataFrame:
-    from ..functions.st import st_geomfromtext
+    """5-row zone dim table, WKB built driver-side.
 
-    df = spark.createDataFrame(zones_wkt(), "fid long, naam string, wkt string")
-    return df.withColumn("geom_wkb", st_geomfromtext(F.col("wkt"))).drop("wkt")
+    Deliberately NOT a pandas-UDF parse of the WKT: a dimension table this
+    small would pay a Python-worker Spark job on every ``collect()`` of
+    the zone geometries (join_points_in_polygons collects them to build
+    its broadcast payload) — ~0.8 s of pure fixed cost per flagship call,
+    which at 32 cores was a measurable slice of the whole job. Building
+    the WKB in the driver makes the zones a LocalTableScan: collecting it
+    never launches a Python worker."""
+    from ..geometry import wkb as _wkb
+    from ..geometry.geom import Geometry
+
+    rows = []
+    for i, (clon, clat, spread, _w) in enumerate(CLUSTERS, start=1):
+        s = spread * 1.2
+        blob = bytearray(
+            _wkb.dumps(Geometry.box(clon - s, clat - s, clon + s, clat + s))
+        )
+        rows.append((i, f"zone_{i}", blob))
+    return spark.createDataFrame(
+        rows, "fid long, naam string, geom_wkb binary"
+    )
