@@ -116,12 +116,27 @@ def _combine_vs_union_udf(mode: str):
         # candidate sets (e.g. thousands of parcels against the same 2-4
         # subdivided ring parts) — union each distinct set once per batch
         blade_memo: dict = {}
+        # blade DECODE memo: each blade geometry appears in every
+        # neighbouring subject's candidate list; ids are spatially
+        # correlated and the post-groupBy sort keeps neighbours in the
+        # same batch often enough that decoding each distinct blob once
+        # per batch beats re-parsing it per occurrence
+        geom_memo: dict = {}
+
+        def _load(b):
+            bb = bytes(b)
+            g = geom_memo.get(bb)
+            if g is None:
+                g = W.loads(bb)
+                geom_memo[bb] = g
+            return g
+
         for b1, arr in zip(wkb1, others):
             if b1 is None or arr is None or len(arr) == 0:
                 out.append(None)
                 continue
             g1 = W.loads(bytes(b1))
-            g2s = [W.loads(bytes(b)) for b in arr if b is not None]
+            g2s = [_load(b) for b in arr if b is not None]
             if mode == "difference_union":
                 # key on the sorted byte tuple itself (NOT hash(): a 64-bit
                 # collision would silently reuse the wrong unioned blade)
@@ -298,13 +313,27 @@ def intersection(
     out = drop_helper_columns(out).drop(g1, g2)
     if sub:
         # under subdivide, an all-empty pair survives as one NULL-geom row
-        # (collect_list skips NULL parts; the union UDF maps [] -> NULL)
+        # (collect_list skips NULL parts; [] maps to NULL in both branches)
         keys = [f"l1_{id_col}", f"l2_{id_col}"]
         attrs = [c for c in out.columns if c not in keys and c != geom_col]
-        out = out.groupBy(*keys).agg(
-            _union_parts_udf()(F.collect_list(geom_col)).alias(geom_col),
-            *[F.first(c).alias(c) for c in attrs],
+        grouped = cache.track(
+            out.groupBy(*keys)
+            .agg(
+                F.collect_list(geom_col).alias("_pieces"),
+                *[F.first(c).alias(c) for c in attrs],
+            )
+            .persist()
         )
+        # <=1-piece groups skip the union kernel (identity); F.get is
+        # NULL on an empty array even under ANSI. Two branches, not a
+        # when(): Catalyst evaluates Python UDFs for every row otherwise
+        singles = grouped.where(F.size("_pieces") <= 1).withColumn(
+            geom_col, F.get("_pieces", 0)
+        )
+        multi = grouped.where(F.size("_pieces") > 1).withColumn(
+            geom_col, _union_parts_udf()(F.col("_pieces"))
+        )
+        out = singles.unionByName(multi).drop("_pieces")
     return _postprocess(
         out, geom_col, gridsize, explodecollections, where_post, keep_empty_geoms
     )
@@ -845,9 +874,24 @@ def clip(
     pieces = pairs.withColumn(
         "_piece", _pair_intersection_udf(F.col(g1), F.col(g2))
     ).where(F.col("_piece").isNotNull())
-    merged = pieces.groupBy(F.col(f"l1_{id_col}").alias(id_col)).agg(
-        _union_parts_udf()(F.collect_list("_piece")).alias(geom_col)
+    grouped = cache.track(
+        pieces.groupBy(F.col(f"l1_{id_col}").alias(id_col))
+        .agg(F.collect_list("_piece").alias("_pieces"))
+        .persist()
     )
+    # single-piece rows (the majority for parcel-scale inputs) skip the
+    # union kernel entirely: the piece is already an extracted MULTI
+    # geometry and union of one geometry is the identity. Two branches
+    # over the persisted groupBy output, NOT a when() — Catalyst pulls
+    # Python UDFs into an ArrowEvalPython node that evaluates them for
+    # EVERY row regardless of the condition
+    singles = grouped.where(F.size("_pieces") == 1).withColumn(
+        geom_col, F.element_at("_pieces", 1)
+    )
+    multi = grouped.where(F.size("_pieces") > 1).withColumn(
+        geom_col, _union_parts_udf()(F.col("_pieces"))
+    )
+    merged = singles.unionByName(multi).drop("_pieces")
     out = df1.drop(geom_col).join(merged, on=id_col, how="inner")
     out = out.where(F.col(geom_col).isNotNull()).select(*df1.columns)
     return _postprocess(out, geom_col, gridsize, explodecollections, where_post)
