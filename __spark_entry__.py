@@ -1918,7 +1918,11 @@ _R5_GRADE_FIRST = [
     "join_by_location_within",
     "join_by_location_left",
     "page_cells",
-    "explode_parts",
+    # r5 also rewrote the geotag extraction (substring_index parse,
+    # driver-side zones WKB) — the byte-identical text invariant query
+    # must be driver-stamped on the new code (explode_parts, r4-green
+    # and untouched, rotates to the tail to make room)
+    "pages_text_passthrough",
 ]
 
 
