@@ -41,3 +41,34 @@ def test_adaptive_splits_dense_cells(spark):
     top_plain = plain.groupBy("l1__cell").count().agg(F.max("count")).collect()[0][0]
     top_adaptive = adaptive.groupBy("l1__cell").count().agg(F.max("count")).collect()[0][0]
     assert top_adaptive < top_plain
+
+
+def test_synth_zones_wkb_matches_wkt_corners(spark):
+    """The round-5 driver-side zones WKB (no pandas-UDF job on collect)
+    must decode to exactly the rectangles zones_wkt() spells out."""
+    import re
+
+    from geofileops_spark.geometry import wkb as W
+    from geofileops_spark.sources.pages import zones_wkt
+
+    rows = {r["fid"]: r for r in synth_zones(spark).collect()}
+    assert len(rows) == 5
+    for fid, name, wkt in zones_wkt():
+        nums = [
+            float(v)
+            for pair in re.findall(r"(-?[\d.]+) (-?[\d.]+)", wkt)
+            for v in pair
+        ]
+        xs, ys = nums[0::2], nums[1::2]
+        g = W.loads(bytes(rows[fid]["geom_wkb"]))
+        polys = g.polygons()
+        assert len(polys) == 1 and len(polys[0]) == 1
+        ring = polys[0][0]
+        assert rows[fid]["naam"] == name
+        assert ring[:, 0].min() == min(xs) and ring[:, 0].max() == max(xs)
+        assert ring[:, 1].min() == min(ys) and ring[:, 1].max() == max(ys)
+    # zones must NOT run a pandas-UDF stage: no ArrowEvalPython /
+    # BatchEvalPython node anywhere in the plan (it is a plain
+    # createDataFrame scan)
+    plan = synth_zones(spark)._jdf.queryExecution().executedPlan().toString()
+    assert "EvalPython" not in plan
