@@ -1443,6 +1443,55 @@ def _polys_by_orientation(rings: list[np.ndarray]) -> list[list[np.ndarray]] | N
     return polys
 
 
+def _axis_partial_overlap(e: np.ndarray, own: np.ndarray) -> bool:
+    """True when two DIFFERENT owners have axis-parallel segments sharing
+    a collinear interval of positive length (endpoint touches don't
+    count). `e` is an (n,4) snapped segment array [x1,y1,x2,y2], `own`
+    the per-segment owner id."""
+    for axis in (0, 1):  # 0: vertical (equal x), 1: horizontal (equal y)
+        c, v = (0, 1) if axis == 0 else (1, 0)
+        m = e[:, c] == e[:, c + 2]
+        if not m.any():
+            continue
+        const = e[m, c]
+        lo = np.minimum(e[m, v], e[m, v + 2])
+        hi = np.maximum(e[m, v], e[m, v + 2])
+        ow = own[m]
+        order = np.lexsort((lo, const))
+        const = const[order]
+        lo = lo[order]
+        hi = hi[order]
+        ow = ow[order]
+        run_start = np.ones(len(const), dtype=bool)
+        run_start[1:] = const[1:] != const[:-1]
+        idx = np.where(run_start)[0]
+        bounds = np.append(idx, len(const))
+        for s, t in zip(bounds[:-1], bounds[1:]):
+            # sweep by interval start: track the furthest-reaching open
+            # interval overall AND the furthest of any OTHER owner, so a
+            # cross-owner overlap is caught even when the same owner
+            # dominates the sweep line
+            m1_end = -np.inf
+            m1_own = -1
+            m2_end = -np.inf
+            m2_own = -1
+            for j in range(s, t):
+                L = lo[j]
+                H = hi[j]
+                O = int(ow[j])
+                if (m1_own not in (-1, O) and L < m1_end) or (
+                    m2_own not in (-1, O) and L < m2_end
+                ):
+                    return True
+                if H > m1_end:
+                    if m1_own != O and m1_end > m2_end:
+                        m2_end, m2_own = m1_end, m1_own
+                    m1_end, m1_own = H, O
+                elif O != m1_own and H > m2_end:
+                    m2_end, m2_own = H, O
+    return False
+
+
 def weld_all(polys: list[list[np.ndarray]]) -> list[list[np.ndarray]] | None:
     """EXACT union of MANY interior-disjoint polygons in one global pass
     (the N-ary generalization of :func:`_weld_pair`): hash-cancel
@@ -1536,12 +1585,22 @@ def weld_all(polys: list[list[np.ndarray]]) -> list[list[np.ndarray]] | None:
         new_run = np.ones(len(k), dtype=bool)
         new_run[1:] = (k[1:] != k[:-1]).any(axis=1)
         starts = np.where(new_run)[0]
-        return bool(
+        if bool(
             (
                 np.minimum.reduceat(so, starts)
                 != np.maximum.reduceat(so, starts)
             ).any()
-        )
+        ):
+            return True
+        # PARTIAL collinear seams: two owners sharing an axis-parallel
+        # interval with DIFFERENT vertex subdivisions produce no exact
+        # duplicate edge, so the scan above misses them — the weld then
+        # accepts an under-merged output whose phantom seam later breaks
+        # hole placement and downstream re-welds. Subdivide cuts and
+        # tile grids are axis-parallel, so the axis scan catches the
+        # seams that matter; flagging sends the weld into its noding
+        # retry, which cancels them.
+        return _axis_partial_overlap(e, own)
 
     def _mids(poly):
         segs = []

@@ -223,6 +223,27 @@ def test_weld_all_rejects_overlap():
     assert C.weld_all([a, b]) is None
 
 
+def test_weld_all_partial_collinear_seam():
+    # Two rects sharing only a PARTIAL axis-parallel seam ([1,2]x{1}) with
+    # different vertex subdivisions: no exact duplicate edge exists, so the
+    # duplicate-edge residual scan alone misses the seam and the first weld
+    # pass under-merges (the round-4 "phantom tile seam" failure mode). The
+    # partial-overlap residual check must flag it so the noding retry
+    # produces the TRUE union: one polygon, exact area 4.
+    a = [np.array([[0, 0], [2, 0], [2, 1], [0, 1], [0, 0]], dtype=np.float64)]
+    b = [np.array([[1, 1], [3, 1], [3, 2], [1, 2], [1, 1]], dtype=np.float64)]
+    out = C.weld_all([a, b])
+    if out is None:
+        return  # refusing (caller falls back to exact union) is also sound
+    total = sum(
+        abs(C.ring_signed_area(p[0]))
+        - sum(abs(C.ring_signed_area(h)) for h in p[1:])
+        for p in out
+    )
+    assert total == pytest.approx(4.0, abs=1e-9)
+    assert len(out) == 1  # welded means MERGED, not two touching parts
+
+
 def test_mp_difference_tiled_matches_sequential():
     # big box minus 30 disjoint small boxes: tiled path (>=16 blades) must
     # equal the sequential result's area exactly
