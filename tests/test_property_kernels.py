@@ -98,3 +98,51 @@ def test_relate_symmetry_boxes(pts, k):
     b = gbox((-100 + 50 * k, -100, 100, 100))
     assert P.intersects(hull, b) == P.intersects(b, hull)
     assert P.disjoint(hull, b) == (not P.intersects(hull, b))
+
+
+@st.composite
+def guillotine_tiling(draw):
+    """Random rectilinear tiling of [0,32]^2 by recursive guillotine cuts,
+    each tile's edges then subdivided at DIFFERENT interior points — so
+    adjacent tiles share partial axis-parallel seams with mismatched
+    vertex sets (the weld's hardest certification case: no exact
+    duplicate edges across the seam, only collinear overlaps)."""
+    rects = [(0, 0, 32, 32)]
+    for _ in range(draw(st.integers(min_value=2, max_value=5))):
+        i = draw(st.integers(min_value=0, max_value=len(rects) - 1))
+        x0, y0, x1, y1 = rects[i]
+        if draw(st.booleans()) and x1 - x0 >= 2:
+            c = draw(st.integers(min_value=x0 + 1, max_value=x1 - 1))
+            rects[i] = (x0, y0, c, y1)
+            rects.append((c, y0, x1, y1))
+        elif y1 - y0 >= 2:
+            c = draw(st.integers(min_value=y0 + 1, max_value=y1 - 1))
+            rects[i] = (x0, y0, x1, c)
+            rects.append((x0, c, x1, y1))
+    polys = []
+    for x0, y0, x1, y1 in rects:
+        corners = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+        pts = []
+        for (ax, ay), (bx, by) in zip(corners, corners[1:] + corners[:1]):
+            pts.append((float(ax), float(ay)))
+            # mismatched per-tile subdivision of the shared edge
+            if draw(st.booleans()):
+                t = draw(st.integers(min_value=1, max_value=7)) / 8.0
+                pts.append((ax + (bx - ax) * t, ay + (by - ay) * t))
+        pts.append(pts[0])
+        polys.append([np.array(pts, dtype=np.float64)])
+    return polys
+
+
+@settings(max_examples=100, deadline=None)
+@given(guillotine_tiling())
+def test_weld_all_guillotine_partial_seams(polys):
+    # a weld that ACCEPTS must be the exact union: one polygon (the tiles
+    # tile a square), exact area 1024, no holes; None (fall back to the
+    # exact GH union) is sound but must not be the common case
+    out = C.weld_all(polys)
+    if out is None:
+        return
+    assert len(out) == 1
+    assert len(out[0]) == 1
+    assert abs(C.ring_signed_area(out[0][0])) == 1024.0
