@@ -1234,6 +1234,83 @@ def _q_fingerprint(spark, sf_dir):
     return fingerprint(load(spark, sf_dir, "documents")).select("doc_id", "fp")
 
 
+def _q_repetition_stats(spark, sf_dir):
+    """Gopher-style duplicate-line / duplicate-word fractions
+    (text/analysis.py repetition_stats). The documents table is
+    single-line word soup, so the query derives a deterministic
+    multi-line text (line A, line B, line A, blank, line A) from each
+    doc — the SAME derivation the DuckDB oracle applies — giving real
+    duplicate-line structure to certify against."""
+    from geofileops_spark.sources.tpch_geo import load
+    from geofileops_spark.text.analysis import repetition_stats
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    a = F.substring(F.col("text"), 1, 40)
+    b = F.substring(F.col("text"), 41, 40)
+    nl = F.lit("\n")
+    derived = docs.withColumn(
+        "text", F.concat(a, nl, b, nl, a, nl, nl, a)
+    )
+    out = repetition_stats(derived)
+    ppm = lambda c: F.round(F.col(c) * 1000000).cast("long")  # noqa: E731
+    return out.select(
+        "doc_id",
+        "n_lines",
+        ppm("dup_line_frac").alias("dup_line_ppm"),
+        ppm("dup_word_frac").alias("dup_word_ppm"),
+        "max_line_len",
+    )
+
+
+def _q_redact_pii(spark, sf_dir):
+    """PII scrubbing (text/analysis.py redact_pii): emails, IPv4s and
+    international phone numbers replaced by typed tokens + per-kind
+    counts. PII is injected deterministically per doc (same injection in
+    the oracle) since the synthetic corpus contains none."""
+    from geofileops_spark.sources.tpch_geo import load
+    from geofileops_spark.text.analysis import redact_pii
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    derived = docs.withColumn(
+        "text",
+        F.concat(
+            F.lit("Contact "),
+            F.col("source"),
+            F.lit("@Example.COM or +32 475 11 22 33 from 10.0."),
+            (F.col("doc_id") % 200).cast("string"),
+            F.lit(".7 :: "),
+            F.substring(F.col("text"), 1, 50),
+        ),
+    )
+    return redact_pii(derived).select(
+        "doc_id", "n_emails", "n_ips", "n_phones", "redacted"
+    )
+
+
+def _q_host_rollup(spark, sf_dir):
+    """Per-host crawl rollup (text/analysis.py host_rollup) over URLs
+    synthesized deterministically from doc_id/source: canonical host
+    extraction (scheme/www/port/path stripped) then one partial-agg
+    shuffle on the host key."""
+    from geofileops_spark.sources.tpch_geo import load
+    from geofileops_spark.text.analysis import host_rollup
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text", "source")
+    with_url = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://www."),
+            F.col("source"),
+            F.lit(".Example.COM"),
+            F.when(F.col("doc_id") % 3 == 0, F.lit(":8443")).otherwise(F.lit("")),
+            F.lit("/d/"),
+            F.col("doc_id").cast("string"),
+            F.lit("?utm_source=x#frag"),
+        ),
+    )
+    return host_rollup(with_url).select("host", "n_docs", "sum_chars")
+
+
 def _docs_with_near_dups(spark, sf_dir):
     from geofileops_spark.sources.tpch_geo import load
 
@@ -1908,10 +1985,13 @@ _R5_GRADE_FIRST = [
     "listlayers_catalog",
     "export_by_location_semi",
     "export_by_location_disjoint",
-    "export_by_bounds_pts",
+    # brand-new r5 text/corpus ops must be driver-stamped this round;
+    # export_by_bounds_pts / where_post_buffer / remove_slivers rotate to
+    # the tail (r4-driver-graded green, their code paths untouched in r5)
+    "text_repetition_stats",
+    "text_redact_pii",
+    "url_host_rollup",
     "clip_by_geometry_box",
-    "where_post_buffer",
-    "remove_slivers",
     "simplify_zigzag",
     "simplify_lang",
     "join_by_location_intersects",
@@ -2016,6 +2096,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pages_pip_join": _q_pages_pip,
         "pages_text_passthrough": _q_pages_passthrough,
         "text_token_stats": _q_token_stats,
+        "text_repetition_stats": _q_repetition_stats,
+        "text_redact_pii": _q_redact_pii,
+        "url_host_rollup": _q_host_rollup,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
@@ -2404,6 +2487,55 @@ SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id"""
                     ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS BIGINT) AS n_tokens,
                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_tokens_bpe
         FROM documents""",
+        "text_repetition_stats": r"""WITH d AS (
+          SELECT doc_id,
+                 substr(text, 1, 40) || chr(10) || substr(text, 41, 40)
+                 || chr(10) || substr(text, 1, 40) || chr(10) || chr(10)
+                 || substr(text, 1, 40) AS text
+          FROM documents),
+        s AS (
+          SELECT doc_id,
+                 list_filter(string_split(text, chr(10)), x -> x <> '') AS lines,
+                 list_filter(regexp_split_to_array(text, '\s+'), x -> x <> '') AS words
+          FROM d)
+        SELECT doc_id,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(round(round(CASE WHEN len(lines) > 0
+                    THEN (len(lines) - len(list_distinct(lines))) * 1.0 / len(lines)
+                    ELSE 0 END, 6) * 1000000) AS BIGINT) AS dup_line_ppm,
+               CAST(round(round(CASE WHEN len(words) > 0
+                    THEN (len(words) - len(list_distinct(words))) * 1.0 / len(words)
+                    ELSE 0 END, 6) * 1000000) AS BIGINT) AS dup_word_ppm,
+               CAST(coalesce(list_aggregate(list_transform(lines, x -> length(x)), 'max'), 0)
+                    AS BIGINT) AS max_line_len
+        FROM s""",
+        "text_redact_pii": r"""WITH d AS (
+          SELECT doc_id,
+                 'Contact ' || source || '@Example.COM or +32 475 11 22 33 from 10.0.'
+                 || CAST(doc_id % 200 AS VARCHAR) || '.7 :: ' || substr(text, 1, 50) AS text
+          FROM documents)
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+               CAST(len(regexp_extract_all(text,
+                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+               CAST(len(regexp_extract_all(text, '\+\d[\d() -]{6,}\d')) AS BIGINT) AS n_phones,
+               regexp_replace(regexp_replace(regexp_replace(text,
+                    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+                    '\+\d[\d() -]{6,}\d', '<PHONE>', 'g') AS redacted
+        FROM d""",
+        "url_host_rollup": r"""WITH d AS (
+          SELECT doc_id, text,
+                 'https://www.' || source || '.Example.COM'
+                 || CASE WHEN doc_id % 3 = 0 THEN ':8443' ELSE '' END
+                 || '/d/' || CAST(doc_id AS VARCHAR) || '?utm_source=x#frag' AS url
+          FROM documents)
+        SELECT lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:www\.)?([^/?#:]+)', 1)) AS host,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(length(text)) AS BIGINT) AS sum_chars
+        FROM d
+        GROUP BY 1""",
         "text_quality": """WITH q AS (
           SELECT doc_id,
                  length(text) AS n,

@@ -115,3 +115,97 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> D
     """Content fingerprint: md5 of normalized text (md5 exists in both
     Spark and DuckDB so the oracle can reproduce it bit-for-bit)."""
     return df.withColumn(out_col, F.md5(normalize_text(F.col(text_col))))
+
+
+# ----------------------------------------------------- repetition filters
+def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition quality filters (Rae et al. 2021 §A1.1,
+    twin of the reference-era web-text curation stage): duplicate-line
+    and duplicate-word fractions plus line-shape stats, for dropping
+    boilerplate-heavy / template-spam pages.
+
+    Pure JVM array expressions (split / array_distinct / transform): one
+    projection, no shuffle, no Python — survives a 100-TB scan. Every
+    expression has an exact DuckDB list-function mirror for the oracle.
+    Empty-string lines/words (leading, trailing, double separators) are
+    filtered on both sides so the two engines count identically."""
+    t = F.col(text_col)
+    lines = F.filter(F.split(t, "\n"), lambda x: x != F.lit(""))
+    words = F.filter(F.split(t, WS_RE), lambda x: x != F.lit(""))
+    n_lines = F.size(lines)
+    n_words = F.size(words)
+    dup_lines = n_lines - F.size(F.array_distinct(lines))
+    dup_words = n_words - F.size(F.array_distinct(words))
+    frac = lambda num, den: F.round(  # noqa: E731
+        F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6
+    )
+    return (
+        df.withColumn("n_lines", n_lines.cast("long"))
+        .withColumn("dup_line_frac", frac(dup_lines, n_lines))
+        .withColumn("dup_word_frac", frac(dup_words, n_words))
+        .withColumn(
+            "max_line_len",
+            F.coalesce(
+                F.array_max(F.transform(lines, lambda x: F.length(x))),
+                F.lit(0),
+            ).cast("long"),
+        )
+    )
+
+
+# ------------------------------------------------------------ PII scrubbing
+# Dialect-portable patterns: no lookaround, no backrefs — valid and
+# IDENTICAL under Java regex (Spark) and RE2 (DuckDB), so the oracle
+# reproduces the redaction bit-for-bit.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PHONE_RE = r"\+\d[\d() -]{6,}\d"  # international form: +CC then >=8 chars
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Replace emails / IPv4 addresses / international phone numbers with
+    typed placeholder tokens, and count each kind (counted BEFORE
+    redaction). Order matters: emails first (their local part can look
+    phone-ish), then IPs (all-digit, must go before the phone pass),
+    then phones (anchored on a leading '+' so they can never re-match a
+    placeholder). Single projection, pure JVM regex — no shuffle."""
+    t = F.col(text_col)
+    red = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, IPV4_RE, "<IP>")
+    red = F.regexp_replace(red, PHONE_RE, "<PHONE>")
+    return (
+        df.withColumn("n_emails", F.regexp_count(t, F.lit(EMAIL_RE)).cast("long"))
+        .withColumn("n_ips", F.regexp_count(t, F.lit(IPV4_RE)).cast("long"))
+        .withColumn("n_phones", F.regexp_count(t, F.lit(PHONE_RE)).cast("long"))
+        .withColumn(out_col, red)
+    )
+
+
+# -------------------------------------------------------- URL canonical host
+# scheme://(www.)?HOST — host stops at path/query/fragment/port. Plain
+# capture group + non-capturing prefix: same semantics in Java and RE2.
+URL_HOST_RE = r"^[A-Za-z][A-Za-z0-9+.-]*://(?:www\.)?([^/?#:]+)"
+
+
+def url_host(url: Column) -> Column:
+    """Canonical lowercase registrable host of a URL ('' for non-URLs):
+    strips scheme, a leading www., port, path, query and fragment."""
+    return F.lower(F.regexp_extract(url, URL_HOST_RE, 1))
+
+
+def host_rollup(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """Per-host document rollup (docs per domain + char volume) — the
+    standard first aggregation of a crawl-curation pipeline. One
+    partial-aggregated shuffle on the host key; host cardinality is
+    bounded by the registrable-domain space, far below row count, so the
+    exchange is small and AQE coalesces it."""
+    return (
+        df.withColumn("host", url_host(F.col(url_col)))
+        .groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.length(F.col("text"))).cast("long").alias("sum_chars"),
+        )
+    )

@@ -475,3 +475,84 @@ def test_ivf_centroid_training_spread(spark):
     cents = _train_centroids(corpus, "v", n_centroids=4, seed=7, sample=256)
     xs = np.asarray(cents)[:, 0]
     assert (xs < 50).any() and (xs > 50).any()
+
+
+def test_repetition_stats_closed_form(spark):
+    from geofileops_spark.text.analysis import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "aa bb\naa bb\ncc dd ee\n\naa bb"),  # 4 lines (empties drop), 2 dup
+            (2, ""),
+            (3, "unique line only"),
+        ],
+        "id int, text string",
+    )
+    r = {row["id"]: row for row in repetition_stats(df).collect()}
+    assert r[1]["n_lines"] == 4
+    assert r[1]["dup_line_frac"] == 0.5
+    # words: aa bb aa bb cc dd ee aa bb -> 9 words, 5 distinct
+    assert r[1]["dup_word_frac"] == round(4 / 9, 6)
+    assert r[1]["max_line_len"] == 8
+    assert r[2]["n_lines"] == 0 and r[2]["dup_line_frac"] == 0.0
+    assert r[2]["max_line_len"] == 0
+    assert r[3]["n_lines"] == 1 and r[3]["dup_line_frac"] == 0.0
+
+
+def test_redact_pii_closed_form(spark):
+    from geofileops_spark.text.analysis import redact_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail a.b+c@Foo-1.ORG or x@y.io, ip 10.0.42.7, call +32 475 11 22 33 now"),
+            (2, "no pii here 1.2 3.4"),
+            (3, "edge 999.999.999.999 and +1 (555) 123-4567!"),
+        ],
+        "id int, text string",
+    )
+    r = {row["id"]: row for row in redact_pii(df).collect()}
+    assert (r[1]["n_emails"], r[1]["n_ips"], r[1]["n_phones"]) == (2, 1, 1)
+    assert r[1]["redacted"] == "mail <EMAIL> or <EMAIL>, ip <IP>, call <PHONE> now"
+    assert (r[2]["n_emails"], r[2]["n_ips"], r[2]["n_phones"]) == (0, 0, 0)
+    assert r[2]["redacted"] == r[2]["text"]
+    # the quad-dotted string redacts as an IP even out of 0-255 range
+    # (curation-grade, not validation-grade) and the US form matches
+    assert r[3]["redacted"] == "edge <IP> and <PHONE>!"
+
+
+def test_url_host_rollup_closed_form(spark):
+    from pyspark.sql import functions as F
+
+    from geofileops_spark.text.analysis import host_rollup, url_host
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.Example.COM:8080/a/b?q=1#f", "abc"),
+            (2, "http://sub.site.org/path", "defg"),
+            (3, "not a url", "xy"),
+            (4, "https://sub.site.org/other?x", "z"),
+        ],
+        "id int, url string, text string",
+    )
+    hosts = {
+        r["id"]: r["h"]
+        for r in df.select("id", url_host(F.col("url")).alias("h")).collect()
+    }
+    assert hosts == {1: "example.com", 2: "sub.site.org", 3: "", 4: "sub.site.org"}
+    roll = {
+        r["host"]: (r["n_docs"], r["sum_chars"]) for r in host_rollup(df).collect()
+    }
+    assert roll["sub.site.org"] == (2, 5)
+    assert roll["example.com"] == (1, 3)
+    assert roll[""] == (1, 2)
+
+
+def test_repetition_and_pii_plans_are_jvm_only(spark):
+    # scale contract: one projection, no Python workers, no shuffle
+    from geofileops_spark.text.analysis import redact_pii, repetition_stats
+
+    df = spark.createDataFrame([(1, "x y\nx y")], "id int, text string")
+    for out in (repetition_stats(df), redact_pii(df)):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+        assert "Exchange" not in plan
