@@ -1311,6 +1311,24 @@ def _q_host_rollup(spark, sf_dir):
     return host_rollup(with_url).select("host", "n_docs", "sum_chars")
 
 
+def _q_chunk_documents(spark, sf_dir):
+    """Fixed-window document chunking with overlap (text/analysis.py
+    chunk_documents): 80-char windows, 20-char overlap. md5 of each
+    chunk keeps the compared values small while certifying the exact
+    substring boundaries."""
+    from geofileops_spark.sources.tpch_geo import load
+    from geofileops_spark.text.analysis import chunk_documents
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = chunk_documents(docs, 80, 20)
+    return out.select(
+        "doc_id",
+        "chunk_id",
+        F.length("chunk_text").cast("long").alias("chunk_len"),
+        F.md5("chunk_text").alias("chunk_md5"),
+    )
+
+
 def _docs_with_near_dups(spark, sf_dir):
     from geofileops_spark.sources.tpch_geo import load
 
@@ -1991,8 +2009,8 @@ _R5_GRADE_FIRST = [
     "text_repetition_stats",
     "text_redact_pii",
     "url_host_rollup",
+    "chunk_documents_md5",
     "clip_by_geometry_box",
-    "simplify_zigzag",
     "simplify_lang",
     "join_by_location_intersects",
     "join_by_location_within",
@@ -2099,6 +2117,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_repetition_stats": _q_repetition_stats,
         "text_redact_pii": _q_redact_pii,
         "url_host_rollup": _q_host_rollup,
+        "chunk_documents_md5": _q_chunk_documents,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
@@ -2536,6 +2555,17 @@ SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id"""
                CAST(sum(length(text)) AS BIGINT) AS sum_chars
         FROM d
         GROUP BY 1""",
+        "chunk_documents_md5": r"""WITH d AS (
+          SELECT doc_id, text,
+                 greatest(1, CAST(floor((length(text) - 20 + 59) * 1.0 / 60) AS BIGINT)) AS n
+          FROM documents),
+        c AS (
+          SELECT doc_id, unnest(range(0, n)) AS chunk_id, text FROM d)
+        SELECT doc_id,
+               CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(length(substr(text, CAST(chunk_id * 60 + 1 AS INT), 80)) AS BIGINT) AS chunk_len,
+               md5(substr(text, CAST(chunk_id * 60 + 1 AS INT), 80)) AS chunk_md5
+        FROM c""",
         "text_quality": """WITH q AS (
           SELECT doc_id,
                  length(text) AS n,

@@ -209,3 +209,45 @@ def host_rollup(df: DataFrame, url_col: str = "url") -> DataFrame:
             F.sum(F.length(F.col("text"))).cast("long").alias("sum_chars"),
         )
     )
+
+
+# ---------------------------------------------------------- doc chunking
+def chunk_documents(
+    df: DataFrame,
+    chunk_chars: int,
+    overlap: int = 0,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Split each document into fixed-size character windows with
+    ``overlap`` shared chars between consecutive chunks — the standard
+    embedding / training-sequence prep step. A doc of length L yields
+    ``max(1, ceil((L - overlap) / stride))`` chunks (stride =
+    chunk_chars - overlap); the final chunk may be shorter, empty docs
+    yield one empty chunk, so no text is ever dropped.
+
+    Pure JVM: sequence() + explode + substring — no Python, no shuffle;
+    chunk fan-out multiplies rows ~L/stride so partition sizing is the
+    input's, scaled by a known constant. DuckDB mirror:
+    ``unnest(range(0, n))`` + ``substr``."""
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    stride = chunk_chars - overlap
+    ln = F.length(F.col(text_col))
+    n = F.greatest(
+        F.lit(1), F.floor((ln - overlap + stride - 1) / stride).cast("long")
+    )
+    out = df.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0).cast("long"), n - 1)).alias("chunk_id"),
+        F.col(text_col),
+    )
+    return out.select(
+        id_col,
+        "chunk_id",
+        F.substring(
+            F.col(text_col),
+            (F.col("chunk_id") * stride + 1).cast("int"),
+            chunk_chars,
+        ).alias("chunk_text"),
+    )

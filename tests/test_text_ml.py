@@ -556,3 +556,32 @@ def test_repetition_and_pii_plans_are_jvm_only(spark):
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
         assert "Exchange" not in plan
+
+
+def test_chunk_documents_closed_form(spark):
+    import pytest as _pytest
+
+    from geofileops_spark.text.analysis import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, "abcdefghij" * 10), (2, "short"), (3, ""), (4, "x" * 41)],
+        "doc_id int, text string",
+    )
+    rows = chunk_documents(df, 40, 10).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["doc_id"], []).append((r["chunk_id"], r["chunk_text"]))
+    for k in by:
+        by[k].sort()
+    full = "abcdefghij" * 10
+    # len 100, stride 30 -> 3 chunks covering [0:40],[30:70],[60:100]
+    assert [c for _, c in by[1]] == [full[0:40], full[30:70], full[60:100]]
+    assert by[2] == [(0, "short")]
+    assert by[3] == [(0, "")]  # empty doc -> one empty chunk, nothing dropped
+    assert by[4] == [(0, "x" * 40), (1, "x" * 11)]
+    # reconstruction invariant: drop each later chunk's overlap prefix
+    assert by[1][0][1] + "".join(c[10:] for _, c in by[1][1:]) == full
+    with _pytest.raises(ValueError):
+        chunk_documents(df, 40, 40)
+    plan = chunk_documents(df, 40, 10)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
