@@ -585,7 +585,30 @@ def _reassemble(rings: list[np.ndarray]) -> list[list[np.ndarray]]:
         # later hits are smaller rings
         pt = rings[i][0]
         for j in order[:pos]:
-            if points_in_ring(np.asarray([pt]), rings[j])[0] == 2:
+            code = points_in_ring(np.asarray([pt]), rings[j])[0]
+            if code == 1:
+                # probe vertex ON ring j's boundary (a hole touching its
+                # exterior's edge — the degenerate-containment fallback
+                # emits these when the blade shares the subject's edge):
+                # undecidable from one vertex, and misreading it flips
+                # the hole into a standalone exterior whose area is
+                # ADDED. Decide from the full vertex set, then from an
+                # interior point when every vertex is on j's boundary.
+                codes = points_in_ring(rings[i][:-1], rings[j])
+                if (codes == 2).any():
+                    code = 2
+                elif (codes == 0).any():
+                    code = 0
+                else:
+                    from .predicates import interior_point
+
+                    ip = interior_point([rings[i]])
+                    code = (
+                        points_in_ring(ip.reshape(1, 2), rings[j])[0]
+                        if ip is not None
+                        else 0
+                    )
+            if code == 2:
                 parent[i] = j
                 depth[i] = depth[j] + 1
     polys: dict[int, list[np.ndarray]] = {

@@ -213,7 +213,7 @@ def _postprocess(
 
 def subdivide_layer(
     df: DataFrame, max_coords: int, geom_col: str = "geom_wkb",
-    with_pos: bool = False,
+    with_pos: bool = False, split_at: int | None = None,
 ) -> DataFrame:
     """Explode complex geometries into parts of <= max_coords vertices
     (geofileops ``_geoops_sql.py:1358-1444``): all attribute columns are
@@ -228,12 +228,20 @@ def subdivide_layer(
     that removes the whole Arrow round trip; only genuinely complex
     geometries pay the Python kernel. NULL geometries are dropped by
     both branches, matching the explode(NULL-array) behavior of the
-    single-branch plan."""
+    single-branch plan.
+
+    ``split_at`` (< max_coords): rows ABOVE the max_coords threshold are
+    sliced at this finer granularity instead. The threshold still
+    decides WHO gets subdivided (so layers of mid-size geometries are
+    untouched), but the giant rows that do qualify yield more, smaller
+    parts — callers that re-union parts per id use this to load-balance
+    heavily skewed per-part kernels without changing the result."""
     from ..functions.st import st_subdivide_array
 
     small = F.length(F.col(geom_col)) <= F.lit(16 * max_coords)
     big = df.where(~small).withColumn(
-        "_subparts", st_subdivide_array(F.col(geom_col), max_coords)
+        "_subparts",
+        st_subdivide_array(F.col(geom_col), min(split_at or max_coords, max_coords)),
     )
     if with_pos:
         # _nparts lets the caller route single-part rows (the vast
@@ -683,8 +691,19 @@ def difference(
         # deterministic per-part key (id, part index) — the id is
         # referenced from two plan branches (candidate collect + join),
         # so a non-deterministic id could pair parts with the wrong
-        # row's candidates on re-evaluation
-        s1 = subdivide_layer(df1, subdivide_coords, geom_col, with_pos=True)
+        # row's candidates on re-evaluation.
+        # split_at=512: per-part kernel cost scales superlinearly with
+        # part size (blade-union + clip over everything the part
+        # touches), so slicing the qualifying giants finer than the
+        # user's threshold load-balances the skewed kernel stage
+        # (measured 33 s -> 18 s at 500k on the 4x30k-ring complex
+        # difference) while mid-size layers keep bypassing on the
+        # unchanged max_coords length filter; the per-fid re-union makes
+        # the granularity invisible in the result
+        s1 = subdivide_layer(
+            df1, subdivide_coords, geom_col, with_pos=True,
+            split_at=min(512, subdivide_coords),
+        )
         s1 = s1.withColumn(
             "_pid", F.xxhash64(F.col(id_col), F.col("_subpos"))
         ).drop("_subpos")
@@ -751,7 +770,14 @@ def difference(
         # round-robin repartition (AQE never coalesces an explicit
         # repartition) spreads the ~hundreds of kernel rows across the
         # executor width; the shuffled bytes are trivial by construction.
-        n = joined.sparkSession.sparkContext.defaultParallelism * 2
+        # 16x (not 2x) the width: per-row kernel cost is heavily skewed
+        # (parts over dense blade areas cost many seconds, sparse parts
+        # milliseconds), so at ~2 rows/partition a partition holding two
+        # heavy rows serializes them — near-one-row-per-task makes the
+        # stage wall the single worst row (measured 33 s -> 26 s on the
+        # 329-part complex-difference stage at 500k; empty tasks from
+        # over-partitioning cost microseconds).
+        n = joined.sparkSession.sparkContext.defaultParallelism * 16
         joined = joined.repartition(n)
     diffed = joined.withColumn(
         "_diff",
