@@ -1329,6 +1329,56 @@ def _q_chunk_documents(spark, sf_dir):
     )
 
 
+def _q_gopher_quality(spark, sf_dir):
+    """Gopher composite quality rules (text/analysis.py gopher_quality,
+    Rae et al. 2021 §A1.1). The word-soup corpus is single-line, so the
+    query derives 1-3 lines per doc — a plain prefix line, a bullet line
+    for doc_id%3==0, an ellipsis-terminated line for doc_id%4==0 — the
+    SAME derivation the oracle applies, giving the bullet/ellipsis rules
+    real structure to certify against. Ratios ship as integer ppm."""
+    from geofileops_spark.sources.tpch_geo import load
+    from geofileops_spark.text.analysis import gopher_quality
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    nl = F.lit("\n")
+    bullet = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(nl, F.lit("- "), F.substring("text", 101, 40)),
+    ).otherwise(F.lit(""))
+    ell = F.when(
+        F.col("doc_id") % 4 == 0,
+        F.concat(nl, F.substring("text", 141, 40), F.lit(" ...")),
+    ).otherwise(F.lit(""))
+    derived = docs.withColumn(
+        "text", F.concat(F.substring("text", 1, 100), bullet, ell)
+    )
+    out = gopher_quality(derived, min_words=10)
+    ppm = lambda c: F.round(F.col(c) * 1000000).cast("long")  # noqa: E731
+    return out.select(
+        "doc_id",
+        "n_words",
+        ppm("mean_word_len").alias("mwl_ppm"),
+        ppm("symbol_ratio").alias("symbol_ppm"),
+        ppm("bullet_frac").alias("bullet_ppm"),
+        ppm("ellipsis_frac").alias("ellipsis_ppm"),
+        ppm("alpha_word_frac").alias("alpha_ppm"),
+        "n_stopwords",
+        "keep",
+    )
+
+
+def _q_tfidf_topk(spark, sf_dir):
+    """Corpus-global TF-IDF top-5 terms per document
+    (text/keywords.py tfidf_topk): per-(doc,term) counts, document
+    frequency over deduped pairs, sort-merge tf x df join, windowed
+    top-k with integer-ppm tie-stable ranking."""
+    from geofileops_spark.sources.tpch_geo import load
+    from geofileops_spark.text.keywords import tfidf_topk
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return tfidf_topk(docs, k=5)
+
+
 def _docs_with_near_dups(spark, sf_dir):
     from geofileops_spark.sources.tpch_geo import load
 
@@ -1987,7 +2037,6 @@ _R5_GRADE_FIRST = [
     "makevalid_bowties",
     "buffer_square",
     "buffer_round",
-    "convexhull_stars",
     "gfo_split",
     "delete_duplicate_geometries",
     "dedup_geoms_collinear",
@@ -2010,8 +2059,12 @@ _R5_GRADE_FIRST = [
     "text_redact_pii",
     "url_host_rollup",
     "chunk_documents_md5",
+    # brand-new r5 ops (never graded): must sit inside the first-50
+    # window; convexhull_stars + simplify_lang rotate to the tail (both
+    # r3-driver-graded green and transform.py is untouched this round)
+    "gopher_quality",
+    "tfidf_topk",
     "clip_by_geometry_box",
-    "simplify_lang",
     "join_by_location_intersects",
     "join_by_location_within",
     "join_by_location_left",
@@ -2118,6 +2171,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_redact_pii": _q_redact_pii,
         "url_host_rollup": _q_host_rollup,
         "chunk_documents_md5": _q_chunk_documents,
+        "gopher_quality": _q_gopher_quality,
+        "tfidf_topk": _q_tfidf_topk,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
@@ -2566,6 +2621,83 @@ SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id"""
                CAST(length(substr(text, CAST(chunk_id * 60 + 1 AS INT), 80)) AS BIGINT) AS chunk_len,
                md5(substr(text, CAST(chunk_id * 60 + 1 AS INT), 80)) AS chunk_md5
         FROM c""",
+        "gopher_quality": r"""WITH d AS (
+          SELECT doc_id,
+                 substr(text, 1, 100)
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN chr(10) || '- ' || substr(text, 101, 40)
+                         ELSE '' END
+                 || CASE WHEN doc_id % 4 = 0
+                         THEN chr(10) || substr(text, 141, 40) || ' ...'
+                         ELSE '' END AS text
+          FROM documents),
+        s AS (
+          SELECT doc_id, text,
+                 list_filter(regexp_split_to_array(text, '\s+'),
+                             x -> x <> '') AS words,
+                 list_filter(string_split(text, chr(10)),
+                             x -> x <> '') AS lines,
+                 length(regexp_replace(text, '\s', '', 'g')) AS word_chars,
+                 len(regexp_extract_all(text, '#'))
+                 + len(regexp_extract_all(text, '\.\.\.')) AS n_symbols
+          FROM d),
+        m AS (
+          SELECT doc_id,
+                 CAST(len(words) AS BIGINT) AS n_words,
+                 round(word_chars * 1.0 / nullif(len(words), 0), 6) AS mwl,
+                 round(n_symbols * 1.0 / nullif(len(words), 0), 6) AS sym,
+                 round(CASE WHEN len(lines) > 0 THEN
+                       len(list_filter(lines, x -> regexp_matches(x, '^\s*[-*•]')))
+                       * 1.0 / len(lines) ELSE 0 END, 6) AS bullet,
+                 round(CASE WHEN len(lines) > 0 THEN
+                       len(list_filter(lines, x -> regexp_matches(x, '\.\.\.\s*$')))
+                       * 1.0 / len(lines) ELSE 0 END, 6) AS ellip,
+                 round(CASE WHEN len(words) > 0 THEN
+                       len(list_filter(words, x -> regexp_matches(x, '[A-Za-z]')))
+                       * 1.0 / len(words) ELSE 0 END, 6) AS alpha,
+                 CAST(CASE WHEN regexp_matches(lower(text), '\bthe\b') THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(lower(text), '\bbe\b') THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(lower(text), '\bto\b') THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(lower(text), '\bof\b') THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(lower(text), '\band\b') THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(lower(text), '\bthat\b') THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(lower(text), '\bhave\b') THEN 1 ELSE 0 END
+                    + CASE WHEN regexp_matches(lower(text), '\bwith\b') THEN 1 ELSE 0 END
+                   AS BIGINT) AS n_stopwords
+          FROM s)
+        SELECT doc_id, n_words,
+               CAST(round(mwl * 1000000) AS BIGINT) AS mwl_ppm,
+               CAST(round(sym * 1000000) AS BIGINT) AS symbol_ppm,
+               CAST(round(bullet * 1000000) AS BIGINT) AS bullet_ppm,
+               CAST(round(ellip * 1000000) AS BIGINT) AS ellipsis_ppm,
+               CAST(round(alpha * 1000000) AS BIGINT) AS alpha_ppm,
+               n_stopwords,
+               (n_words >= 10 AND n_words <= 100000
+                AND mwl >= 3.0 AND mwl <= 10.0 AND sym <= 0.1
+                AND bullet <= 0.9 AND ellip <= 0.3 AND alpha >= 0.8
+                AND n_stopwords >= 2) AS keep
+        FROM m""",
+        "tfidf_topk": r"""WITH toks AS (
+          SELECT doc_id,
+                 unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                                    x -> length(x) >= 3)) AS term
+          FROM documents),
+        tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+               FROM toks GROUP BY 1, 2),
+        df AS (SELECT term, CAST(count(*) AS BIGINT) AS term_df
+               FROM tf GROUP BY 1),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term, tf.tf, df.term_df,
+                 CAST(round(round(tf.tf * ln((n.n_docs + 1.0) / (df.term_df + 1.0)), 6)
+                      * 1000000) AS BIGINT) AS score_ppm
+          FROM tf JOIN df USING (term), n),
+        r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+                        ORDER BY score_ppm DESC, term ASC) AS rnk
+              FROM scored)
+        SELECT doc_id, term, tf, term_df, score_ppm,
+               CAST(rnk AS BIGINT) AS rank
+        FROM r WHERE rnk <= 5""",
         "text_quality": """WITH q AS (
           SELECT doc_id,
                  length(text) AS n,

@@ -153,6 +153,93 @@ def repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# -------------------------------------------------- Gopher quality rules
+# Small fixed stopword set from Rae et al. 2021 §A1.1 ("the usual English
+# stop words"): a document must contain >= 2 distinct entries to pass.
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_word_frac: float = 0.8,
+    min_stopwords: int = 2,
+) -> DataFrame:
+    """Gopher document-quality rules (Rae et al. 2021 §A1.1) — the
+    standard composite pre-training filter: word-count bounds, mean word
+    length bounds, symbol-to-word ratio (# and ellipses), bullet-line and
+    ellipsis-line fractions, alphabetic-word fraction, and a minimum
+    distinct-stopword requirement. Emits every intermediate stat plus the
+    final ``keep`` verdict so pipelines can audit WHY a page was dropped.
+
+    Pure JVM array/regexp expressions in one projection — no shuffle, no
+    Python; survives a 100-TB scan and each expression has an exact
+    DuckDB mirror for the oracle. Ratios round to 6 decimals so
+    distributed re-computation is hash-stable."""
+    t = F.col(text_col)
+    words = F.filter(F.split(t, WS_RE), lambda x: x != F.lit(""))
+    lines = F.filter(F.split(t, "\n"), lambda x: x != F.lit(""))
+    n_words = F.size(words)
+    n_lines = F.size(lines)
+    # mean word length over non-whitespace chars (punctuation counts,
+    # matching the whitespace tokenizer above)
+    word_chars = F.length(F.regexp_replace(t, r"\s", ""))
+    mean_wl = F.round(
+        word_chars / F.nullif(n_words.cast("double"), F.lit(0.0)), 6
+    )
+    n_symbols = F.regexp_count(t, F.lit("#")) + F.regexp_count(
+        t, F.lit(r"\.\.\.")
+    )
+    symbol_ratio = F.round(
+        n_symbols / F.nullif(n_words.cast("double"), F.lit(0.0)), 6
+    )
+    frac = lambda num, den: F.round(  # noqa: E731
+        F.when(den > 0, num / den.cast("double")).otherwise(F.lit(0.0)), 6
+    )
+    bullet_frac = frac(
+        F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]"))), n_lines
+    )
+    ellipsis_frac = frac(
+        F.size(F.filter(lines, lambda x: x.rlike(r"\.\.\.\s*$"))), n_lines
+    )
+    alpha_frac = frac(
+        F.size(F.filter(words, lambda x: x.rlike("[A-Za-z]"))), n_words
+    )
+    low = F.lower(t)
+    n_stop = sum(
+        F.when(low.rlike(rf"\b{w}\b"), F.lit(1)).otherwise(F.lit(0))
+        for w in GOPHER_STOPWORDS
+    )
+    out = (
+        df.withColumn("n_words", n_words.cast("long"))
+        .withColumn("mean_word_len", mean_wl)
+        .withColumn("symbol_ratio", symbol_ratio)
+        .withColumn("bullet_frac", bullet_frac)
+        .withColumn("ellipsis_frac", ellipsis_frac)
+        .withColumn("alpha_word_frac", alpha_frac)
+        .withColumn("n_stopwords", n_stop.cast("long"))
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_frac") <= max_bullet_frac)
+        & (F.col("ellipsis_frac") <= max_ellipsis_frac)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+        & (F.col("n_stopwords") >= min_stopwords)
+    )
+    return out.withColumn("keep", keep)
+
+
 # ------------------------------------------------------------ PII scrubbing
 # Dialect-portable patterns: no lookaround, no backrefs — valid and
 # IDENTICAL under Java regex (Spark) and RE2 (DuckDB), so the oracle

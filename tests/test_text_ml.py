@@ -585,3 +585,77 @@ def test_chunk_documents_closed_form(spark):
         chunk_documents(df, 40, 40)
     plan = chunk_documents(df, 40, 10)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_gopher_quality_closed_form(spark):
+    from geofileops_spark.text.analysis import gopher_quality
+
+    df = spark.createDataFrame(
+        [
+            # clean: 11 words, mean len 4.0, 3 stopwords, all alpha
+            (1, "the quick brown fox jumps over and beside of lazy dogs"),
+            # all-bullet lines: bullet_frac 1.0, alpha 4/6, mean len < 3
+            (2, "- aaa bbb\n- ccc ddd"),
+            # ellipsis-terminated single line: symbol + ellipsis rules fire
+            (3, "hello world ..."),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in gopher_quality(df, min_words=5).collect()}
+    r1 = rows[1]
+    assert r1["n_words"] == 11
+    assert r1["mean_word_len"] == 4.0
+    assert r1["symbol_ratio"] == 0.0
+    assert r1["bullet_frac"] == 0.0
+    assert r1["alpha_word_frac"] == 1.0
+    assert r1["n_stopwords"] == 3  # the, and, of
+    assert r1["keep"] is True
+    r2 = rows[2]
+    assert r2["bullet_frac"] == 1.0
+    assert r2["alpha_word_frac"] == round(4 / 6, 6)
+    assert r2["mean_word_len"] == round(14 / 6, 6)
+    assert r2["keep"] is False
+    r3 = rows[3]
+    assert r3["n_words"] == 3
+    assert r3["symbol_ratio"] == round(1 / 3, 6)
+    assert r3["ellipsis_frac"] == 1.0
+    assert r3["keep"] is False
+    # scale contract: one JVM projection — no Python workers, no shuffle
+    plan = gopher_quality(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_tfidf_topk_closed_form(spark):
+    import math
+
+    from geofileops_spark.text.keywords import tfidf_topk
+
+    df = spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry date fig"),
+        ],
+        "doc_id int, text string",
+    )
+    rows = tfidf_topk(df, k=2).collect()
+    got = {
+        (r["doc_id"], r["rank"]): (r["term"], r["tf"], r["term_df"], r["score_ppm"])
+        for r in rows
+    }
+    ppm = lambda tf, dfreq: round(  # noqa: E731
+        round(tf * math.log(4.0 / (dfreq + 1.0)), 6) * 1_000_000
+    )
+    assert got[(1, 1)] == ("apple", 2, 1, ppm(2, 1))
+    assert got[(1, 2)] == ("banana", 1, 2, ppm(1, 2))
+    # doc2: banana/cherry tie on score -> term-ascending break
+    assert got[(2, 1)] == ("banana", 1, 2, ppm(1, 2))
+    assert got[(2, 2)] == ("cherry", 1, 2, ppm(1, 2))
+    # doc3: date/fig tie above cherry
+    assert got[(3, 1)] == ("date", 1, 1, ppm(1, 1))
+    assert got[(3, 2)] == ("fig", 1, 1, ppm(1, 1))
+    assert len(rows) == 6
+    # min_len drops short tokens entirely
+    short = spark.createDataFrame([(1, "to be or ab xyz")], "doc_id int, text string")
+    only = tfidf_topk(short, k=5).collect()
+    assert [r["term"] for r in only] == ["xyz"]
