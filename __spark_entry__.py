@@ -1367,6 +1367,44 @@ def _q_gopher_quality(spark, sf_dir):
     )
 
 
+def _q_c4_clean(spark, sf_dir):
+    """C4 line-level cleanup (text/analysis.py c4_clean, Raffel et al.
+    2020 §2.2). The word-soup corpus is single-line and unpunctuated, so
+    the query derives a multi-line page per doc — one good sentence, an
+    unterminated fragment (doc_id%2), a javascript line (%3), a
+    too-short line (%4), a second good sentence (%5), a lorem-ipsum
+    page poison (%7) and a curly-brace template line (%11) — the SAME
+    derivation the oracle applies, exercising every C4 rule. md5 of the
+    cleaned text certifies the exact kept-line reconstruction."""
+    from geofileops_spark.sources.tpch_geo import load
+    from geofileops_spark.text.analysis import c4_clean
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    nl = F.lit("\n")
+    did = F.col("doc_id")
+    piece = lambda m, col: F.when(did % m == 0, col).otherwise(F.lit(""))  # noqa: E731
+    derived = docs.withColumn(
+        "text",
+        F.concat(
+            F.substring("text", 1, 90), F.lit("."),
+            piece(2, F.concat(nl, F.substring("text", 91, 30))),
+            piece(3, F.concat(nl, F.lit("please enable JavaScript to view this page."))),
+            piece(4, F.concat(nl, F.lit("ok fine."))),
+            piece(5, F.concat(nl, F.substring("text", 111, 50), F.lit(" all done?"))),
+            piece(7, F.concat(nl, F.lit("Lorem ipsum dolor sit amet today."))),
+            piece(11, F.concat(nl, F.lit("var config = {};"))),
+        ),
+    )
+    out = c4_clean(derived, min_sentences=2)
+    return out.select(
+        "doc_id",
+        "n_lines_kept",
+        "n_sentences",
+        F.md5("clean_text").alias("clean_md5"),
+        "keep",
+    )
+
+
 def _q_tfidf_topk(spark, sf_dir):
     """Corpus-global TF-IDF top-5 terms per document
     (text/keywords.py tfidf_topk): per-(doc,term) counts, document
@@ -2172,6 +2210,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_host_rollup": _q_host_rollup,
         "chunk_documents_md5": _q_chunk_documents,
         "gopher_quality": _q_gopher_quality,
+        "c4_clean": _q_c4_clean,
         "tfidf_topk": _q_tfidf_topk,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
@@ -2677,6 +2716,46 @@ SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id"""
                 AND bullet <= 0.9 AND ellip <= 0.3 AND alpha >= 0.8
                 AND n_stopwords >= 2) AS keep
         FROM m""",
+        "c4_clean": r"""WITH d AS (
+          SELECT doc_id,
+                 substr(text, 1, 90) || '.'
+                 || CASE WHEN doc_id % 2 = 0
+                         THEN chr(10) || substr(text, 91, 30) ELSE '' END
+                 || CASE WHEN doc_id % 3 = 0
+                         THEN chr(10) || 'please enable JavaScript to view this page.'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 4 = 0
+                         THEN chr(10) || 'ok fine.' ELSE '' END
+                 || CASE WHEN doc_id % 5 = 0
+                         THEN chr(10) || substr(text, 111, 50) || ' all done?'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 7 = 0
+                         THEN chr(10) || 'Lorem ipsum dolor sit amet today.'
+                         ELSE '' END
+                 || CASE WHEN doc_id % 11 = 0
+                         THEN chr(10) || 'var config = {};' ELSE '' END AS text
+          FROM documents),
+        k AS (
+          SELECT doc_id, text,
+                 list_filter(
+                   list_transform(string_split(text, chr(10)), x -> trim(x)),
+                   x -> regexp_matches(x, '[.!?"]$')
+                        AND len(list_filter(regexp_split_to_array(x, '\s+'),
+                                            w -> w <> '')) >= 5
+                        AND NOT contains(lower(x), 'javascript')) AS kept
+          FROM d),
+        c AS (
+          SELECT doc_id, text, kept,
+                 array_to_string(kept, chr(10)) AS clean
+          FROM k)
+        SELECT doc_id,
+               CAST(len(kept) AS BIGINT) AS n_lines_kept,
+               CAST(len(regexp_extract_all(clean, '[.!?]')) AS BIGINT) AS n_sentences,
+               md5(clean) AS clean_md5,
+               (len(regexp_extract_all(clean, '[.!?]')) >= 2
+                AND NOT contains(lower(text), 'lorem ipsum')
+                AND NOT contains(text, '{')) AS keep
+        FROM c""",
         "tfidf_topk": r"""WITH toks AS (
           SELECT doc_id,
                  unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),

@@ -240,6 +240,55 @@ def gopher_quality(
     return out.withColumn("keep", keep)
 
 
+# ----------------------------------------------------- C4 line-level clean
+def c4_clean(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words_per_line: int = 5,
+    min_sentences: int = 3,
+) -> DataFrame:
+    """C4-style line-level cleanup (Raffel et al. 2020 §2.2) — the other
+    canonical pre-training rule set next to :func:`gopher_quality`:
+
+    - keep only lines that end in terminal punctuation (``.!?"``),
+      contain at least ``min_words_per_line`` words, and do not mention
+      ``javascript`` (case-insensitive);
+    - rebuild ``clean_text`` from the kept lines (newline-joined);
+    - page-level ``keep``: the cleaned text has at least
+      ``min_sentences`` sentence terminators, and the ORIGINAL text
+      contains neither ``lorem ipsum`` nor a ``{`` (code/template page).
+
+    Emits ``n_lines_kept`` / ``n_sentences`` alongside the verdict so a
+    pipeline can audit the drop reason. Pure JVM array/regexp
+    expressions in one projection — no shuffle, no Python; every
+    expression has an exact DuckDB list-function mirror for the oracle.
+    """
+    t = F.col(text_col)
+    lines = F.transform(F.split(t, "\n"), lambda x: F.trim(x))
+    kept = F.filter(
+        lines,
+        lambda x: x.rlike(r'[.!?"]$')
+        & (
+            F.size(F.filter(F.split(x, WS_RE), lambda w: w != F.lit("")))
+            >= F.lit(min_words_per_line)
+        )
+        & ~F.lower(x).contains("javascript"),
+    )
+    clean = F.array_join(kept, "\n")
+    n_sent = F.regexp_count(clean, F.lit(r"[.!?]"))
+    keep = (
+        (n_sent >= F.lit(min_sentences))
+        & ~F.lower(t).contains("lorem ipsum")
+        & ~t.contains("{")
+    )
+    return (
+        df.withColumn("clean_text", clean)
+        .withColumn("n_lines_kept", F.size(kept).cast("long"))
+        .withColumn("n_sentences", n_sent.cast("long"))
+        .withColumn("keep", keep)
+    )
+
+
 # ------------------------------------------------------------ PII scrubbing
 # Dialect-portable patterns: no lookaround, no backrefs — valid and
 # IDENTICAL under Java regex (Spark) and RE2 (DuckDB), so the oracle

@@ -625,6 +625,43 @@ def test_gopher_quality_closed_form(spark):
     assert "Python" not in plan and "Exchange" not in plan
 
 
+def test_c4_clean_closed_form(spark):
+    from geofileops_spark.text.analysis import c4_clean
+
+    df = spark.createDataFrame(
+        [
+            # 2 good lines (>=5 words, terminal punct) + 1 short + 1
+            # unterminated + 1 javascript line
+            (1, "the quick brown fox jumps high.\nok fine.\n"
+                "this line has no terminal punctuation\n"
+                "please enable JavaScript to view this site.\n"
+                "another good line with plenty of words here?"),
+            # lorem ipsum poisons the page verdict but its line survives
+            (2, "lorem ipsum dolor sit amet consectetur.\n"
+                "a second wholesome line with many words."),
+            # curly brace = template/code page
+            (3, "var config = { a: 1 };\n"
+                "a perfectly good sentence with enough words."),
+        ],
+        "doc_id int, text string",
+    )
+    rows = {r["doc_id"]: r for r in c4_clean(df, min_sentences=2).collect()}
+    r1 = rows[1]
+    assert r1["n_lines_kept"] == 2
+    assert r1["clean_text"] == (
+        "the quick brown fox jumps high.\n"
+        "another good line with plenty of words here?"
+    )
+    assert r1["n_sentences"] == 2 and r1["keep"] is True
+    r2 = rows[2]
+    assert r2["n_lines_kept"] == 2 and r2["keep"] is False  # lorem ipsum
+    r3 = rows[3]
+    assert r3["n_lines_kept"] == 1 and r3["keep"] is False  # '{'
+    # scale contract: one JVM projection — no Python workers, no shuffle
+    plan = c4_clean(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
+
+
 def test_tfidf_topk_closed_form(spark):
     import math
 
