@@ -648,6 +648,81 @@ def _broadcast_combine(
     return df1.mapInPandas(_probe, schema=schema)
 
 
+def _subdivide_subject(
+    df: DataFrame, subdivide_coords: int, geom_col: str, id_col: str
+) -> DataFrame:
+    """Explode a layer into bounded-vertex SUBJECT parts for the
+    subdivided combine ops: attributes + a deterministic per-part key
+    ``_pid`` = xxhash64(id, part index) — the id is referenced from two
+    plan branches (candidate collect + join), so a non-deterministic id
+    could pair parts with the wrong row's candidates on re-evaluation.
+
+    split_at=512: per-part kernel cost scales superlinearly with part
+    size (blade-union + clip over everything the part touches), so
+    slicing the qualifying giants finer than the user's threshold
+    load-balances the skewed kernel stage (measured 33 s -> 18 s at
+    500k on the 4x30k-ring complex difference) while mid-size layers
+    keep bypassing on the unchanged max_coords length filter; the
+    per-fid re-union makes the granularity invisible in the result."""
+    s = subdivide_layer(
+        df, subdivide_coords, geom_col, with_pos=True,
+        split_at=min(512, subdivide_coords),
+    )
+    return s.withColumn(
+        "_pid", F.xxhash64(F.col(id_col), F.col("_subpos"))
+    ).drop("_subpos")
+
+
+def _difference_of_parts(
+    s1: DataFrame,
+    s2_geoms: DataFrame,
+    res: int | None,
+    geom_col: str,
+    id_col: str,
+    gridsize: float,
+    explodecollections: bool,
+    where_post: str | None,
+    keep_empty_geoms: bool,
+    _plan: str | None,
+) -> DataFrame:
+    """Subdivided difference over PRE-SPLIT inputs: ``s1`` = subject
+    parts from :func:`_subdivide_subject`, ``s2_geoms`` = geometry-only
+    blade parts. Shared by :func:`difference` and
+    :func:`symmetric_difference` (which subdivides each layer once and
+    feeds it to both branches).
+
+    The inner call keeps fully-erased parts as NULL-geometry rows so
+    the per-id re-union sees EVERY part: a row whose parts were all
+    erased survives the groupBy with NULL geometry, and the shared
+    _postprocess applies the caller's keep_empty_geoms exactly like
+    the non-subdivide branch. blade_union: the erase candidates are
+    subdivided PARTS sharing seams — union them before the (single)
+    subtraction or the sequential path leaves hairline slivers along
+    each seam."""
+    parts = difference(
+        s1, s2_geoms, res=res, geom_col=geom_col, id_col="_pid",
+        keep_empty_geoms=True, blade_union=True, _plan=_plan,
+    ).drop("_pid")
+    # single-part subjects (every geometry under subdivide_coords —
+    # the whole layer when only the OTHER side is complex) skip the
+    # re-union: subdivide produced exactly one part, so grouping it
+    # back is the identity and the groupBy would shuffle + run one
+    # union kernel per row for nothing (measured ~50 s of the 58 s
+    # d21 stage at 500k parcels)
+    parts = cache.track(parts.persist())
+    attrs = [c for c in parts.columns if c not in (id_col, geom_col, "_nparts")]
+    singles = parts.where(F.col("_nparts") <= 1).drop("_nparts")
+    multi = parts.where(F.col("_nparts") > 1).drop("_nparts")
+    out = multi.groupBy(id_col).agg(
+        _union_parts_udf()(F.collect_list(geom_col)).alias(geom_col),
+        *[F.first(c).alias(c) for c in attrs],
+    ).unionByName(singles.select(id_col, geom_col, *attrs))
+    return _postprocess(
+        out, geom_col, gridsize, explodecollections, where_post,
+        keep_empty_geoms,
+    )
+
+
 def difference(
     df1: DataFrame,
     df2: DataFrame,
@@ -688,25 +763,7 @@ def difference(
         else:
             _plan = _combine_plan(df1, df2)
     if subdivide_coords is not None:
-        # deterministic per-part key (id, part index) — the id is
-        # referenced from two plan branches (candidate collect + join),
-        # so a non-deterministic id could pair parts with the wrong
-        # row's candidates on re-evaluation.
-        # split_at=512: per-part kernel cost scales superlinearly with
-        # part size (blade-union + clip over everything the part
-        # touches), so slicing the qualifying giants finer than the
-        # user's threshold load-balances the skewed kernel stage
-        # (measured 33 s -> 18 s at 500k on the 4x30k-ring complex
-        # difference) while mid-size layers keep bypassing on the
-        # unchanged max_coords length filter; the per-fid re-union makes
-        # the granularity invisible in the result
-        s1 = subdivide_layer(
-            df1, subdivide_coords, geom_col, with_pos=True,
-            split_at=min(512, subdivide_coords),
-        )
-        s1 = s1.withColumn(
-            "_pid", F.xxhash64(F.col(id_col), F.col("_subpos"))
-        ).drop("_subpos")
+        s1 = _subdivide_subject(df1, subdivide_coords, geom_col, id_col)
         if _plan == "reverse":
             # the reverse plan evaluates s1 twice (bbox collect + the
             # combine join) and the subdivide of a few giant rows runs
@@ -717,36 +774,9 @@ def difference(
         # difference); no part id needed — the default candidate plan
         # dedups by reference point, not by id
         s2 = subdivide_layer(df2.select(geom_col), subdivide_coords, geom_col)
-        # the inner call keeps fully-erased parts as NULL-geometry rows so
-        # the per-id re-union sees EVERY part: a row whose parts were all
-        # erased survives the groupBy with NULL geometry, and the shared
-        # _postprocess applies the caller's keep_empty_geoms exactly like
-        # the non-subdivide branch (previously the flag was silently
-        # ignored here and emptied rows were dropped)
-        # blade_union: the erase candidates are subdivided PARTS sharing
-        # seams — union them before the (single) subtraction or the
-        # sequential path leaves hairline slivers along each seam
-        parts = difference(
-            s1, s2, res=res, geom_col=geom_col, id_col="_pid",
-            keep_empty_geoms=True, blade_union=True, _plan=_plan,
-        ).drop("_pid")
-        # single-part subjects (every geometry under subdivide_coords —
-        # the whole layer when only the OTHER side is complex) skip the
-        # re-union: subdivide produced exactly one part, so grouping it
-        # back is the identity and the groupBy would shuffle + run one
-        # union kernel per row for nothing (measured ~50 s of the 58 s
-        # d21 stage at 500k parcels)
-        parts = cache.track(parts.persist())
-        attrs = [c for c in parts.columns if c not in (id_col, geom_col, "_nparts")]
-        singles = parts.where(F.col("_nparts") <= 1).drop("_nparts")
-        multi = parts.where(F.col("_nparts") > 1).drop("_nparts")
-        out = multi.groupBy(id_col).agg(
-            _union_parts_udf()(F.collect_list(geom_col)).alias(geom_col),
-            *[F.first(c).alias(c) for c in attrs],
-        ).unionByName(singles.select(id_col, geom_col, *attrs))
-        return _postprocess(
-            out, geom_col, gridsize, explodecollections, where_post,
-            keep_empty_geoms,
+        return _difference_of_parts(
+            s1, s2, res, geom_col, id_col, gridsize, explodecollections,
+            where_post, keep_empty_geoms, _plan,
         )
     diff_mode = "difference_union" if blade_union else "difference"
     if _plan == "forward":
@@ -1043,19 +1073,31 @@ def symmetric_difference(
     NULL-filled (geofileops ``geoops.py:3544`` -> ``_geoops_sql.py:
     2914-3086``). Both branches share one candidate join + refine.
 
-    ``subdivide_coords``: two subdivided ``difference`` calls exactly
+    ``subdivide_coords``: two subdivided ``difference`` branches exactly
     like the reference's Step 2/3 plan (``_geoops_sql.py:2931,2999-3047``
-    — it differences subdivided temp layers then appends)."""
+    — it differences subdivided temp layers then appends), but each
+    layer is subdivided ONCE and reused by both branches: as the subject
+    directly, as the blade via a geometry-only projection. Finer-than-
+    asked blade parts are harmless — blade_union welds the candidates
+    back together before the single subtraction. Previously each
+    ``difference`` call re-subdivided both layers (4 explode passes per
+    symdiff, the complex layer's multi-second ring clip paid twice)."""
     if subdivide_coords is not None:
-        d12 = difference(
-            df1, df2, res=res, geom_col=geom_col, id_col=id_col,
-            gridsize=gridsize, explodecollections=explodecollections,
-            where_post=where_post, subdivide_coords=subdivide_coords,
+        s1 = cache.track(
+            _subdivide_subject(df1, subdivide_coords, geom_col, id_col).persist()
         )
-        d21 = difference(
-            df2, df1, res=res, geom_col=geom_col, id_col=id_col,
-            gridsize=gridsize, explodecollections=explodecollections,
-            where_post=where_post, subdivide_coords=subdivide_coords,
+        s2 = cache.track(
+            _subdivide_subject(df2, subdivide_coords, geom_col, id_col).persist()
+        )
+        # plan per branch, decided on the RAW scans (the subdivided
+        # frames hide size statistics from Catalyst's estimator)
+        d12 = _difference_of_parts(
+            s1, s2.select(geom_col), res, geom_col, id_col, gridsize,
+            explodecollections, where_post, False, _combine_plan(df1, df2),
+        )
+        d21 = _difference_of_parts(
+            s2, s1.select(geom_col), res, geom_col, id_col, gridsize,
+            explodecollections, where_post, False, _combine_plan(df2, df1),
         )
         d12 = prefix_columns(d12, "l1_", exclude=(geom_col,))
         d21 = prefix_columns(d21, "l2_", exclude=(geom_col,))
