@@ -1405,6 +1405,19 @@ def _q_c4_clean(spark, sf_dir):
     )
 
 
+def _q_pack_sequences(spark, sf_dir):
+    """Context-window sequence packing (ml/corpus.py pack_sequences):
+    documents laid end-to-end on one token tape in doc_id order, 256-
+    token bins. bucket_width=64 exercises the two-phase (bucket prefix +
+    within-bucket window) cumulative plan across multiple buckets; the
+    oracle runs the equivalent single global window."""
+    from geofileops_spark.ml.corpus import pack_sequences
+    from geofileops_spark.sources.tpch_geo import load
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    return pack_sequences(docs, budget=256, bucket_width=64)
+
+
 def _q_tfidf_topk(spark, sf_dir):
     """Corpus-global TF-IDF top-5 terms per document
     (text/keywords.py tfidf_topk): per-(doc,term) counts, document
@@ -2211,6 +2224,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents_md5": _q_chunk_documents,
         "gopher_quality": _q_gopher_quality,
         "c4_clean": _q_c4_clean,
+        "pack_sequences": _q_pack_sequences,
         "tfidf_topk": _q_tfidf_topk,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
@@ -2755,6 +2769,25 @@ SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id"""
                (len(regexp_extract_all(clean, '[.!?]')) >= 2
                 AND NOT contains(lower(text), 'lorem ipsum')
                 AND NOT contains(text, '{')) AS keep
+        FROM c""",
+        "pack_sequences": r"""WITH t AS (
+          SELECT doc_id,
+                 CASE WHEN trim(text) = '' THEN 0
+                      ELSE len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+                                           w -> w <> '')) END AS n_tokens
+          FROM documents),
+        c AS (
+          SELECT doc_id, n_tokens,
+                 COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                          0) AS off
+          FROM t)
+        SELECT doc_id,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(off AS BIGINT) AS start_offset,
+               CAST(off // 256 AS BIGINT) AS bin_id,
+               (CASE WHEN n_tokens > 0 THEN (off + n_tokens - 1) // 256
+                     ELSE off // 256 END) <> (off // 256) AS crosses
         FROM c""",
         "tfidf_topk": r"""WITH toks AS (
           SELECT doc_id,

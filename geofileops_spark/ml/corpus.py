@@ -229,3 +229,85 @@ def contamination_flag(
         F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits"),
     )
     return out.withColumn("contaminated", F.col("hits") >= F.lit(min_hits))
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bucket_width: int = 4096,
+) -> DataFrame:
+    """Greedy concat-and-chunk sequence packing: documents laid
+    end-to-end on one token tape in ``order_col`` order; training bin
+    ``k`` covers tape offsets ``[k*budget, (k+1)*budget)``. Emits each
+    document's whitespace-token count, start offset, the bin holding its
+    first token, and whether it crosses a bin boundary (i.e. would be
+    split at tokenization) — the standard context-window packing step
+    between curation and tokenization.
+
+    Scale plan: a global ``SUM() OVER (ORDER BY ...)`` would move the
+    whole corpus through ONE reducer. Instead the running offset is
+    two-phase: (1) per-bucket token totals (``order_col`` div
+    ``bucket_width``) — a tiny aggregate, |docs|/bucket_width rows —
+    prefix-summed in one bounded window; (2) a within-bucket cumulative
+    window partitioned by bucket, parallel across buckets. Identical
+    arithmetic to the single-window form (which is what the DuckDB
+    oracle runs). ``order_col`` must be integral and unique — the
+    shard/sequence ids a pretraining pipeline already carries.
+    """
+    from ..text.analysis import n_tokens_ws
+
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.col(order_col).alias("_ord"),
+        n_tokens_ws(F.col(text_col)).cast("long").alias("n_tokens"),
+    ).withColumn("_bucket", F.floor(F.col("_ord") / F.lit(bucket_width)))
+    # phase 1: bucket totals -> exclusive prefix per bucket (the window
+    # runs over |docs|/bucket_width rows — bounded, single partition OK)
+    bucket_prefix = (
+        toks.groupBy("_bucket")
+        .agg(F.sum("n_tokens").alias("_btoks"))
+        .withColumn(
+            "_boff",
+            F.coalesce(
+                F.sum("_btoks").over(
+                    Window.orderBy("_bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .drop("_btoks")
+    )
+    # phase 2: within-bucket exclusive cumsum, parallel across buckets
+    w = (
+        Window.partitionBy("_bucket")
+        .orderBy("_ord")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    out = (
+        toks.join(F.broadcast(bucket_prefix), on="_bucket")
+        .withColumn(
+            "start_offset",
+            (F.col("_boff") + F.coalesce(F.sum("n_tokens").over(w), F.lit(0))).cast(
+                "long"
+            ),
+        )
+        .withColumn("bin_id", F.floor(F.col("start_offset") / F.lit(budget)))
+        .withColumn(
+            "crosses",
+            F.when(
+                F.col("n_tokens") > 0,
+                F.floor(
+                    (F.col("start_offset") + F.col("n_tokens") - 1) / F.lit(budget)
+                )
+                != F.col("bin_id"),
+            ).otherwise(F.lit(False)),
+        )
+    )
+    return out.select(id_col, "n_tokens", "start_offset", "bin_id", "crosses")

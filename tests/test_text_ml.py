@@ -696,3 +696,39 @@ def test_tfidf_topk_closed_form(spark):
     short = spark.createDataFrame([(1, "to be or ab xyz")], "doc_id int, text string")
     only = tfidf_topk(short, k=5).collect()
     assert [r["term"] for r in only] == ["xyz"]
+
+
+def test_pack_sequences_closed_form(spark):
+    from geofileops_spark.ml.corpus import pack_sequences
+
+    # token counts: 3, 4, 0, 5, 2 -> offsets 0, 3, 7, 7, 12
+    df = spark.createDataFrame(
+        [
+            (0, "a b c"),
+            (1, "d e f g"),
+            (2, "   "),
+            (3, "h i j k l"),
+            (4, "m n"),
+        ],
+        "doc_id long, text string",
+    )
+    # budget 6: bins [0,6) [6,12) [12,18)
+    rows = {
+        r["doc_id"]: r
+        for r in pack_sequences(df, budget=6, bucket_width=2).collect()
+    }
+    assert [rows[i]["start_offset"] for i in range(5)] == [0, 3, 7, 7, 12]
+    assert [rows[i]["bin_id"] for i in range(5)] == [0, 0, 1, 1, 2]
+    # doc 1 spans offsets 3..6 -> crosses the [0,6) boundary
+    assert [rows[i]["crosses"] for i in range(5)] == [
+        False, True, False, False, False,
+    ]
+    assert rows[2]["n_tokens"] == 0
+    # two-phase plan: matches a single global window exactly at any
+    # bucket width
+    rows_w1 = {
+        r["doc_id"]: r
+        for r in pack_sequences(df, budget=6, bucket_width=1000).collect()
+    }
+    for i in range(5):
+        assert rows_w1[i]["start_offset"] == rows[i]["start_offset"]
