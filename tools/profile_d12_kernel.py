@@ -23,6 +23,7 @@ import pyarrow.parquet as pq  # noqa: E402
 
 from geofileops_spark.geometry import clip as C  # noqa: E402
 from geofileops_spark.geometry import wkb as W  # noqa: E402
+from geofileops_spark.geometry.kernels import bounds  # noqa: E402
 from geofileops_spark.geometry.transform import subdivide  # noqa: E402
 
 N_PARTS = int(sys.argv[1]) if len(sys.argv) > 1 else 24
@@ -39,13 +40,13 @@ print(f"subdivide: {len(parts)} parts in {time.time()-t0:.2f}s", flush=True)
 
 t0 = time.time()
 pgeoms = [W.loads(bytes(b)) for b in pc["geom_wkb"]]
-pb = np.array([g.bounds() for g in pgeoms])
+pb = np.array([bounds(g) for g in pgeoms])
 print(f"decode {len(pgeoms)} parcels in {time.time()-t0:.2f}s", flush=True)
 
 # pick the N busiest parts (max candidates) to profile the heavy tail
 cand_sets = []
 for p in parts:
-    x0, y0, x1, y1 = p.bounds()
+    x0, y0, x1, y1 = bounds(p)
     m = (pb[:, 0] <= x1) & (pb[:, 2] >= x0) & (pb[:, 1] <= y1) & (pb[:, 3] >= y0)
     cand_sets.append((int(m.sum()), p, np.where(m)[0]))
 cand_sets.sort(key=lambda t: -t[0])
