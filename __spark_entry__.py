@@ -1405,6 +1405,23 @@ def _q_c4_clean(spark, sf_dir):
     )
 
 
+def _q_quantize_embeddings(spark, sf_dir):
+    """Symmetric int8 embedding quantization (ml/similarity.py
+    quantize_embeddings). Codes ship as a comma-joined string (the
+    compare hashes scalars); floor(x+0.5) rounding makes the codes
+    engine-exact, so the oracle reproduces every int8 bit-for-bit."""
+    from geofileops_spark.ml.similarity import quantize_embeddings
+    from geofileops_spark.sources.tpch_geo import load
+
+    emb = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    out = quantize_embeddings(emb)
+    return out.select(
+        "vec_id",
+        "scale_ppm",
+        F.array_join(F.col("q").cast("array<string>"), ",").alias("q_csv"),
+    )
+
+
 def _q_pack_sequences(spark, sf_dir):
     """Context-window sequence packing (ml/corpus.py pack_sequences):
     documents laid end-to-end on one token tape in doc_id order, 256-
@@ -2225,6 +2242,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gopher_quality": _q_gopher_quality,
         "c4_clean": _q_c4_clean,
         "pack_sequences": _q_pack_sequences,
+        "quantize_embeddings": _q_quantize_embeddings,
         "tfidf_topk": _q_tfidf_topk,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
@@ -2770,6 +2788,20 @@ SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id"""
                 AND NOT contains(lower(text), 'lorem ipsum')
                 AND NOT contains(text, '{')) AS keep
         FROM c""",
+        "quantize_embeddings": r"""WITH s AS (
+          SELECT vec_id, embedding,
+                 COALESCE(list_max(list_transform(embedding,
+                          x -> abs(CAST(x AS DOUBLE)))), 0) AS scale
+          FROM embeddings)
+        SELECT vec_id,
+               CAST(floor(scale * 1000000 + 0.5) AS BIGINT) AS scale_ppm,
+               CASE WHEN scale > 0 THEN
+                 array_to_string(list_transform(embedding,
+                   x -> CAST(floor(CAST(x AS DOUBLE) * 127 / scale + 0.5)
+                             AS INT)), ',')
+               ELSE array_to_string(list_transform(embedding, x -> 0), ',')
+               END AS q_csv
+        FROM s""",
         "pack_sequences": r"""WITH t AS (
           SELECT doc_id,
                  CASE WHEN trim(text) = '' THEN 0

@@ -732,3 +732,27 @@ def test_pack_sequences_closed_form(spark):
     }
     for i in range(5):
         assert rows_w1[i]["start_offset"] == rows[i]["start_offset"]
+
+
+def test_quantize_embeddings_closed_form(spark):
+    from geofileops_spark.ml.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [
+            (1, [1.0, -0.5, 0.25, 0.0]),
+            (2, [0.0, 0.0]),
+            (3, [-2.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    # scale 1.0: q = floor(v*127 + 0.5) = [127, floor(-63.0)=-63, 32, 0]
+    assert rows[1]["scale_ppm"] == 1_000_000
+    assert rows[1]["q"] == [127, -63, 32, 0]
+    # all-zero vector: scale 0, zero codes
+    assert rows[2]["scale_ppm"] == 0 and rows[2]["q"] == [0, 0]
+    # negative max: scale from |v|, code -127
+    assert rows[3]["scale_ppm"] == 2_000_000 and rows[3]["q"] == [-127]
+    # scale contract: one JVM projection — no Python workers, no shuffle
+    plan = quantize_embeddings(df)._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
