@@ -1131,22 +1131,30 @@ def union(
     — previously each branch re-ran the cover UDFs and refine).
 
     ``subdivide_coords``: composes the three subdivided branch ops like
-    the reference's sequential plan (``_geoops_sql.py:3107,3180-3250``)."""
+    the reference's sequential plan (``_geoops_sql.py:3107,3180-3250``);
+    the two difference branches share one subdivide per layer (see
+    :func:`symmetric_difference`). The intersection branch keeps its own
+    (its parts carry attributes and re-union per pair, a different
+    shape)."""
     if subdivide_coords is not None:
         inter = intersection(
             df1, df2, res=res, geom_col=geom_col, id_col=id_col,
             gridsize=gridsize, explodecollections=explodecollections,
             where_post=where_post, subdivide_coords=subdivide_coords,
         )
-        d12 = difference(
-            df1, df2, res=res, geom_col=geom_col, id_col=id_col,
-            gridsize=gridsize, explodecollections=explodecollections,
-            where_post=where_post, subdivide_coords=subdivide_coords,
+        s1 = cache.track(
+            _subdivide_subject(df1, subdivide_coords, geom_col, id_col).persist()
         )
-        d21 = difference(
-            df2, df1, res=res, geom_col=geom_col, id_col=id_col,
-            gridsize=gridsize, explodecollections=explodecollections,
-            where_post=where_post, subdivide_coords=subdivide_coords,
+        s2 = cache.track(
+            _subdivide_subject(df2, subdivide_coords, geom_col, id_col).persist()
+        )
+        d12 = _difference_of_parts(
+            s1, s2.select(geom_col), res, geom_col, id_col, gridsize,
+            explodecollections, where_post, False, _combine_plan(df1, df2),
+        )
+        d21 = _difference_of_parts(
+            s2, s1.select(geom_col), res, geom_col, id_col, gridsize,
+            explodecollections, where_post, False, _combine_plan(df2, df1),
         )
         d12 = prefix_columns(d12, "l1_", exclude=(geom_col,))
         d21 = prefix_columns(d21, "l2_", exclude=(geom_col,))
