@@ -163,3 +163,38 @@ def test_pip_rect_path_is_pure_jvm_bnlj(spark):
         or (50 <= i % 100 <= 100 and 25 <= i % 50 <= 50)
     )
     assert n == expect, (n, expect)
+
+
+def test_pack_sequences_has_no_global_window_funnel(spark):
+    """The running-offset plan must be the two-phase form: the per-row
+    window partitions by _bucket (parallel across buckets); the only
+    single-partition exchange feeds the tiny bucket-prefix aggregate,
+    never the full input."""
+    from geofileops_spark.ml.corpus import pack_sequences
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id", "text")
+    p = plan_of(pack_sequences(docs, budget=256, bucket_width=64))
+    win_lines = [l for l in p.splitlines() if "Window [" in l]
+    # the full-input window (ordered by _ord) is PARTITIONED by _bucket
+    big_window = [l for l in win_lines if "_ord" in l]
+    assert big_window, win_lines
+    assert all("windowspecdefinition(_bucket" in l for l in big_window), big_window
+    # exactly one single-partition exchange, feeding the tiny
+    # bucket-prefix window (itself behind a broadcast), never the scan
+    assert p.count("Exchange SinglePartition") == 1, p[:2000]
+    assert "BroadcastExchange" in p
+
+
+def test_host_rollup_partial_aggregates(spark):
+    """Domain rollup must map-side combine (partial_count / partial_sum
+    before the exchange) so a 100-TB scan ships one row per (task,
+    host), not one per document."""
+    from geofileops_spark.text.analysis import host_rollup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id", "text",
+        F.concat(F.lit("https://www.h"), (F.col("doc_id") % 50).cast("string"),
+                 F.lit(".example.com/p")).alias("url"),
+    )
+    p = plan_of(host_rollup(docs))
+    assert "partial_count" in p or "partial count" in p.lower(), p[:2000]
