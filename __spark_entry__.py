@@ -1405,6 +1405,32 @@ def _q_c4_clean(spark, sf_dir):
     )
 
 
+def _q_dedup_url(spark, sf_dir):
+    """Canonical-URL dedup (text/analysis.py dedup_url): urls derived
+    from doc_id with www/port/trailing-slash/tracking-param/fragment
+    variants, so every 2 docs in a 4-block canonicalize to one page;
+    keep-first by doc_id. The oracle applies the same derivation and
+    canonicalization."""
+    from geofileops_spark.sources.tpch_geo import load
+    from geofileops_spark.text.analysis import dedup_url
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    did = F.col("doc_id")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(did % 2 == 0, F.lit("www.")).otherwise(F.lit("")),
+        F.lit("site"), F.floor(did / 4).cast("string"), F.lit(".example.com"),
+        F.when(did % 3 == 0, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/a/b"),
+        F.when(did % 5 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?id="), (did % 2).cast("string"),
+        F.when(did % 2 == 0, F.lit("&utm_source=x")).otherwise(F.lit("&gclid=z")),
+        F.lit("#frag"),
+    )
+    out = dedup_url(docs.withColumn("url", url))
+    return out.select("doc_id", F.col("_curl").alias("curl"))
+
+
 def _q_quantize_embeddings(spark, sf_dir):
     """Symmetric int8 embedding quantization (ml/similarity.py
     quantize_embeddings). Codes ship as a comma-joined string (the
@@ -2243,6 +2269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_clean": _q_c4_clean,
         "pack_sequences": _q_pack_sequences,
         "quantize_embeddings": _q_quantize_embeddings,
+        "dedup_url": _q_dedup_url,
         "tfidf_topk": _q_tfidf_topk,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
@@ -2788,6 +2815,48 @@ SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id"""
                 AND NOT contains(lower(text), 'lorem ipsum')
                 AND NOT contains(text, '{')) AS keep
         FROM c""",
+        "dedup_url": r"""WITH d AS (
+          SELECT doc_id,
+                 'https://'
+                 || CASE WHEN doc_id % 2 = 0 THEN 'www.' ELSE '' END
+                 || 'site' || CAST(CAST(floor(doc_id / 4) AS BIGINT) AS VARCHAR)
+                 || '.example.com'
+                 || CASE WHEN doc_id % 3 = 0 THEN ':8080' ELSE '' END
+                 || '/a/b'
+                 || CASE WHEN doc_id % 5 = 0 THEN '/' ELSE '' END
+                 || '?id=' || CAST(doc_id % 2 AS VARCHAR)
+                 || CASE WHEN doc_id % 2 = 0 THEN '&utm_source=x'
+                         ELSE '&gclid=z' END
+                 || '#frag' AS url
+          FROM documents),
+        c AS (
+          SELECT doc_id,
+                 lower(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://(?:www\.)?([^/?#:]+)', 1)) AS host,
+                 regexp_replace(regexp_extract(url,
+                   '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+                   '/$', '') AS path,
+                 array_to_string(list_filter(
+                   string_split(regexp_extract(url, '\?([^#]*)', 1), '&'),
+                   kv -> kv <> ''
+                         AND NOT starts_with(lower(kv), 'utm_')
+                         AND NOT starts_with(lower(kv), 'fbclid')
+                         AND NOT starts_with(lower(kv), 'gclid')
+                         AND NOT starts_with(lower(kv), 'msclkid')
+                         AND NOT starts_with(lower(kv), 'ref_src')), '&') AS q
+          FROM d),
+        k AS (
+          SELECT doc_id,
+                 CASE WHEN host = '' THEN ''
+                      ELSE host || path
+                           || CASE WHEN q <> '' THEN '?' || q ELSE '' END
+                 END AS curl
+          FROM c),
+        r AS (
+          SELECT doc_id, curl,
+                 row_number() OVER (PARTITION BY curl ORDER BY doc_id) AS rn
+          FROM k)
+        SELECT doc_id, curl FROM r WHERE rn = 1""",
         "quantize_embeddings": r"""WITH s AS (
           SELECT vec_id, embedding,
                  COALESCE(list_max(list_transform(embedding,

@@ -387,3 +387,62 @@ def chunk_documents(
             chunk_chars,
         ).alias("chunk_text"),
     )
+
+
+# ------------------------------------------------------- URL canonical dedup
+# tracking params dropped during canonicalization (lowercased compare)
+TRACKING_PARAMS = ("utm_", "fbclid", "gclid", "msclkid", "ref_src")
+
+
+def canonical_url(url: Column) -> Column:
+    """Canonical form for URL-level dedup: lowercase scheme+host with a
+    leading ``www.`` and any port stripped, path without a trailing
+    slash, tracking query parameters removed (query otherwise kept,
+    parameter order preserved), fragment dropped. Non-URLs canonicalize
+    to ''. Pure JVM regexp — identical under Java regex and RE2."""
+    host = F.lower(
+        F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://(?:www\.)?([^/?#:]+)", 1)
+    )
+    # path = between the host (incl. optional :port) and ? or #
+    path = F.regexp_extract(
+        url, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1
+    )
+    path = F.regexp_replace(path, r"/$", "")
+    query = F.regexp_extract(url, r"\?([^#]*)", 1)
+    kept = F.filter(
+        F.split(query, "&"),
+        lambda kv: (kv != F.lit(""))
+        & ~F.lower(kv).startswith("utm_")
+        & ~F.lower(kv).startswith("fbclid")
+        & ~F.lower(kv).startswith("gclid")
+        & ~F.lower(kv).startswith("msclkid")
+        & ~F.lower(kv).startswith("ref_src"),
+    )
+    q = F.array_join(kept, "&")
+    return F.when(host == "", F.lit("")).otherwise(
+        F.concat(
+            host, path, F.when(q != "", F.concat(F.lit("?"), q)).otherwise(F.lit(""))
+        )
+    )
+
+
+def dedup_url(
+    df: DataFrame,
+    url_col: str = "url",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Keep ONE row per canonical URL — the crawl-level dedup that runs
+    before any content dedup (recrawls, tracking-param and www/fragment
+    variants of one page). Winner = lowest ``order_col`` (a crawl
+    timestamp or stable id). One shuffle on the canonical key; the
+    window keeps k rows per key so no key ever materializes its whole
+    group."""
+    from pyspark.sql import Window
+
+    tagged = df.withColumn("_curl", canonical_url(F.col(url_col)))
+    w = Window.partitionBy("_curl").orderBy(F.col(order_col).asc())
+    return (
+        tagged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )

@@ -756,3 +756,25 @@ def test_quantize_embeddings_closed_form(spark):
     # scale contract: one JVM projection — no Python workers, no shuffle
     plan = quantize_embeddings(df)._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_canonical_url_and_dedup(spark):
+    from geofileops_spark.text.analysis import canonical_url, dedup_url
+
+    df = spark.createDataFrame(
+        [
+            (1, "https://www.Example.COM:8080/a/b/?utm_source=x&id=7#frag"),
+            (2, "http://example.com/a/b?id=7&gclid=zzz"),
+            (3, "https://example.com/a/b?id=8"),
+            (4, "not a url"),
+        ],
+        "doc_id long, url string",
+    )
+    got = {r["doc_id"]: r["c"] for r in df.select(
+        "doc_id", canonical_url(F.col("url")).alias("c")).collect()}
+    assert got[1] == "example.com/a/b?id=7"   # www/port/slash/utm/frag gone
+    assert got[2] == "example.com/a/b?id=7"   # scheme + gclid ignored
+    assert got[3] == "example.com/a/b?id=8"
+    assert got[4] == ""
+    kept = sorted(r["doc_id"] for r in dedup_url(df).collect())
+    assert kept == [1, 3, 4]  # 2 is a recrawl variant of 1
