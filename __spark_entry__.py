@@ -286,6 +286,43 @@ def _q_difference(spark, sf_dir):
     return out.select("fid", _bigint(st_area(F.col("geom_wkb"))).alias("area"))
 
 
+def _q_difference_subdivided(spark, sf_dir):
+    """Same inputs and oracle as difference_paired, forced through the
+    SUBDIVIDED path (subdivide_coords=6 explodes every 5-point box into
+    parts, differences per part, re-unions per fid — the plan shared by
+    symmetric_difference/union since the r5 shared-subdivide rewrite).
+    Difference distributes over the parts' union, so the result set is
+    byte-identical to the plain path's oracle."""
+    from geofileops_spark.functions.st import st_area
+    from geofileops_spark.operators.overlay import difference
+    from geofileops_spark.sources import tpch_geo as T
+
+    out = difference(
+        T.paired_left(spark, sf_dir), T.paired_right(spark, sf_dir),
+        res=18, subdivide_coords=6,
+    )
+    return out.select("fid", _bigint(st_area(F.col("geom_wkb"))).alias("area"))
+
+
+def _q_symdiff_subdivided(spark, sf_dir):
+    """symmetric_difference through the subdivided branch plan (one
+    shared subdivide per layer feeding both difference branches — the
+    r5 rewrite); oracle identical to symmetric_difference_paired."""
+    from geofileops_spark.functions.st import st_area
+    from geofileops_spark.operators.overlay import symmetric_difference
+    from geofileops_spark.sources import tpch_geo as T
+
+    out = symmetric_difference(
+        T.paired_left(spark, sf_dir), T.paired_right(spark, sf_dir),
+        res=18, subdivide_coords=6,
+    )
+    return out.select(
+        F.col("l1_fid").alias("left_fid"),
+        F.col("l2_fid").alias("right_fid"),
+        _bigint(st_area(F.col("geom_wkb"))).alias("area"),
+    )
+
+
 def _q_clip(spark, sf_dir):
     from geofileops_spark.operators.overlay import clip
     from geofileops_spark.functions.st import st_area, st_geomfromtext
@@ -2110,6 +2147,13 @@ def _q_listlayers(spark, sf_dir):
 _R5_GRADE_FIRST = [
     "symmetric_difference_paired",
     "difference_paired",
+    # the subdivide-branch twins drive the exact plan the r5 shared-
+    # subdivide rewrite changed; dissolve_lines_merge /
+    # dissolve_points_distinct rotate to the tail to make room (both
+    # r4-driver-graded green; the lines/points dissolve paths are
+    # untouched this round)
+    "difference_subdivided",
+    "symdiff_subdivided",
     "difference_keep_empty",
     "clip_boxes",
     "intersection_boxes",
@@ -2126,8 +2170,6 @@ _R5_GRADE_FIRST = [
     "dissolve_tiled",
     "tri_dissolve_squares",
     "lshape_dissolve_hull",
-    "dissolve_lines_merge",
-    "dissolve_points_distinct",
     "makevalid_bowties",
     "buffer_square",
     "buffer_round",
@@ -2228,6 +2270,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "join_nearest_expand": _q_join_nearest_expand,
         "intersection_boxes": _q_intersection,
         "difference_paired": _q_difference,
+        "difference_subdivided": _q_difference_subdivided,
+        "symdiff_subdivided": _q_symdiff_subdivided,
         "clip_boxes": _q_clip,
         "union_overlay_paired": _q_union_overlay,
         "symmetric_difference_paired": _q_symdiff,
@@ -2501,6 +2545,22 @@ SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id"""
             """SELECT fid, CAST(CASE WHEN fid % 2 = 0 THEN 12000 ELSE 18000 END AS BIGINT) AS area
             FROM paired_left""",
             "paired_left",
+        ),
+        # identical oracle to difference_paired / symmetric_difference_
+        # paired: the subdivided plan must reproduce the plain path's
+        # result set exactly (difference distributes over parts' union)
+        "difference_subdivided": with_ctes(
+            """SELECT fid, CAST(CASE WHEN fid % 2 = 0 THEN 12000 ELSE 18000 END AS BIGINT) AS area
+            FROM paired_left""",
+            "paired_left",
+        ),
+        "symdiff_subdivided": with_ctes(
+            """SELECT fid AS left_fid, NULL AS right_fid,
+                   CAST(CASE WHEN fid % 2 = 0 THEN 12000 ELSE 18000 END AS BIGINT) AS area
+              FROM paired_left
+            UNION ALL
+            SELECT NULL, fid, CAST(12000 AS BIGINT) FROM paired_right""",
+            "paired_left", "paired_right",
         ),
         "clip_boxes": with_ctes(
             """SELECT fid,
