@@ -221,6 +221,55 @@ def copy_layer(df: DataFrame, dst_path: str, mode: str = "overwrite", fmt: str =
     df.write.mode(mode).format(fmt).save(dst_path)
 
 
+# named convenience twins of the reference's file API, all thin wrappers
+# over copy_layer / concat_layers (the table semantics are identical):
+def concat(dfs: list[DataFrame]) -> DataFrame:
+    """geofileops ``geoops.py:2029`` name; alias of concat_layers."""
+    return concat_layers(dfs)
+
+
+def convert(df: DataFrame, dst_path: str, fmt: str = "parquet") -> None:
+    """geofileops ``fileops.py:2999``: format conversion = overwrite copy."""
+    copy_layer(df, dst_path, mode="overwrite", fmt=fmt)
+
+
+def append_to(df: DataFrame, dst_path: str, fmt: str = "parquet") -> None:
+    """geofileops ``fileops.py:2909``: append rows to an existing layer."""
+    copy_layer(df, dst_path, mode="append", fmt=fmt)
+
+
+def to_file(df: DataFrame, dst_path: str, append: bool = False, fmt: str = "parquet") -> None:
+    """geofileops ``fileops.py:2230``: write a layer (optionally append)."""
+    copy_layer(df, dst_path, mode="append" if append else "overwrite", fmt=fmt)
+
+
+def execute_sql(spark, sql: str) -> DataFrame:
+    """geofileops ``fileops.py`` execute_sql analogue: run an arbitrary
+    statement with the ``st_*``/``gfo_*`` function surface registered
+    (the reference loads spatialite into its connection; here the
+    sqlops registry plays that role)."""
+    from .functions.st import register_sql_functions
+
+    register_sql_functions(spark)
+    return spark.sql(sql)
+
+
+def get_default_layer(spark, only_spatial_layers: bool = True) -> str | None:
+    """geofileops ``fileops.py:562``: the single layer a path implies —
+    first catalog layer by name (None when the catalog is empty)."""
+    names = listlayers(spark, only_spatial_layers=only_spatial_layers)
+    return names[0] if names else None
+
+
+def get_only_layer(spark, only_spatial_layers: bool = True) -> str:
+    """geofileops get_only_layer: the catalog's single layer; raises
+    when there is none or more than one (reference semantics)."""
+    names = listlayers(spark, only_spatial_layers=only_spatial_layers)
+    if len(names) != 1:
+        raise ValueError(f"expected exactly one layer, found {len(names)}: {names}")
+    return names[0]
+
+
 def get_layerinfo(df: DataFrame, geom_col: str = GEOM) -> dict:
     """geofileops ``fileops.py:322`` LayerInfo analogue: featurecount,
     total_bounds, geometry types, columns."""

@@ -188,3 +188,50 @@ def test_read_file_nogeom_and_sql(spark, boxes, tmp_path):
         layer="boxes", ignore_geometry=True,
     )
     assert out2.columns == ["fid"] and out2.collect()[0]["fid"] == 0
+
+
+def test_named_file_api_twins(spark, tmp_path):
+    """The reference's remaining named entry points (concat / convert /
+    append_to / to_file / execute_sql / get_default_layer /
+    get_only_layer) delegate to the table primitives."""
+    from geofileops_spark import geoops as gfo
+
+    a = spark.createDataFrame([(1, "x")], "fid long, v string")
+    b = spark.createDataFrame([(2,)], "fid long")
+    both = gfo.concat([a, b])
+    assert both.count() == 2 and set(both.columns) == {"fid", "v"}
+
+    dst = str(tmp_path / "layer.parquet")
+    gfo.convert(a, dst)
+    assert spark.read.parquet(dst).count() == 1
+    gfo.append_to(a, dst)
+    assert spark.read.parquet(dst).count() == 2
+    gfo.to_file(a, dst)  # overwrite by default
+    assert spark.read.parquet(dst).count() == 1
+    gfo.to_file(a, dst, append=True)
+    assert spark.read.parquet(dst).count() == 2
+
+    out = gfo.execute_sql(
+        spark, "SELECT st_area(st_geomfromtext('POLYGON ((0 0, 2 0, 2 2, 0 2, 0 0))')) AS a"
+    )
+    assert out.collect()[0]["a"] == 4.0
+
+    view = "only_layer_probe"
+    spark.createDataFrame([(1, bytearray(b"\x00"))], "fid long, geom_wkb binary") \
+        .createOrReplaceTempView(view)
+    try:
+        names = gfo.listlayers(spark)
+        assert view in names
+        # default layer = first catalog layer by name (other suite
+        # views may coexist in the shared session)
+        assert gfo.get_default_layer(spark) == names[0]
+        # get_only_layer: exactly-one contract
+        if len(names) == 1:
+            assert gfo.get_only_layer(spark) == view
+        else:
+            import pytest
+
+            with pytest.raises(ValueError):
+                gfo.get_only_layer(spark)
+    finally:
+        spark.catalog.dropTempView(view)
