@@ -16,7 +16,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BooleanType, DoubleType, LongType
+from pyspark.sql.types import BooleanType, DoubleType, IntegerType, LongType
 
 from ..functions.st import _EARTH_RADIUS_M
 from ..geometry import kernels as K
@@ -297,6 +297,124 @@ def join(
 
 
 # -------------------------------------------------------- join_by_location
+def _join_broadcast_pairs(
+    df1: DataFrame,
+    df2: DataFrame,
+    sq: SpatialQuery,
+    geom_col: str,
+    id_col: str,
+) -> DataFrame | None:
+    """Map-side pair generation for :func:`join_by_location`, the pairs
+    twin of :func:`_export_broadcast`: layer 2 is grid-indexed and
+    broadcast (geometry + int64 ids), layer 1 streams through ONE
+    mapInPandas emitting a row per matching (l1, l2) pair with the l2
+    key; attributes attach afterwards via a broadcast hash join on that
+    key — zero shuffles end to end (the reference holds layer 2's rtree
+    in every worker process, ``_geoops_sql.py:2185-2342``). Returns the
+    ``matched`` frame in the standard output shape (l1_-prefixed
+    columns, ``geom_col``, l2_-prefixed attributes), or None when the
+    broadcast cannot be built (empty layer 2 / NULL join keys) and the
+    caller must use the distributed plan."""
+    from pyspark.sql.types import LongType
+
+    spark = df1.sparkSession
+    bc = _layer2_grid_broadcast(spark, df2, geom_col, id_col=id_col)
+    if bc is None:
+        return None
+
+    q = sq.query.lower().split()
+    simple = None
+    if len(q) == 3 and q[0] in P.PREDICATE_FNS and q[1] == "is":
+        simple = (q[0], q[2] == "true")
+    # certain boundary crossings prove plain `intersects`: eligible
+    # pairs short-circuit the exact predicate (batched segment sweep)
+    fast_hit = simple is not None and simple[0] == "intersects"
+    schema = StructType(df1.schema.fields + [StructField("_l2id", LongType())])
+
+    def _probe(batches):
+        (ukey, starts, ends, srow, big_rows), bbv, buf2, off2, csz, x0, y0, ids = (
+            bc.value
+        )
+        pred = P.PREDICATE_FNS[simple[0]] if simple else None
+        want = simple[1] if simple else None
+        g2cache: dict[int, object] = {}
+
+        def g2_at(j):
+            g = g2cache.get(j)
+            if g is None:
+                g = W.loads(buf2[off2[j]:off2[j + 1]])
+                g2cache[j] = g
+            return g
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pdf.assign(_l2id=pd.Series(dtype="int64"))
+                continue
+            g1s: list = [None] * n
+            B = np.full((n, 4), np.nan)
+            for i, b1 in enumerate(pdf[geom_col]):
+                if b1 is None:
+                    continue
+                g1 = W.loads(bytes(b1))
+                if g1.is_empty():
+                    continue
+                g1s[i] = g1
+                B[i] = K.bounds(g1)
+            pr, pl = _batch_candidates(
+                B, ukey, starts, ends, srow, big_rows, csz, x0, y0, bbv
+            )
+            if len(pr) == 0:
+                yield pdf.iloc[0:0].assign(_l2id=pd.Series(dtype="int64"))
+                continue
+            ok = np.zeros(len(pr), dtype=bool)
+            todo = np.arange(len(pr))
+            if fast_hit:
+                windows = np.column_stack(
+                    (
+                        np.maximum(B[pr, 0], bbv[pl, 0]),
+                        np.maximum(B[pr, 1], bbv[pl, 1]),
+                        np.minimum(B[pr, 2], bbv[pl, 2]),
+                        np.minimum(B[pr, 3], bbv[pl, 3]),
+                    )
+                )
+                seg_a = [
+                    K.window_segments(g1s[int(i)], *windows[r])
+                    for r, i in enumerate(pr)
+                ]
+                seg_b = [
+                    K.window_segments(g2_at(int(j)), *windows[r])
+                    for r, j in enumerate(pl)
+                ]
+                hits = K.batch_segment_hits(seg_a, seg_b, windows=windows)
+                # a certain hit decides plain intersects either way
+                ok[hits] = want
+                todo = np.nonzero(~hits)[0]
+            for t in todo:
+                g1 = g1s[int(pr[t])]
+                g2 = g2_at(int(pl[t]))
+                if simple is not None:
+                    ok[t] = bool(pred(g1, g2)) == want
+                else:
+                    ok[t] = sq.matches(P.relate_matrix(g1, g2))
+            sel = np.nonzero(ok)[0]
+            out = pdf.iloc[pr[sel]].copy()
+            out["_l2id"] = ids[pl[sel]]
+            yield out
+
+    probe_out = df1.mapInPandas(_probe, schema=schema)
+    l2a = prefix_columns(df2, "l2_").drop(f"l2_{geom_col}")
+    matched = probe_out.join(
+        F.broadcast(l2a),
+        probe_out["_l2id"] == l2a[f"l2_{id_col}"],
+        "inner",
+    ).drop("_l2id")
+    for c in df1.columns:
+        if c != geom_col:
+            matched = matched.withColumnRenamed(c, f"l1_{c}")
+    return matched
+
+
 def join_by_location(
     df1: DataFrame,
     df2: DataFrame,
@@ -312,27 +430,51 @@ def join_by_location(
     """Spatial theta-join (geofileops ``geoops.py:3051`` →
     ``_geoops_sql.py:2185-2342``). Output: layer1 geometry + l1_/l2_
     prefixed attributes; ``discard_nonmatching=False`` appends unmatched
-    layer1 rows with NULL l2 columns (left-join semantics)."""
+    layer1 rows with NULL l2 columns (left-join semantics).
+
+    Plan selection: when layer 2 fits the broadcast budget
+    (``GFO_EXPORT_BROADCAST_BYTES``) and no intersection-area column is
+    asked for, pairs generate map-side against a broadcast grid index —
+    zero shuffles (the reference's per-worker rtree shape). Otherwise
+    (or with ``broadcast_right`` set, which keeps its cell-join
+    meaning): the distributed cell join — the 100-TB default."""
     sq = SpatialQuery(spatial_relations_query).avoid_disjoint()
-    pairs, res = candidate_pairs(
-        df1, df2, res=res, geom_col1=geom_col, geom_col2=geom_col,
-        broadcast_right=broadcast_right, light_ids=(id_col, id_col),
-    )
-    g1, g2 = f"l1_{geom_col}", f"l2_{geom_col}"
-    matched = pairs.where(query_match_udf(sq)(F.col(g1), F.col(g2)))
+    matched = None
+    if (
+        broadcast_right is None
+        and min_area_intersect is None
+        and area_inters_column_name is None
+        and os.environ.get("GFO_JOIN_BROADCAST", "1") == "1"
+        and id_col in df2.columns
+        and isinstance(
+            df2.schema[id_col].dataType, (LongType, IntegerType)
+        )
+    ):
+        sz = _scan_size_bytes(df2)
+        if sz is not None and 0 < sz <= _EXPORT_BCAST_BYTES:
+            matched = _join_broadcast_pairs(df1, df2, sq, geom_col, id_col)
+    if matched is None:
+        pairs, res = candidate_pairs(
+            df1, df2, res=res, geom_col1=geom_col, geom_col2=geom_col,
+            broadcast_right=broadcast_right, light_ids=(id_col, id_col),
+        )
+        g1, g2 = f"l1_{geom_col}", f"l2_{geom_col}"
+        matched = pairs.where(query_match_udf(sq)(F.col(g1), F.col(g2)))
 
-    area_col = area_inters_column_name
-    if min_area_intersect is not None and area_col is None:
-        area_col = "area_inters"
-    if area_col is not None:
-        matched = matched.withColumn(area_col, _inters_area_udf(F.col(g1), F.col(g2)))
-    if min_area_intersect is not None:
-        matched = matched.where(F.col(area_col) >= F.lit(min_area_intersect))
-        if area_inters_column_name is None:
-            matched = matched.drop(area_col)
+        area_col = area_inters_column_name
+        if min_area_intersect is not None and area_col is None:
+            area_col = "area_inters"
+        if area_col is not None:
+            matched = matched.withColumn(
+                area_col, _inters_area_udf(F.col(g1), F.col(g2))
+            )
+        if min_area_intersect is not None:
+            matched = matched.where(F.col(area_col) >= F.lit(min_area_intersect))
+            if area_inters_column_name is None:
+                matched = matched.drop(area_col)
 
-    matched = drop_helper_columns(matched).drop(g2)
-    matched = matched.withColumnRenamed(g1, geom_col)
+        matched = drop_helper_columns(matched).drop(g2)
+        matched = matched.withColumnRenamed(g1, geom_col)
 
     if not discard_nonmatching:
         l1_all = prefix_columns(df1, "l1_").withColumnRenamed(f"l1_{geom_col}", geom_col)
@@ -749,21 +891,31 @@ def _batch_candidates(B: np.ndarray, ukey, starts, ends, srow, big_rows,
 _EXPORT_GRID_CACHE: dict = {}
 
 
-def _layer2_grid_broadcast(spark, df2: DataFrame, geom_col: str):
+def _layer2_grid_broadcast(spark, df2: DataFrame, geom_col: str,
+                           id_col: str | None = None):
     """Build (or reuse) the broadcast grid index over layer 2.
-    Returns the Broadcast, or None when layer 2 has no valid geometry."""
+    Returns the Broadcast, or None when layer 2 has no valid geometry.
+    With ``id_col`` the broadcast tuple gains an int64 ids array aligned
+    to the grid's row order (the pairs-join path needs the l2 key to
+    attach attributes; the export path ships geometry only)."""
     try:
-        key = (df2.semanticHash(), geom_col)
+        key = (df2.semanticHash(), geom_col, id_col)
     except Exception:  # pragma: no cover - exotic plans
         key = None
     if key is not None and key in _EXPORT_GRID_CACHE:
         return _EXPORT_GRID_CACHE[key]
+    sel = [
+        _bounds_udf(F.col(geom_col)).alias("_b"),
+        F.col(geom_col).alias("_wkb"),
+    ]
+    if id_col is not None:
+        sel.append(F.col(id_col).cast("long").alias("_id"))
     pdf2 = (
-        df2.select(
-            _bounds_udf(F.col(geom_col)).alias("_b"),
-            F.col(geom_col).alias("_wkb"),
+        df2.select(*sel)
+        .select(
+            "_b.minx", "_b.miny", "_b.maxx", "_b.maxy", "_wkb",
+            *(["_id"] if id_col is not None else []),
         )
-        .select("_b.minx", "_b.miny", "_b.maxx", "_b.maxy", "_wkb")
         .toPandas()
     )
     bb_all = pdf2[["minx", "miny", "maxx", "maxy"]].to_numpy(np.float64)
@@ -794,9 +946,19 @@ def _layer2_grid_broadcast(spark, df2: DataFrame, geom_col: str):
         )
         offs = np.concatenate(([0], np.cumsum(lens)))
         buf = b"".join(bytes(w) for w in wkbs)
-        bc = spark.sparkContext.broadcast(
-            (index, bb, buf, offs, cellsz, gx0, gy0)
-        )
+        payload = (index, bb, buf, offs, cellsz, gx0, gy0)
+        if id_col is not None:
+            idser = pdf2["_id"][valid]
+            if idser.isna().any():
+                # NULL join keys can't attach attributes — signal the
+                # caller to fall back to the distributed plan
+                bc = None
+                if key is not None:
+                    _EXPORT_GRID_CACHE.clear()
+                    _EXPORT_GRID_CACHE[key] = bc
+                return bc
+            payload = payload + (idser.to_numpy(np.int64),)
+        bc = spark.sparkContext.broadcast(payload)
     if key is not None:
         _EXPORT_GRID_CACHE.clear()
         _EXPORT_GRID_CACHE[key] = bc

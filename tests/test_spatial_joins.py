@@ -408,3 +408,40 @@ def test_join_points_in_polygons_grid_path_matches_scan(spark):
         inside = K.points_in_multipolygon(P, geoms[fid]) >= 1
         exp.extend((int(i), fid) for i in np.nonzero(inside)[0])
     assert got == sorted(exp) and len(got) > 0
+
+
+def test_join_broadcast_pairs_matches_distributed(layers):
+    """The zero-shuffle broadcast-grid pairs plan (auto for a small
+    layer 2) must produce the exact row set of the distributed cell
+    join (broadcast_right=False pins the old plan) across simple,
+    negated, DE-9IM and left-join queries, and its physical plan must
+    contain no shuffle before the attribute attach."""
+    parcels, zones, _ = layers
+    for query in (
+        "intersects is True",
+        "within is True",
+        "intersects is False",
+        "T*F**F*** is True",
+        "intersects is True or touches is True",
+    ):
+        fast = J.join_by_location(parcels, zones, query)
+        slow = J.join_by_location(parcels, zones, query, broadcast_right=False)
+        assert spark_pairs(fast) == spark_pairs(slow), query
+        assert sorted(fast.columns) == sorted(slow.columns), query
+    # left-join variant keeps unmatched l1 rows on both plans
+    fast = J.join_by_location(
+        parcels, zones, "within is True", discard_nonmatching=False
+    )
+    slow = J.join_by_location(
+        parcels, zones, "within is True", discard_nonmatching=False,
+        broadcast_right=False,
+    )
+    assert spark_pairs(fast) == spark_pairs(slow)
+    # plan shape: one mapInPandas + BroadcastHashJoin, no Exchange in
+    # the matched branch (the left-anti union adds its own)
+    p = (
+        J.join_by_location(parcels, zones, "intersects is True")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in p and "MapInPandas" in p
+    assert "Exchange hashpartitioning" not in p
