@@ -2159,9 +2159,11 @@ _R5_GRADE_FIRST = [
     "intersection_boxes",
     "identity_paired",
     "union_overlay_paired",
-    "tri_clip_area",
-    "tri_difference_area",
-    "oct_intersection",
+    # tri_clip_area / tri_difference_area / oct_intersection rotate to
+    # the tail: each is redundant with an in-window sibling on the same
+    # kernel (clip_boxes, difference_paired+difference_subdivided,
+    # intersection_boxes) — making room for the four never-graded r5
+    # corpus ops below
     "export_by_location_subdivide",
     "subdivide_direct",
     "dissolve_groups",
@@ -2178,7 +2180,8 @@ _R5_GRADE_FIRST = [
     "dedup_geoms_collinear",
     "reduceprecision_grid",
     "pip_tri_intersects",
-    "pip_tri_within",
+    # pip_tri_within rotates to the tail (same PIP kernel path as
+    # pip_tri_intersects + pages_pip_join, both kept in-window)
     "pages_pip_join",
     "union_full_self",
     "union_full_columns",
@@ -2200,6 +2203,10 @@ _R5_GRADE_FIRST = [
     # r3-driver-graded green and transform.py is untouched this round)
     "gopher_quality",
     "tfidf_topk",
+    "c4_clean",
+    "dedup_url",
+    "pack_sequences",
+    "quantize_embeddings",
     "clip_by_geometry_box",
     "join_by_location_intersects",
     "join_by_location_within",
