@@ -19,6 +19,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import BooleanType, DoubleType, IntegerType, LongType
 
 from ..functions.st import _EARTH_RADIUS_M
+from ..geometry import geom as G
 from ..geometry import kernels as K
 from ..geometry import predicates as P
 from ..geometry import wkb as W
@@ -297,6 +298,17 @@ def join(
 
 
 # -------------------------------------------------------- join_by_location
+# point-subject vs polygonal-blade simple predicates reduce to the PIP
+# classification (0 outside / 1 boundary / 2 interior) — one vectorized
+# kernel call per blade instead of a per-pair Python predicate loop
+_POINT_PIP_PRED = {
+    "intersects": lambda pip: pip >= 1,
+    "within": lambda pip: pip == 2,
+    "touches": lambda pip: pip == 1,
+    "coveredby": lambda pip: pip >= 1,
+}
+
+
 def _join_broadcast_pairs(
     df1: DataFrame,
     df2: DataFrame,
@@ -368,28 +380,54 @@ def _join_broadcast_pairs(
                 yield pdf.iloc[0:0].assign(_l2id=pd.Series(dtype="int64"))
                 continue
             ok = np.zeros(len(pr), dtype=bool)
-            todo = np.arange(len(pr))
-            if fast_hit:
+            handled = np.zeros(len(pr), dtype=bool)
+            # POINT subjects: one points_in_multipolygon call per blade
+            # (the segment sweep is useless for points — they have no
+            # segments — and the per-pair loop below would run pure
+            # Python per candidate; measured 7.0 s -> cell-join-parity
+            # on 15k points x 1k boxes)
+            pip_pred = _POINT_PIP_PRED.get(simple[0]) if simple else None
+            if pip_pred is not None:
+                row_is_pt = np.fromiter(
+                    (g is not None and g.typ == G.POINT for g in g1s),
+                    dtype=bool,
+                    count=n,
+                )
+                ptpairs = np.nonzero(row_is_pt[pr])[0]
+                if len(ptpairs):
+                    order = np.argsort(pl[ptpairs], kind="stable")
+                    ptpairs = ptpairs[order]
+                    splits = np.nonzero(np.diff(pl[ptpairs]))[0] + 1
+                    for grp in np.split(ptpairs, splits):
+                        g2 = g2_at(int(pl[grp[0]]))
+                        if g2.typ not in (G.POLYGON, G.MULTIPOLYGON):
+                            continue  # non-areal blade: per-pair path
+                        pts = np.stack([g1s[int(pr[t])].data for t in grp])
+                        pip = K.points_in_multipolygon(pts, g2)
+                        ok[grp] = pip_pred(pip) == want
+                        handled[grp] = True
+            todo = np.nonzero(~handled)[0]
+            if fast_hit and len(todo):
                 windows = np.column_stack(
                     (
-                        np.maximum(B[pr, 0], bbv[pl, 0]),
-                        np.maximum(B[pr, 1], bbv[pl, 1]),
-                        np.minimum(B[pr, 2], bbv[pl, 2]),
-                        np.minimum(B[pr, 3], bbv[pl, 3]),
+                        np.maximum(B[pr[todo], 0], bbv[pl[todo], 0]),
+                        np.maximum(B[pr[todo], 1], bbv[pl[todo], 1]),
+                        np.minimum(B[pr[todo], 2], bbv[pl[todo], 2]),
+                        np.minimum(B[pr[todo], 3], bbv[pl[todo], 3]),
                     )
                 )
                 seg_a = [
-                    K.window_segments(g1s[int(i)], *windows[r])
-                    for r, i in enumerate(pr)
+                    K.window_segments(g1s[int(pr[t])], *windows[r])
+                    for r, t in enumerate(todo)
                 ]
                 seg_b = [
-                    K.window_segments(g2_at(int(j)), *windows[r])
-                    for r, j in enumerate(pl)
+                    K.window_segments(g2_at(int(pl[t])), *windows[r])
+                    for r, t in enumerate(todo)
                 ]
                 hits = K.batch_segment_hits(seg_a, seg_b, windows=windows)
                 # a certain hit decides plain intersects either way
-                ok[hits] = want
-                todo = np.nonzero(~hits)[0]
+                ok[todo[hits]] = want
+                todo = todo[~hits]
             for t in todo:
                 g1 = g1s[int(pr[t])]
                 g2 = g2_at(int(pl[t]))

@@ -445,3 +445,37 @@ def test_join_broadcast_pairs_matches_distributed(layers):
     )
     assert "BroadcastHashJoin" in p and "MapInPandas" in p
     assert "Exchange hashpartitioning" not in p
+
+
+def test_join_broadcast_pairs_point_subjects(layers, spark):
+    """POINT subjects route through the vectorized per-blade PIP path
+    inside the broadcast-pairs probe; results must equal the distributed
+    cell join exactly — including points ON zone boundaries/corners,
+    where intersects/within/touches/coveredby all differ."""
+    _, zones, points = layers
+    # augment with points exactly on the first zone's boundary: a corner
+    # and an edge midpoint (zone wkt is a polygon; vertex 0 and the
+    # 0-1 edge midpoint are certainly on the boundary)
+    import re
+
+    wkt0 = FX.zones_rows()[0]["wkt"]
+    nums = re.findall(r"(-?\d+(?:\.\d+)?) (-?\d+(?:\.\d+)?)", wkt0)
+    (x0, y0), (x1, y1) = [(float(a), float(b)) for a, b in nums[:2]]
+    extra = [
+        {"fid": 9001, "wkt": f"POINT ({x0} {y0})", "type": "corner"},
+        {"fid": 9002, "wkt": f"POINT ({(x0 + x1) / 2} {(y0 + y1) / 2})",
+         "type": "edge_mid"},
+    ]
+    pts = points.unionByName(
+        FX.to_spark_layer(spark, extra, "fid long; wkt string; type string")
+    )
+    for query in (
+        "intersects is True",
+        "within is True",
+        "touches is True",
+        "coveredby is True",
+        "intersects is False",
+    ):
+        fast = J.join_by_location(pts, zones, query)
+        slow = J.join_by_location(pts, zones, query, broadcast_right=False)
+        assert spark_pairs(fast) == spark_pairs(slow), query
