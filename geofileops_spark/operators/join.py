@@ -489,7 +489,14 @@ def join_by_location(
         )
     ):
         sz = _scan_size_bytes(df2)
-        if sz is not None and 0 < sz <= _EXPORT_BCAST_BYTES:
+        if (
+            sz is not None
+            and 0 < sz <= _EXPORT_BCAST_BYTES
+            # same row cap as export_by_location: a byte budget alone
+            # under-guards point layers (tiny rows), and the driver-side
+            # grid build is O(rows) regardless of bytes
+            and df2.count() <= _EXPORT_BCAST_MAX_ROWS
+        ):
             matched = _join_broadcast_pairs(df1, df2, sq, geom_col, id_col)
     if matched is None:
         pairs, res = candidate_pairs(

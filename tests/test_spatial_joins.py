@@ -410,6 +410,21 @@ def test_join_points_in_polygons_grid_path_matches_scan(spark):
     assert got == sorted(exp) and len(got) > 0
 
 
+def test_join_broadcast_pairs_row_cap_falls_back(layers, monkeypatch):
+    """A layer 2 under the byte budget but over the row cap must NOT be
+    collected for the broadcast grid (a 256MB parquet of point rows can
+    be tens of millions of rows); the join routes to the distributed
+    cell plan instead — same rows, Exchange present in the plan."""
+    parcels, zones, _ = layers
+    monkeypatch.setattr(J, "_EXPORT_BCAST_MAX_ROWS", 1)
+    capped = J.join_by_location(parcels, zones, "intersects is True")
+    p = capped._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange hashpartitioning" in p  # distributed cell join
+    monkeypatch.undo()
+    fast = J.join_by_location(parcels, zones, "intersects is True")
+    assert spark_pairs(capped) == spark_pairs(fast)
+
+
 def test_join_broadcast_pairs_matches_distributed(layers):
     """The zero-shuffle broadcast-grid pairs plan (auto for a small
     layer 2) must produce the exact row set of the distributed cell
