@@ -423,7 +423,7 @@ def _ring_op(ringA: np.ndarray, ringB: np.ndarray, op: str) -> list[np.ndarray]:
     bb_a, bb_b = _ring_bbox(a), _ring_bbox(b)
     ext = max(bb_a[2] - bb_a[0], bb_a[3] - bb_a[1], bb_b[2] - bb_b[0], bb_b[3] - bb_b[1], 1e-9)
     if not bbox_intersects(bb_a, bb_b):
-        return _no_intersection_fallback(a, b, op, None)
+        return _no_intersection_fallback(a, b, op, (bb_a, bb_b))
     # exact fast path: both rings axis-aligned rectangles. The GH clipper
     # would hit its degeneracy retry on shared/collinear edges (ubiquitous
     # for bbox-shaped data) and perturb; rect algebra is exact instead.
@@ -437,7 +437,7 @@ def _ring_op(ringA: np.ndarray, ringB: np.ndarray, op: str) -> list[np.ndarray]:
     # one representative-point test instead of the O(na*nb) clipper.
     if len(a) >= 64 or len(b) >= 64:
         if not _edges_touch_bbox(b, bb_a) or not _edges_touch_bbox(a, bb_b):
-            return _no_intersection_fallback(a, b, op, None)
+            return _no_intersection_fallback(a, b, op, (bb_a, bb_b))
     # bboxes overlapping only in a degenerate line/point: interiors cannot
     # intersect (open 2-D sets can't fit in a measure-zero strip), so skip
     # the clipper — its perturbation retry would manufacture slivers here.
@@ -498,18 +498,20 @@ def _edges_touch_bbox(r: np.ndarray, bb) -> bool:
     )
 
 
-def _no_intersection_fallback(a, b, op, _unused=None, force=False):
+def _no_intersection_fallback(a, b, op, bbs=None, force=False):
     """Handle containment / disjoint cases (no boundary crossings).
 
     Containment is decided on a *representative interior point* so shared
     vertices / shared edges (which carry no interior overlap) don't count.
-    """
+    ``bbs``: optional pre-computed ``(_ring_bbox(a), _ring_bbox(b))`` from
+    the caller — :func:`_ring_op` always has them, and the recompute was
+    measurable on the half of all overlay ring ops that end here."""
     from .predicates import interior_point
 
     closed_a = np.vstack([a, a[:1]])
     closed_b = np.vstack([b, b[:1]])
     tol = 1e-9
-    ba, bb = _ring_bbox(a), _ring_bbox(b)
+    ba, bb = bbs if bbs is not None else (_ring_bbox(a), _ring_bbox(b))
     bbox_a_in_b = (
         ba[0] >= bb[0] - tol and ba[1] >= bb[1] - tol
         and ba[2] <= bb[2] + tol and ba[3] <= bb[3] + tol
@@ -721,6 +723,14 @@ def mp_intersection(ma, mb):
 
 
 _TILED_DIFF_MIN_BLADES = 16
+# target blade count per tile in _mp_difference_tiled: the grid is sized
+# so each tile subtracts ~this many blades sequentially. Smaller → more
+# tiles (more subject/tile clips, more blades straddling seams, larger
+# weld); larger → longer sequential piece accumulation per tile. Swept on
+# the 120 heaviest complex-difference parts at 500k: 4.0 ≈ 81 s vs 6.0 ≈
+# 99 s vs 12.0 ≈ 135 s vs 48.0 ≈ 523 s single-thread (density 1-3 flat
+# within noise of 4.0 but caps nt sooner on many-blade subjects).
+_TILE_BLADES = 4.0
 
 
 def _mp_difference_tiled(ma, mb):
@@ -742,7 +752,7 @@ def _mp_difference_tiled(ma, mb):
     if x1 <= x0 or y1 <= y0:
         return None
     blade_bb = np.asarray([_poly_bbox(p) for p in mb], dtype=np.float64)
-    nt = int(math.ceil(math.sqrt(len(mb) / 6.0)))
+    nt = int(math.ceil(math.sqrt(len(mb) / _TILE_BLADES)))
     nt = max(2, min(nt, 24))
     xs = np.linspace(x0, x1, nt + 1)
     ys = np.linspace(y0, y1, nt + 1)
@@ -773,15 +783,31 @@ def _mp_difference_tiled(ma, mb):
                 (blade_bb[:, 0] > tb[2]) | (blade_bb[:, 2] < tb[0])
                 | (blade_bb[:, 1] > tb[3]) | (blade_bb[:, 3] < tb[1])
             )
-            cur = sub
+            # carry each piece's bbox through the sequential subtraction:
+            # recomputing _poly_bbox per (piece, blade) pair dominated the
+            # tile loop (numpy min/max reduces were ~8% of the whole d12
+            # kernel), and a cached bbox also lets bbox-disjoint blades
+            # skip poly_difference without the call overhead. Identity
+            # results (poly_difference returning [pa] unchanged) reuse the
+            # cached bbox; only freshly cut pieces pay a new scan.
+            cur = [(p, _poly_bbox(p)) for p in sub]
             for k in np.where(sel)[0]:
+                blade = mb[int(k)]
+                kb0, kb1, kb2, kb3 = blade_bb[int(k)]
                 nxt = []
-                for pa in cur:
-                    nxt.extend(poly_difference(pa, mb[int(k)]))
+                for pa, pab in cur:
+                    if (
+                        pab[0] > kb2 or pab[2] < kb0
+                        or pab[1] > kb3 or pab[3] < kb1
+                    ):
+                        nxt.append((pa, pab))
+                        continue
+                    for rp in poly_difference(pa, blade):
+                        nxt.append((rp, pab if rp is pa else _poly_bbox(rp)))
                 cur = nxt
                 if not cur:
                     break
-            pieces.extend(cur)
+            pieces.extend(p for p, _ in cur)
     if not pieces:
         return []
     return weld_all(pieces)
