@@ -757,6 +757,8 @@ def _mp_difference_tiled(ma, mb):
     xs = np.linspace(x0, x1, nt + 1)
     ys = np.linspace(y0, y1, nt + 1)
     pieces: list[list[np.ndarray]] = []
+    # per-tile state: (pieces [(poly, bbox)], selected blade indices)
+    states: list[tuple[list, np.ndarray]] = []
     for i in range(nt):
         for j in range(nt):
             tb = (xs[i], ys[j], xs[i + 1], ys[j + 1])
@@ -787,27 +789,234 @@ def _mp_difference_tiled(ma, mb):
             # recomputing _poly_bbox per (piece, blade) pair dominated the
             # tile loop (numpy min/max reduces were ~8% of the whole d12
             # kernel), and a cached bbox also lets bbox-disjoint blades
-            # skip poly_difference without the call overhead. Identity
-            # results (poly_difference returning [pa] unchanged) reuse the
-            # cached bbox; only freshly cut pieces pay a new scan.
-            cur = [(p, _poly_bbox(p)) for p in sub]
-            for k in np.where(sel)[0]:
-                blade = mb[int(k)]
-                kb0, kb1, kb2, kb3 = blade_bb[int(k)]
-                nxt = []
-                for pa, pab in cur:
-                    if (
-                        pab[0] > kb2 or pab[2] < kb0
-                        or pab[1] > kb3 or pab[3] < kb1
-                    ):
-                        nxt.append((pa, pab))
-                        continue
-                    for rp in poly_difference(pa, blade):
-                        nxt.append((rp, pab if rp is pa else _poly_bbox(rp)))
-                cur = nxt
-                if not cur:
+            # skip the clip without the call overhead. Unchanged results
+            # reuse the cached bbox; only freshly cut pieces pay a scan.
+            states.append(
+                ([(p, _poly_bbox(p), ()) for p in sub], np.where(sel)[0])
+            )
+
+    # blade ROUNDS across all tiles: round r subtracts each tile's r-th
+    # selected blade from that tile's current pieces. Per-tile blade
+    # order (and therefore every intermediate region) is identical to
+    # the old sequential tile loop — difference is A − ∪blades, so only
+    # the per-tile order matters, and it is preserved. The round
+    # structure exists so the (piece, blade) ring clips of ALL tiles can
+    # run through ONE batched sweep (batchclip.batch_ring_differences):
+    # per-pair numpy overhead on these small rings was the measured 90%
+    # of the complex-difference kernel. Degenerate / holed-blade /
+    # oversized pairs fall back to poly_difference, the exact per-pair
+    # path.
+    #
+    # Piece state is (poly, bbox, pend): ``pend`` holds hole rings from
+    # blades that fell STRICTLY INSIDE the piece (batchclip.Holed).
+    # Attaching them immediately would make the piece multi-ring and
+    # exile it to the per-pair path for every later blade — 96% of this
+    # kernel's per-pair fallbacks were exactly such pieces. Deferral is
+    # exact because the blades are disjoint components of one union:
+    # no later blade can overlap a pending hole's region, so each hole
+    # survives intact and lands strictly inside exactly one final piece
+    # (holes are re-distributed by containment when a later blade splits
+    # the piece — the same probe _subtract_ring uses for old holes).
+    from .batchclip import (
+        _MAX_COMBOS,
+        UNCHANGED,
+        Holed,
+        batch_ring_differences,
+    )
+
+    def _materialize(pa, pend):
+        return [pa[0], *pend] if pend else pa
+
+    def _distribute_pend(new_pieces, pend):
+        """Attach each pending hole to the replacement piece containing
+        it. Returns False (caller must use the exact per-pair path) when
+        any hole cannot be placed — only possible when the disjoint-
+        blades precondition was violated."""
+        from .kernels import points_in_ring
+
+        for h in pend:
+            hx, hy = float(h[0, 0]), float(h[0, 1])
+            target = -1
+            for ti, (tp, tb, _) in enumerate(new_pieces):
+                if not (tb[0] <= hx <= tb[2] and tb[1] <= hy <= tb[3]):
+                    continue
+                code = points_in_ring(h[0:1], tp[0])[0]
+                if code == 1:
+                    codes = points_in_ring(h[:-1], tp[0])
+                    code = 2 if (codes == 2).any() else 0
+                if code == 2:
+                    target = ti
                     break
-            pieces.extend(p for p, _ in cur)
+            if target < 0:
+                return False
+            tp, tb, tpend = new_pieces[target]
+            new_pieces[target] = (tp, tb, tpend + (h,))
+        return True
+
+    blade_open: dict[int, np.ndarray | None] = {}
+    rmax = max((len(kidx) for _, kidx in states), default=0)
+    for r in range(rmax):
+        pend_pairs: list[tuple[np.ndarray, np.ndarray]] = []
+        pend_windows: list[tuple[float, float, float, float]] = []
+        pend_ref: list[tuple[int, int]] = []
+        # repl[si][pi] = list of replacement (poly, bbox, pend) for that
+        # piece (no entry = piece unchanged this round)
+        repl: dict[int, dict[int, list]] = {}
+        for si, (cur, kidx) in enumerate(states):
+            if r >= len(kidx) or not cur:
+                continue
+            k = int(kidx[r])
+            blade = mb[k]
+            kb0, kb1, kb2, kb3 = blade_bb[k]
+            b_open = blade_open.get(k, False)
+            if b_open is False:
+                b_open = (
+                    _open_ring(blade[0]) if len(blade) == 1 else None
+                )
+                if b_open is not None and len(b_open) < 3:
+                    b_open = None
+                blade_open[k] = b_open
+            rmap = repl.setdefault(si, {})
+            for pi, (pa, pab, pend) in enumerate(cur):
+                ox = min(pab[2], kb2) - max(pab[0], kb0)
+                oy = min(pab[3], kb3) - max(pab[1], kb1)
+                if ox < 0.0 or oy < 0.0:
+                    continue  # bbox-disjoint: unchanged
+                if ox <= 0.0 or oy <= 0.0:
+                    # bboxes share only a measure-zero strip: interiors
+                    # cannot overlap, difference leaves pa unchanged
+                    # (same reasoning as _ring_op's degenerate-strip exit)
+                    continue
+                a_open = (
+                    _open_ring(pa[0])
+                    if b_open is not None and len(pa) == 1
+                    else None
+                )
+                if (
+                    a_open is None
+                    or len(a_open) < 3
+                    or len(a_open) * len(b_open) > _MAX_COMBOS
+                ):
+                    full = _materialize(pa, pend)
+                    rmap[pi] = [
+                        (rp, pab if rp is full else _poly_bbox(rp), ())
+                        for rp in poly_difference(full, blade)
+                    ]
+                    continue
+                pend_pairs.append((a_open, b_open))
+                pend_windows.append(
+                    (
+                        max(pab[0], kb0),
+                        max(pab[1], kb1),
+                        min(pab[2], kb2),
+                        min(pab[3], kb3),
+                    )
+                )
+                pend_ref.append((si, pi))
+        if pend_pairs:
+            # group sweeps under the combos cap (same policy as
+            # batch_intersection)
+            start = 0
+            combos = 0
+            groups: list[tuple[int, int]] = []
+            for g, (a, b) in enumerate(pend_pairs):
+                c = len(a) * len(b)
+                if combos and combos + c > _MAX_COMBOS:
+                    groups.append((start, g))
+                    start = g
+                    combos = 0
+                combos += c
+            groups.append((start, len(pend_pairs)))
+            for lo, hi in groups:
+                res = batch_ring_differences(
+                    pend_pairs[lo:hi],
+                    np.asarray(pend_windows[lo:hi], dtype=np.float64),
+                )
+                for off, rings in enumerate(res):
+                    si, pi = pend_ref[lo + off]
+                    if rings is UNCHANGED:
+                        continue
+                    cur = states[si][0]
+                    pa, pab, pend = cur[pi]
+                    if isinstance(rings, Holed):
+                        # blade strictly inside the piece: defer the hole
+                        # (shell and bbox stay as they are) — but only
+                        # when no LATER blade of this tile can touch it.
+                        # Callers pass disjoint union components, so this
+                        # always holds there; the guard keeps deferral
+                        # exact even for overlapping blades (e.g.
+                        # poly_union's hole survivors), where a later
+                        # blade could clip the piece into the deferred
+                        # hole's region and the end-attachment would no
+                        # longer be a plain ring append.
+                        kidx = states[si][1]
+                        rest = kidx[r + 1:]
+                        hb = blade_bb[int(kidx[r])]
+                        if len(rest) and bool(
+                            (
+                                (blade_bb[rest, 0] <= hb[2])
+                                & (blade_bb[rest, 2] >= hb[0])
+                                & (blade_bb[rest, 1] <= hb[3])
+                                & (blade_bb[rest, 3] >= hb[1])
+                            ).any()
+                        ):
+                            # attach now: exact multi-ring piece (exiled
+                            # to the per-pair path for later blades)
+                            repl[si][pi] = [
+                                (
+                                    [*_materialize(pa, pend), rings.hole],
+                                    pab,
+                                    (),
+                                )
+                            ]
+                        else:
+                            repl[si][pi] = [(pa, pab, pend + (rings.hole,))]
+                        continue
+                    if rings is None:
+                        # degeneracy: exact per-pair path with its
+                        # perturb-and-retry ladder
+                        k = int(states[si][1][r])
+                        full = _materialize(pa, pend)
+                        repl[si][pi] = [
+                            (
+                                rp,
+                                pab if rp is full else _poly_bbox(rp),
+                                (),
+                            )
+                            for rp in poly_difference(full, mb[k])
+                        ]
+                        continue
+                    new_pieces = [
+                        (rp, _poly_bbox(rp), ())
+                        for rp in _reassemble(rings)
+                    ]
+                    if pend and not _distribute_pend(new_pieces, pend):
+                        # a pending hole has no containing piece: the
+                        # disjoint-blades precondition was violated —
+                        # recompute this step exactly per-pair
+                        k = int(states[si][1][r])
+                        full = _materialize(pa, pend)
+                        new_pieces = [
+                            (rp, _poly_bbox(rp), ())
+                            for rp in poly_difference(full, mb[k])
+                        ]
+                    repl[si][pi] = new_pieces
+        # splice replacements, preserving piece order within each tile
+        for si, rmap in repl.items():
+            if not rmap:
+                continue
+            cur = states[si][0]
+            nxt: list = []
+            for pi, item in enumerate(cur):
+                got = rmap.get(pi)
+                if got is None:
+                    nxt.append(item)
+                else:
+                    nxt.extend(got)
+            states[si] = (nxt, states[si][1])
+
+    for cur, _ in states:
+        pieces.extend(_materialize(p, pend) for p, _, pend in cur)
     if not pieces:
         return []
     return weld_all(pieces)
