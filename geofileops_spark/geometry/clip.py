@@ -17,6 +17,8 @@ reference's own dissolve tests use (``test_geoops_dissolve.py:411-425``).
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 
 from .geom import (
@@ -818,14 +820,63 @@ def _mp_difference_tiled(ma, mb):
     # (holes are re-distributed by containment when a later blade splits
     # the piece — the same probe _subtract_ring uses for old holes).
     from .batchclip import (
-        _MAX_COMBOS,
         UNCHANGED,
         Holed,
         batch_ring_differences,
     )
 
+    # sweep size cap for the difference batches. Smaller than batchclip's
+    # _MAX_COMBOS (60k): inside long-lived Spark Python workers the
+    # bigger sweeps' multi-MB temporaries bloat the allocator arenas and
+    # measurably slow every LATER stage run by the same workers
+    # (observed: the d21 branch of symmetric_difference going 13 s -> 60 s
+    # in the same session after a 60k-sweep d12). 12k keeps temporaries
+    # ~100 KB while still amortizing tens of pairs per sweep.
+    _sweep_cap = int(os.environ.get("GFO_DIFF_SWEEP_COMBOS", "12000"))
+
     def _materialize(pa, pend):
         return [pa[0], *pend] if pend else pa
+
+    def _edges_in_window(r, w):
+        """Number of open-ring edges (wraparound included) whose bbox
+        overlaps window ``w`` — both the batch sweep's post-prune combo
+        count estimator and the asymmetric no-contact fast test (0 means
+        no boundary contact is possible, _ring_op's big-ring reasoning)."""
+        x1, y1 = r[:, 0], r[:, 1]
+        x2 = np.roll(x1, -1)
+        y2 = np.roll(y1, -1)
+        return int(
+            (
+                (np.maximum(x1, x2) >= w[0])
+                & (np.minimum(x1, x2) <= w[2])
+                & (np.maximum(y1, y2) >= w[1])
+                & (np.minimum(y1, y2) <= w[3])
+            ).sum()
+        )
+
+    def _defer_or_attach(si, pi, pa, pab, pend, hole, r):
+        """A blade fell strictly inside the piece. Defer the hole (keeps
+        the piece single-ring and batchable) unless a LATER blade of this
+        tile could touch it — callers pass disjoint union components, so
+        deferral always holds there; the guard keeps it exact even for
+        overlapping blades (e.g. poly_union's hole survivors), where a
+        later blade could clip the piece into the deferred hole's region
+        and the end-attachment would no longer be a plain ring append."""
+        kidx = states[si][1]
+        rest = kidx[r + 1:]
+        hb = blade_bb[int(kidx[r])]
+        if len(rest) and bool(
+            (
+                (blade_bb[rest, 0] <= hb[2])
+                & (blade_bb[rest, 2] >= hb[0])
+                & (blade_bb[rest, 1] <= hb[3])
+                & (blade_bb[rest, 3] >= hb[1])
+            ).any()
+        ):
+            # attach now: exact multi-ring piece (exiled to the
+            # per-pair path for later blades)
+            return [([*_materialize(pa, pend), hole], pab, ())]
+        return [(pa, pab, pend + (hole,))]
 
     def _distribute_pend(new_pieces, pend):
         """Attach each pending hole to the replacement piece containing
@@ -857,6 +908,7 @@ def _mp_difference_tiled(ma, mb):
     rmax = max((len(kidx) for _, kidx in states), default=0)
     for r in range(rmax):
         pend_pairs: list[tuple[np.ndarray, np.ndarray]] = []
+        pend_weights: list[int] = []
         pend_windows: list[tuple[float, float, float, float]] = []
         pend_ref: list[tuple[int, int]] = []
         # repl[si][pi] = list of replacement (poly, bbox, pend) for that
@@ -892,11 +944,49 @@ def _mp_difference_tiled(ma, mb):
                     if b_open is not None and len(pa) == 1
                     else None
                 )
-                if (
-                    a_open is None
-                    or len(a_open) < 3
-                    or len(a_open) * len(b_open) > _MAX_COMBOS
-                ):
+                if a_open is None or len(a_open) < 3:
+                    full = _materialize(pa, pend)
+                    rmap[pi] = [
+                        (rp, pab if rp is full else _poly_bbox(rp), ())
+                        for rp in poly_difference(full, blade)
+                    ]
+                    continue
+                w = (
+                    max(pab[0], kb0),
+                    max(pab[1], kb1),
+                    min(pab[2], kb2),
+                    min(pab[3], kb3),
+                )
+                weight = len(a_open) * len(b_open)
+                if len(a_open) >= 64:
+                    # big piece vs small blade (the subdivide_coords=2000
+                    # regime): the full edge product would force one-pair
+                    # sweeps with no amortization. Count the subject
+                    # edges near the overlap window instead — 0 means no
+                    # boundary contact is possible (same reasoning as
+                    # _ring_op's >=64-vertex fast path), so the pair is
+                    # containment/disjoint, decided without any sweep;
+                    # otherwise the count upper-bounds the sweep's
+                    # post-prune combos, so groups pack properly.
+                    ka = _edges_in_window(a_open, w)
+                    if ka == 0:
+                        res = _no_intersection_fallback(
+                            a_open,
+                            b_open,
+                            "difference",
+                            (pab, (kb0, kb1, kb2, kb3)),
+                        )
+                        if len(res) == 1:
+                            continue  # disjoint: piece unchanged
+                        if not res:
+                            rmap[pi] = []  # piece swallowed by the blade
+                        else:
+                            rmap[pi] = _defer_or_attach(
+                                si, pi, pa, pab, pend, res[1], r
+                            )
+                        continue
+                    weight = ka * len(b_open)
+                if weight > _sweep_cap:
                     full = _materialize(pa, pend)
                     rmap[pi] = [
                         (rp, pab if rp is full else _poly_bbox(rp), ())
@@ -904,14 +994,8 @@ def _mp_difference_tiled(ma, mb):
                     ]
                     continue
                 pend_pairs.append((a_open, b_open))
-                pend_windows.append(
-                    (
-                        max(pab[0], kb0),
-                        max(pab[1], kb1),
-                        min(pab[2], kb2),
-                        min(pab[3], kb3),
-                    )
-                )
+                pend_weights.append(weight)
+                pend_windows.append(w)
                 pend_ref.append((si, pi))
         if pend_pairs:
             # group sweeps under the combos cap (same policy as
@@ -919,9 +1003,8 @@ def _mp_difference_tiled(ma, mb):
             start = 0
             combos = 0
             groups: list[tuple[int, int]] = []
-            for g, (a, b) in enumerate(pend_pairs):
-                c = len(a) * len(b)
-                if combos and combos + c > _MAX_COMBOS:
+            for g, c in enumerate(pend_weights):
+                if combos and combos + c > _sweep_cap:
                     groups.append((start, g))
                     start = g
                     combos = 0
@@ -939,38 +1022,9 @@ def _mp_difference_tiled(ma, mb):
                     cur = states[si][0]
                     pa, pab, pend = cur[pi]
                     if isinstance(rings, Holed):
-                        # blade strictly inside the piece: defer the hole
-                        # (shell and bbox stay as they are) — but only
-                        # when no LATER blade of this tile can touch it.
-                        # Callers pass disjoint union components, so this
-                        # always holds there; the guard keeps deferral
-                        # exact even for overlapping blades (e.g.
-                        # poly_union's hole survivors), where a later
-                        # blade could clip the piece into the deferred
-                        # hole's region and the end-attachment would no
-                        # longer be a plain ring append.
-                        kidx = states[si][1]
-                        rest = kidx[r + 1:]
-                        hb = blade_bb[int(kidx[r])]
-                        if len(rest) and bool(
-                            (
-                                (blade_bb[rest, 0] <= hb[2])
-                                & (blade_bb[rest, 2] >= hb[0])
-                                & (blade_bb[rest, 1] <= hb[3])
-                                & (blade_bb[rest, 3] >= hb[1])
-                            ).any()
-                        ):
-                            # attach now: exact multi-ring piece (exiled
-                            # to the per-pair path for later blades)
-                            repl[si][pi] = [
-                                (
-                                    [*_materialize(pa, pend), rings.hole],
-                                    pab,
-                                    (),
-                                )
-                            ]
-                        else:
-                            repl[si][pi] = [(pa, pab, pend + (rings.hole,))]
+                        repl[si][pi] = _defer_or_attach(
+                            si, pi, pa, pab, pend, rings.hole, r
+                        )
                         continue
                     if rings is None:
                         # degeneracy: exact per-pair path with its
