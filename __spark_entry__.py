@@ -1498,6 +1498,24 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, budget=256, bucket_width=64)
 
 
+def _q_lm_xent(spark, sf_dir):
+    """Self-trained bigram-LM cross-entropy scoring (text/analysis.py
+    lm_cross_entropy, the CCNet quality-scoring shape without an
+    external KenLM): add-k smoothed bigram logprobs estimated from the
+    corpus itself, mean bits/bigram per document, shipped as integer
+    ppm for hash-stable comparison."""
+    from geofileops_spark.sources.tpch_geo import load
+    from geofileops_spark.text.analysis import lm_cross_entropy
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    out = lm_cross_entropy(docs, k=0.1)
+    return out.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.col("xent") * 1_000_000).cast("long").alias("xent_ppm"),
+    )
+
+
 def _q_tfidf_topk(spark, sf_dir):
     """Corpus-global TF-IDF top-5 terms per document
     (text/keywords.py tfidf_topk): per-(doc,term) counts, document
@@ -2322,6 +2340,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": _q_quantize_embeddings,
         "dedup_url": _q_dedup_url,
         "tfidf_topk": _q_tfidf_topk,
+        "lm_cross_entropy": _q_lm_xent,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
@@ -2957,6 +2976,28 @@ SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id"""
                (CASE WHEN n_tokens > 0 THEN (off + n_tokens - 1) // 256
                      ELSE off // 256 END) <> (off // 256) AS crosses
         FROM c""",
+        "lm_cross_entropy": r"""WITH toks AS (
+          SELECT doc_id,
+                 list_filter(string_split_regex(lower(text), '\s+'),
+                             x -> x <> '') AS l
+          FROM documents),
+        bi AS (
+          SELECT doc_id, u.bi[1] AS prev, u.bi[2] AS tok
+          FROM toks, unnest(list_zip(l[1:len(l)-1], l[2:len(l)])) AS u(bi)
+          WHERE len(l) >= 2),
+        bc AS (SELECT prev, tok, count(*) AS c_bi FROM bi GROUP BY 1, 2),
+        cc AS (SELECT prev, sum(c_bi) AS c_ctx FROM bc GROUP BY 1),
+        v AS (SELECT count(*) AS n
+              FROM (SELECT tok FROM bi UNION SELECT prev FROM bi)),
+        lp AS (SELECT bc.prev, bc.tok,
+                      log2((c_bi + 0.1) / (c_ctx + 0.1 * v.n)) AS lp
+               FROM bc JOIN cc USING (prev), v)
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(round(round(-avg(lp), 6) * 1000000) AS BIGINT)
+                 AS xent_ppm
+        FROM bi JOIN lp USING (prev, tok)
+        GROUP BY doc_id""",
         "tfidf_topk": r"""WITH toks AS (
           SELECT doc_id,
                  unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),

@@ -778,3 +778,32 @@ def test_canonical_url_and_dedup(spark):
     assert got[4] == ""
     kept = sorted(r["doc_id"] for r in dedup_url(df).collect())
     assert kept == [1, 3, 4]  # 2 is a recrawl variant of 1
+
+
+def test_lm_cross_entropy_hand_math(spark):
+    """Tiny corpus where the add-k bigram LM is checkable by hand."""
+    import math
+
+    from geofileops_spark.text.analysis import lm_cross_entropy
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b a b"),     # bigrams: (a,b) x2, (b,a) x1
+            (2, "a b"),         # bigram: (a,b)
+            (3, "c"),           # no bigram: dropped
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in lm_cross_entropy(df, k=0.5).collect()}
+    assert set(out) == {1, 2}
+    # corpus counts: c(a,b)=3, c(b,a)=1; ctx: c(a)=3, c(b)=1; V={a,b}=2
+    lp_ab = math.log2((3 + 0.5) / (3 + 0.5 * 2))
+    lp_ba = math.log2((1 + 0.5) / (1 + 0.5 * 2))
+    want1 = round(-(2 * lp_ab + lp_ba) / 3, 6)
+    want2 = round(-lp_ab, 6)
+    assert out[1]["n_bigrams"] == 3
+    assert out[2]["n_bigrams"] == 1
+    assert out[1]["xent"] == pytest.approx(want1, abs=2e-6)
+    assert out[2]["xent"] == pytest.approx(want2, abs=2e-6)
+    # fluent (frequent) bigrams score lower than rare ones
+    assert out[2]["xent"] < out[1]["xent"]
