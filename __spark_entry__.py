@@ -1498,6 +1498,23 @@ def _q_pack_sequences(spark, sf_dir):
     return pack_sequences(docs, budget=256, bucket_width=64)
 
 
+def _q_curate_corpus(spark, sf_dir):
+    """The composed crawl-curation pipeline (ml/corpus.py curate_corpus):
+    exact dedup -> quality gate (token window + punct-ratio cap) ->
+    exact stratified sampling by (lang, source). Each stage has its own
+    driver oracle; this entry certifies their composition end-to-end."""
+    from geofileops_spark.ml.corpus import curate_corpus
+    from geofileops_spark.sources.tpch_geo import load
+
+    docs = load(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    return curate_corpus(
+        docs, strata_cols=["lang", "source"], quota=10,
+        min_tokens=5, max_tokens=100_000, max_punct_ratio=0.2,
+    )
+
+
 def _q_lm_xent(spark, sf_dir):
     """Self-trained bigram-LM cross-entropy scoring (text/analysis.py
     lm_cross_entropy, the CCNet quality-scoring shape without an
@@ -2341,6 +2358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_url": _q_dedup_url,
         "tfidf_topk": _q_tfidf_topk,
         "lm_cross_entropy": _q_lm_xent,
+        "curate_corpus": _q_curate_corpus,
         "text_quality": _q_quality,
         "text_lang_id": _q_lang_id,
         "text_fingerprint": _q_fingerprint,
@@ -2976,6 +2994,34 @@ SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id"""
                (CASE WHEN n_tokens > 0 THEN (off + n_tokens - 1) // 256
                      ELSE off // 256 END) <> (off // 256) AS crosses
         FROM c""",
+        "curate_corpus": r"""WITH h AS (
+          SELECT doc_id, text, lang, source,
+                 md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS hh
+          FROM documents),
+        d AS (SELECT * FROM (
+                SELECT *, row_number() OVER (
+                         PARTITION BY hh ORDER BY doc_id) AS rn FROM h)
+              WHERE rn = 1),
+        q AS (SELECT doc_id, lang, source,
+                     CASE WHEN trim(text) = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+'))
+                     END AS n_tokens,
+                     CASE WHEN length(text) = 0 THEN 0.0
+                          ELSE round(
+                            length(regexp_replace(text, '[^.!?,;:]', '', 'g'))
+                            / CAST(length(text) AS DOUBLE), 6)
+                     END AS punct_ratio
+              FROM d),
+        g AS (SELECT * FROM q
+              WHERE n_tokens BETWEEN 5 AND 100000 AND punct_ratio <= 0.2),
+        r AS (SELECT doc_id, lang, source, n_tokens,
+                     row_number() OVER (
+                       PARTITION BY lang, source
+                       ORDER BY (doc_id * 2654435761) % 2147483648, doc_id
+                     ) AS rk
+              FROM g)
+        SELECT doc_id, lang, source, CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM r WHERE rk <= 10""",
         "lm_cross_entropy": r"""WITH toks AS (
           SELECT doc_id,
                  list_filter(string_split_regex(lower(text), '\s+'),

@@ -311,3 +311,49 @@ def pack_sequences(
         )
     )
     return out.select(id_col, "n_tokens", "start_offset", "bin_id", "crosses")
+
+
+def curate_corpus(
+    df: DataFrame,
+    strata_cols: list[str] | None = None,
+    quota: int = 20,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 5,
+    max_tokens: int = 100_000,
+    max_punct_ratio: float = 0.2,
+) -> DataFrame:
+    """The composed crawl-curation pipeline, end to end: exact content
+    dedup (keep lowest id per normalized-text hash) → cheap quality
+    gate (token-count window + punctuation-ratio cap) → exact
+    stratified sampling to ``quota`` rows per stratum. Mirrors the
+    curation order of real pretraining pipelines (dedup before quality
+    so near-identical recrawls can't vote, quality before sampling so
+    quotas are filled with keepable documents).
+
+    Each stage is one of this module's / text.analysis's primitives, so
+    the whole pipeline is pure JVM: one shuffle for the dedup window,
+    zero for the gate (narrow filters), and the bounded two-phase
+    bucket selection of :func:`stratified_sample`. At 100 TB nothing
+    here collects more than the |strata|·2^bits histogram.
+
+    Returns (id_col, *strata_cols, n_tokens) for the surviving rows.
+    """
+    from ..text.analysis import n_tokens_ws, quality_stats
+    from .dedup import dedup_exact
+
+    strata = list(strata_cols) if strata_cols else ["lang"]
+    deduped = dedup_exact(df, text_col=text_col, id_col=id_col)
+    scored = quality_stats(deduped, text_col=text_col).withColumn(
+        "n_tokens", n_tokens_ws(F.col(text_col)).cast("long")
+    )
+    gated = scored.where(
+        F.col("n_tokens").between(min_tokens, max_tokens)
+        & (F.coalesce(F.col("punct_ratio"), F.lit(0.0)) <= max_punct_ratio)
+    )
+    picked = stratified_sample(gated, strata, quota, id_col=id_col)
+    return picked.select(
+        id_col,
+        *strata,
+        n_tokens_ws(F.col(text_col)).cast("long").alias("n_tokens"),
+    )

@@ -807,3 +807,37 @@ def test_lm_cross_entropy_hand_math(spark):
     assert out[2]["xent"] == pytest.approx(want2, abs=2e-6)
     # fluent (frequent) bigrams score lower than rare ones
     assert out[2]["xent"] < out[1]["xent"]
+
+
+def test_curate_corpus_pipeline(spark):
+    """Composed pipeline: recrawl dup dropped, short/punct-soup rows
+    gated out, per-stratum quota enforced deterministically."""
+    from geofileops_spark.ml.corpus import curate_corpus, spread_hash
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "The  quick brown fox jumps over the lazy DOG", "en"),  # dup of 1
+        (3, "too short", "en"),                                      # 2 tokens
+        (4, "!!! ... ;;; ::: ,,, ??? !!! ... ;;; ::: ,,, ???", "en"),  # punct soup
+        (5, "ein ganz normaler deutscher satz mit genug worten", "de"),
+    ] + [
+        (100 + i, f"filler doc number {i} with several plain words inside", "en")
+        for i in range(15)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = curate_corpus(df, strata_cols=["lang"], quota=10)
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert 2 not in got          # exact dup (case/whitespace variant)
+    assert 3 not in got          # below min_tokens
+    assert 4 not in got          # punct ratio above cap
+    assert 5 in got and got[5]["lang"] == "de"
+    en = [i for i in got if got[i]["lang"] == "en"]
+    assert len(en) == 10         # quota
+    # winner set = 10 smallest spread_hash among en survivors
+    surv = [1] + [100 + i for i in range(15)]
+    hv = {r["doc_id"]: r["h"] for r in spark.createDataFrame(
+        [(i,) for i in surv], "doc_id long"
+    ).select("doc_id", spread_hash("doc_id").alias("h")).collect()}
+    want = set(sorted(surv, key=lambda i: (hv[i], i))[:10])
+    assert set(en) == want
+    assert got[1]["n_tokens"] == 9
