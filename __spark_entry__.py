@@ -2213,7 +2213,12 @@ _R5_GRADE_FIRST = [
     "gfo_split",
     "delete_duplicate_geometries",
     "dedup_geoms_collinear",
-    "reduceprecision_grid",
+    # reduceprecision_grid and page_cells rotate to the tail (both
+    # r3-driver-stamped green and their code paths — st_reduceprecision,
+    # create_spatial_index cells — are untouched in r5) to make room for
+    # the two brand-new late-r5 ops below, which have never been
+    # driver-graded
+    "lm_cross_entropy",
     "pip_tri_intersects",
     # pip_tri_within rotates to the tail (same PIP kernel path as
     # pip_tri_intersects + pages_pip_join, both kept in-window)
@@ -2246,7 +2251,7 @@ _R5_GRADE_FIRST = [
     "join_by_location_intersects",
     "join_by_location_within",
     "join_by_location_left",
-    "page_cells",
+    "curate_corpus",
     # r5 also rewrote the geotag extraction (substring_index parse,
     # driver-side zones WKB) — the byte-identical text invariant query
     # must be driver-stamped on the new code (explode_parts, r4-green
