@@ -297,3 +297,34 @@ def test_tiled_difference_defers_swallowed_blade_holes():
     # the 16 swallowed squares all survived as holes in the result
     n_holes = sum(len(p) - 1 for p in tiled)
     assert n_holes == 16
+
+
+def test_tiled_difference_uses_batch_sweep(monkeypatch):
+    """Regression guard: the tiled difference must actually route pairs
+    through the batched sweep (a silent change in the batchable
+    condition would fall everything back to per-pair and only show up
+    as a 3x slowdown, not a failure)."""
+    from geofileops_spark.geometry import batchclip as BC
+
+    calls = {"pairs": 0}
+    orig = BC._batch_ring_ops
+
+    def probe(pairs, windows=None, op="intersection"):
+        if op == "difference":
+            calls["pairs"] += len(pairs)
+        return orig(pairs, windows, op)
+
+    monkeypatch.setattr(BC, "_batch_ring_ops", probe)
+    rng = np.random.default_rng(2)
+    th = np.linspace(0, 2 * np.pi, 201)
+    subj = np.column_stack([50 + 49 * np.cos(th), 50 + 49 * np.sin(th)])
+    subj[-1] = subj[0]
+    mb = []
+    for gx in range(6):
+        for gy in range(6):
+            cx, cy = 15 + gx * 12, 15 + gy * 12
+            r = _rand_ring(rng, cx, cy, 4.0, 12)
+            mb.append([r])
+    out = C._mp_difference_tiled([[subj]], mb)
+    assert out is not None
+    assert calls["pairs"] > 0
