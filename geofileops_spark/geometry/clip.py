@@ -422,6 +422,14 @@ def _ring_op(ringA: np.ndarray, ringB: np.ndarray, op: str) -> list[np.ndarray]:
         "union": (False, False),
         "difference": (False, True),
     }[op]
+    # identical rings (duplicated features, self-pairs in unions): the
+    # answer is exact and the GH clipper would only reach it through
+    # the perturb ladder (every edge is a collinear-overlap degeneracy),
+    # introducing ~1e-7-per-vertex area drift
+    if len(a) == len(b) and np.array_equal(a, b):
+        if op == "difference":
+            return []
+        return [np.vstack([a, a[:1]])]
     bb_a, bb_b = _ring_bbox(a), _ring_bbox(b)
     ext = max(bb_a[2] - bb_a[0], bb_a[3] - bb_a[1], bb_b[2] - bb_b[0], bb_b[3] - bb_b[1], 1e-9)
     if not bbox_intersects(bb_a, bb_b):

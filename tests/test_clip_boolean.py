@@ -279,3 +279,29 @@ def test_mp_difference_tiled_matches_sequential():
         cur = nxt
     assert _area(out) == pytest.approx(60 * 60 - 30 * 9, rel=1e-9)
     assert _area(cur) == pytest.approx(_area(out), rel=1e-9)
+
+
+def test_identical_ring_ops_exact():
+    """Identical rings short-circuit exactly — never the perturb ladder
+    (duplicated features drift ~1e-7/vertex there; hypothesis found
+    union of two (0,0,1,133) boxes off by 0.013)."""
+    import numpy as np
+
+    from geofileops_spark.geometry import clip as C
+    from geofileops_spark.geometry import geom as G
+    from geofileops_spark.geometry.kernels import area
+
+    r = np.array(
+        [[0, 0], [1, 0], [1, 133], [0, 133], [0, 0]], dtype=np.float64
+    )
+    g = G.Geometry(G.POLYGON, [r])
+    assert area(C.union_geoms([g, g])) == 133.0
+    assert area(C.intersection(g, g)) == 133.0
+    assert C.difference(g, g).is_empty()
+    # non-rect identical rings take the same exit
+    p = np.array(
+        [[0, 0], [4, 0], [5, 3], [2, 6], [0, 3], [0, 0]], dtype=np.float64
+    )
+    gp = G.Geometry(G.POLYGON, [p])
+    assert area(C.intersection(gp, gp)) == area(gp)
+    assert C.difference(gp, gp).is_empty()
