@@ -570,6 +570,290 @@ def _traverse_pair(
     return results
 
 
+_DIFF_SWEEP_CAP = 12_000  # same policy as clip._mp_difference_tiled
+
+
+def batch_difference_seq(subjects: list, blade_lists: list) -> list:
+    """Elementwise sequential difference over one Arrow batch: row i's
+    result is ``subjects[i] − blades[0] − blades[1] − …`` with per-blade
+    semantics identical to a loop of ``clip.difference`` calls (the
+    ``_combine_vs_union_udf('difference')`` hot path). The (piece ×
+    blade-part) single-ring clips of ALL rows are flattened into shared
+    :func:`batch_ring_differences` sweeps — the per-pair linked-list
+    clipper cost on parcel-sized rings was the measured dominant term of
+    every overlay difference side. Anything the sweep cannot prove simple
+    (multi-ring pieces, holed/multi blades, rects, degeneracies, ≥16-part
+    blades, non-polygon dims) takes the exact per-pair path unchanged.
+
+    Returns one entry per row; the entry IS ``subjects[i]`` (same object)
+    when no blade passed the whole-bbox gate, matching
+    ``clip.difference``'s pass-through identity contract."""
+    from .kernels import bounds as g_bounds
+
+    n = len(subjects)
+    out: list = list(subjects)
+
+    # rows with non-polygonal subjects: exact sequential loop
+    seq_rows = []
+    work = []  # indices processed by the stepper
+    for i in range(n):
+        g1 = subjects[i]
+        if g1.dim() != 2:
+            seq_rows.append(i)
+        else:
+            work.append(i)
+    for i in seq_rows:
+        res = subjects[i]
+        for g2 in blade_lists[i]:
+            res = C.difference(res, g2)
+            if res.is_empty():
+                break
+        out[i] = res
+
+    if not work:
+        return out
+
+    # per-row state
+    cur_b = {i: 0 for i in work}  # blade index
+    cur_p = {i: 0 for i in work}  # part index within current blade's mb
+    mb_cur: dict[int, list] = {}
+    pieces: dict[int, list] = {}  # None until first touching blade
+    row_bbox: dict[int, tuple] = {}
+    done: dict[int, bool] = {i: False for i in work}
+    touched: dict[int, bool] = {i: False for i in work}
+
+    mb_memo: dict[int, list] = {}
+    bb2_memo: dict[int, tuple] = {}
+    open_memo: dict[int, np.ndarray] = {}
+
+    def _mb_of(g2):
+        key = id(g2)
+        got = mb_memo.get(key)
+        if got is None:
+            got = C._geom_to_mp(g2)
+            mb_memo[key] = got
+        return got
+
+    def _bb2_of(g2):
+        key = id(g2)
+        got = bb2_memo.get(key)
+        if got is None:
+            got = g_bounds(g2)
+            bb2_memo[key] = got
+        return got
+
+    def _open_of(ring):
+        key = id(ring)
+        got = open_memo.get(key)
+        if got is None:
+            got = C._open_ring(ring)
+            open_memo[key] = got
+        return got
+
+    def _full_bbox(poly):
+        # row-gate bbox over ALL rings (kernels.bounds twin)
+        xs0 = min(r[:, 0].min() for r in poly)
+        ys0 = min(r[:, 1].min() for r in poly)
+        xs1 = max(r[:, 0].max() for r in poly)
+        ys1 = max(r[:, 1].max() for r in poly)
+        return (xs0, ys0, xs1, ys1)
+
+    def _decompose(i):
+        mp = C._geom_to_mp(subjects[i])
+        pieces[i] = [
+            (p, C._poly_bbox(p), _full_bbox(p)) for p in mp
+        ]
+        _update_row_bbox(i)
+
+    def _update_row_bbox(i):
+        ps = pieces[i]
+        if not ps:
+            row_bbox[i] = (np.nan, np.nan, np.nan, np.nan)
+            return
+        row_bbox[i] = (
+            min(fb[0] for _, _, fb in ps),
+            min(fb[1] for _, _, fb in ps),
+            max(fb[2] for _, _, fb in ps),
+            max(fb[3] for _, _, fb in ps),
+        )
+
+    while True:
+        sweep_pairs: list[tuple[np.ndarray, np.ndarray]] = []
+        sweep_windows: list[tuple] = []
+        sweep_w: list[int] = []
+        sweep_ref: list[tuple[int, int]] = []  # (row, piece idx)
+        # per-row: dict piece_idx -> replacement list, for this step
+        step_repl: dict[int, dict[int, list]] = {}
+        step_rows: list[int] = []
+        active = False
+        for i in work:
+            if done[i]:
+                continue
+            blades = blade_lists[i]
+            # advance through gate-skipped blades to the next real step
+            pb = None
+            while cur_b[i] < len(blades):
+                g2 = blades[cur_b[i]]
+                if cur_p[i] == 0:
+                    if g2.dim() != 2 or g2.is_empty():
+                        cur_b[i] += 1
+                        continue
+                    ba = row_bbox.get(i)
+                    if ba is None:
+                        ba = g_bounds(subjects[i])
+                        row_bbox[i] = ba
+                    bb2 = _bb2_of(g2)
+                    if (
+                        ba[2] < bb2[0] or bb2[2] < ba[0]
+                        or ba[3] < bb2[1] or bb2[3] < ba[1]
+                    ):
+                        cur_b[i] += 1
+                        continue
+                    touched[i] = True
+                    if pieces.get(i) is None:
+                        _decompose(i)
+                        if not pieces[i]:
+                            done[i] = True
+                            break
+                    mb = _mb_of(g2)
+                    if len(mb) >= C._TILED_DIFF_MIN_BLADES:
+                        # exact whole-blade path (tiled kernel inside)
+                        mp = C.mp_difference(
+                            [p for p, _, _ in pieces[i]], mb
+                        )
+                        pieces[i] = [
+                            (p, C._poly_bbox(p), _full_bbox(p)) for p in mp
+                        ]
+                        _update_row_bbox(i)
+                        cur_b[i] += 1
+                        if not pieces[i]:
+                            done[i] = True
+                        break
+                    mb_cur[i] = mb
+                pb = mb_cur[i][cur_p[i]]
+                break
+            else:
+                done[i] = True
+            if done[i] or pb is None:
+                continue
+            active = True
+            step_rows.append(i)
+            repl: dict[int, list] = {}
+            step_repl[i] = repl
+            pb_bbox = C._poly_bbox(pb)
+            for pi, (pa, pab, _fb) in enumerate(pieces[i]):
+                if not (
+                    pab[0] <= pb_bbox[2] and pb_bbox[0] <= pab[2]
+                    and pab[1] <= pb_bbox[3] and pb_bbox[1] <= pab[3]
+                ):
+                    continue  # bbox-disjoint: piece unchanged
+                batchable = len(pa) == 1 and len(pb) == 1
+                if batchable:
+                    a = _open_of(pa[0])
+                    b = _open_of(pb[0])
+                    if (
+                        len(a) < 3 or len(b) < 3
+                        or len(a) * len(b) > _DIFF_SWEEP_CAP
+                        or (
+                            len(a) == 4 and len(b) == 4
+                            and C._as_rect(a) is not None
+                            and C._as_rect(b) is not None
+                        )
+                    ):
+                        batchable = False
+                if not batchable:
+                    repl[pi] = [
+                        (rp, C._poly_bbox(rp), None)
+                        for rp in C.poly_difference(pa, pb)
+                    ]
+                    continue
+                bb_a = C._ring_bbox(a)
+                bb_b = C._ring_bbox(b)
+                sweep_pairs.append((a, b))
+                sweep_windows.append(
+                    (
+                        max(bb_a[0], bb_b[0]),
+                        max(bb_a[1], bb_b[1]),
+                        min(bb_a[2], bb_b[2]),
+                        min(bb_a[3], bb_b[3]),
+                    )
+                )
+                sweep_w.append(len(a) * len(b))
+                sweep_ref.append((i, pi))
+                repl[pi] = None  # pending
+
+        if not active:
+            break
+
+        # run the shared sweeps, grouped under the combos cap
+        if sweep_pairs:
+            start = 0
+            combos = 0
+            groups: list[tuple[int, int]] = []
+            for g, c in enumerate(sweep_w):
+                if combos and combos + c > _DIFF_SWEEP_CAP:
+                    groups.append((start, g))
+                    start = g
+                    combos = 0
+                combos += c
+            groups.append((start, len(sweep_pairs)))
+            for lo, hi in groups:
+                res = batch_ring_differences(
+                    sweep_pairs[lo:hi],
+                    np.asarray(sweep_windows[lo:hi], dtype=np.float64),
+                )
+                for off, rings in enumerate(res):
+                    i, pi = sweep_ref[lo + off]
+                    pa, pab, fb = pieces[i][pi]
+                    if rings is UNCHANGED:
+                        step_repl[i][pi] = [(pa, pab, fb)]
+                        continue
+                    if rings is None or isinstance(rings, Holed):
+                        # degenerate or strictly-contained blade: exact
+                        # per-pair path (identical to the old sequence)
+                        pb = mb_cur[i][cur_p[i]]
+                        step_repl[i][pi] = [
+                            (rp, C._poly_bbox(rp), None)
+                            for rp in C.poly_difference(pa, pb)
+                        ]
+                        continue
+                    step_repl[i][pi] = [
+                        (rp, C._poly_bbox(rp), None)
+                        for rp in C._reassemble(rings)
+                    ]
+
+        # splice replacements and advance cursors
+        for i in step_rows:
+            repl = step_repl[i]
+            if repl:
+                nxt = []
+                for pi, item in enumerate(pieces[i]):
+                    got = repl.get(pi)
+                    if got is None and pi not in repl:
+                        nxt.append(item)
+                    else:
+                        for rp, pab, fb in got:
+                            nxt.append(
+                                (rp, pab, fb if fb is not None else _full_bbox(rp))
+                            )
+                pieces[i] = nxt
+            cur_p[i] += 1
+            if cur_p[i] >= len(mb_cur[i]):
+                cur_p[i] = 0
+                cur_b[i] += 1
+                mb_cur.pop(i, None)
+                _update_row_bbox(i)
+            if not pieces[i]:
+                # emptied mid-blade: remaining parts/blades are no-ops
+                # (the old loop breaks on is_empty after the blade)
+                done[i] = True
+
+    for i in work:
+        if touched[i]:
+            out[i] = C._mp_to_geom([p for p, _, _ in pieces.get(i) or []])
+    return out
+
+
 def ring_box_clip(g: G.Geometry, x0: float, y0: float, x1: float, y1: float):
     """Intersection of a single-ring polygon with an axis box through the
     batched sweep — the :func:`transform.subdivide` splitting kernel.

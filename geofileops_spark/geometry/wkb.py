@@ -57,6 +57,140 @@ def points_from_wkb_list(blobs) -> "np.ndarray | None":
     return arr[:, 5:21].copy().view(np.float64).reshape(n, 2)
 
 
+def classify_wkb_batch(blobs):
+    """Vectorized header classification of a batch of WKB blobs.
+
+    Returns ``(joined, offs, lens, typ)`` where ``joined`` is the
+    concatenated byte buffer, ``offs``/``lens`` the per-blob offsets and
+    lengths, and ``typ`` the raw little-endian geometry type per blob
+    (-1 for big-endian / too-short blobs, which callers must route to
+    the generic per-row path). ``blobs`` must be non-None bytes."""
+    n = len(blobs)
+    lens = np.fromiter((len(b) for b in blobs), dtype=np.int64, count=n)
+    joined = b"".join(blobs)
+    u8 = np.frombuffer(joined, dtype=np.uint8)
+    offs = np.concatenate(([0], np.cumsum(lens)))[:-1]
+    typ = np.full(n, -1, dtype=np.int64)
+    ok = lens >= 5
+    if ok.any():
+        o = offs[ok]
+        le = u8[o] == 1
+        t = (
+            u8[o + 1].astype(np.int64)
+            | (u8[o + 2].astype(np.int64) << 8)
+            | (u8[o + 3].astype(np.int64) << 16)
+            | (u8[o + 4].astype(np.int64) << 24)
+        )
+        typ[np.nonzero(ok)[0][le]] = t[le]
+    return joined, offs, lens, typ
+
+
+def _slice_f8(blobs, rows, starts, nbytes):
+    """Concatenate per-blob byte runs (``blobs[rows[i]][starts[i]:
+    starts[i]+nbytes[i]]``) and view as little-endian float64. One
+    memcpy-join + one frombuffer — no per-row numpy calls."""
+    if len(rows) == 0:
+        return np.empty(0, dtype=np.float64)
+    buf = b"".join(
+        blobs[r][s : s + c]
+        for r, s, c in zip(rows.tolist(), starts.tolist(), nbytes.tolist())
+    )
+    return np.frombuffer(buf, dtype="<f8")
+
+
+def bounds_from_wkb_batch(blobs):
+    """Vectorized (minx, miny, maxx, maxy) for a batch of WKB blobs.
+
+    Fast path: little-endian POINT and single-ring POLYGON blobs (the
+    overwhelming majority in parcel/point workloads) are decoded with a
+    handful of whole-batch numpy ops — no per-row ``loads``. Everything
+    else falls back to per-row decode + ``kernels.bounds``.
+
+    Returns an (n, 4) float64 array; NaN rows mean NULL/empty/invalid
+    input (same convention as ``kernels.bounds``). ``blobs`` is any
+    sequence; None entries yield NaN rows."""
+    from .kernels import bounds as g_bounds
+
+    n = len(blobs)
+    out = np.full((n, 4), np.nan)
+    if n == 0:
+        return out
+    notnull = np.fromiter((b is not None for b in blobs), dtype=bool, count=n)
+    nn_idx = np.nonzero(notnull)[0]
+    if len(nn_idx) == 0:
+        return out
+    nb = [bytes(blobs[i]) for i in nn_idx]
+    joined, offs, lens, typ = classify_wkb_batch(nb)
+    u8 = np.frombuffer(joined, dtype=np.uint8)
+
+    # POINT: fixed 21-byte layout
+    is_pt = (typ == POINT) & (lens == 21)
+    if is_pt.any():
+        pt_j = np.nonzero(is_pt)[0]
+        xy = _slice_f8(
+            nb, pt_j,
+            np.full(len(pt_j), 5, dtype=np.int64),
+            np.full(len(pt_j), 16, dtype=np.int64),
+        ).reshape(-1, 2)
+        rows = nn_idx[is_pt]
+        out[rows, 0] = xy[:, 0]
+        out[rows, 1] = xy[:, 1]
+        out[rows, 2] = xy[:, 0]
+        out[rows, 3] = xy[:, 1]
+
+    # single-ring POLYGON: header 9 bytes + u32 npoints + coords
+    is_poly = (typ == POLYGON) & (lens >= 13)
+    if is_poly.any():
+        o = offs[is_poly]
+        nrings = (
+            u8[o + 5].astype(np.int64)
+            | (u8[o + 6].astype(np.int64) << 8)
+            | (u8[o + 7].astype(np.int64) << 16)
+            | (u8[o + 8].astype(np.int64) << 24)
+        )
+        npts = (
+            u8[o + 9].astype(np.int64)
+            | (u8[o + 10].astype(np.int64) << 8)
+            | (u8[o + 11].astype(np.int64) << 16)
+            | (u8[o + 12].astype(np.int64) << 24)
+        )
+        good = (
+            (nrings == 1)
+            & (npts >= 1)
+            & (lens[is_poly] == 13 + 16 * npts)
+        )
+        if good.any():
+            cnt = npts[good]
+            poly_j = np.nonzero(is_poly)[0][good]
+            coords = _slice_f8(
+                nb, poly_j,
+                np.full(len(poly_j), 13, dtype=np.int64),
+                cnt * 16,
+            ).reshape(-1, 2)
+            starts = np.concatenate(([0], np.cumsum(cnt)))[:-1]
+            rows = nn_idx[is_poly][good]
+            out[rows, 0] = np.minimum.reduceat(coords[:, 0], starts)
+            out[rows, 1] = np.minimum.reduceat(coords[:, 1], starts)
+            out[rows, 2] = np.maximum.reduceat(coords[:, 0], starts)
+            out[rows, 3] = np.maximum.reduceat(coords[:, 1], starts)
+            handled_poly = np.zeros(len(nb), dtype=bool)
+            handled_poly[np.nonzero(is_poly)[0][good]] = True
+        else:
+            handled_poly = np.zeros(len(nb), dtype=bool)
+    else:
+        handled_poly = np.zeros(len(nb), dtype=bool)
+
+    # everything else: per-row decode (multis, holes, lines, BE, curves)
+    rest = ~(is_pt | handled_poly)
+    for j in np.nonzero(rest)[0]:
+        try:
+            g = loads(nb[j])
+        except ValueError:
+            continue
+        out[nn_idx[j]] = g_bounds(g)
+    return out
+
+
 # --------------------------------------------------------------------- dumps
 def dumps(geom: Geometry) -> bytes:
     """Geometry -> WKB bytes."""

@@ -65,24 +65,11 @@ def _union_all_wkb(blobs) -> bytes | None:
 
 
 def _cell_of_bbox_center(wkb_series: pd.Series, res: int) -> pd.Series:
-    from ..geometry.kernels import bounds as g_bounds
-
-    cx = np.empty(len(wkb_series))
-    cy = np.empty(len(wkb_series))
-    for i, b in enumerate(wkb_series):
-        if b is None:
-            cx[i] = np.nan
-            cy[i] = np.nan
-            continue
-        try:
-            g = W.loads(bytes(b))
-        except ValueError:
-            cx[i] = np.nan
-            cy[i] = np.nan
-            continue
-        b0, b1, b2, b3 = g_bounds(g)
-        cx[i] = (b0 + b2) / 2.0
-        cy[i] = (b1 + b3) / 2.0
+    # whole-batch vectorized bounds (guide §4.2) — bit-identical to the
+    # old per-row loads+bounds loop, ~10x less Python per batch
+    bb = W.bounds_from_wkb_batch(wkb_series.tolist())
+    cx = (bb[:, 0] + bb[:, 2]) / 2.0
+    cy = (bb[:, 1] + bb[:, 3]) / 2.0
     ok = np.isfinite(cx)
     out = np.zeros(len(cx), dtype=np.int64)
     if ok.any():

@@ -779,19 +779,12 @@ _BOUNDS_SCHEMA = StructType(
 
 @pandas_udf(_BOUNDS_SCHEMA)
 def _bounds_udf(wkb: pd.Series) -> pd.DataFrame:
-    cols: list[list] = [[], [], [], []]
-    for b in wkb:
-        if b is None:
-            vals = (np.nan,) * 4
-        else:
-            try:
-                vals = K.bounds(W.loads(bytes(b)))
-            except ValueError:
-                vals = (np.nan,) * 4
-        for c, v in zip(cols, vals):
-            c.append(v)
+    # whole-batch vectorized decode (bit-identical to per-row
+    # loads+bounds; corrupt rows yield NaN like before)
+    bb = W.bounds_from_wkb_batch(wkb.tolist())
     return pd.DataFrame(
-        {"minx": cols[0], "miny": cols[1], "maxx": cols[2], "maxy": cols[3]}
+        {"minx": bb[:, 0], "miny": bb[:, 1], "maxx": bb[:, 2],
+         "maxy": bb[:, 3]}
     )
 
 

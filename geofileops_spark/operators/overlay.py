@@ -111,6 +111,45 @@ def _combine_vs_union_udf(mode: str):
 
     @pandas_udf(BinaryType())
     def _combine(wkb1: pd.Series, others: pd.Series) -> pd.Series:
+        if mode == "difference":
+            # whole-batch path: flatten every row's sequential blade
+            # subtraction into shared sweep-kernel rounds
+            # (batchclip.batch_difference_seq) — semantics identical to
+            # the per-row C.difference loop, including the pass-through
+            # identity for rows no blade touches
+            from ..geometry.batchclip import batch_difference_seq
+
+            geom_memo2: dict = {}
+
+            def _load2(b):
+                bb = bytes(b)
+                g = geom_memo2.get(bb)
+                if g is None:
+                    g = W.loads(bb)
+                    geom_memo2[bb] = g
+                return g
+
+            n = len(wkb1)
+            outv: list = [None] * n
+            idxs: list[int] = []
+            subs: list = []
+            blists: list = []
+            for k, (b1, arr) in enumerate(zip(wkb1, others)):
+                if b1 is None or arr is None or len(arr) == 0:
+                    continue
+                idxs.append(k)
+                subs.append(W.loads(bytes(b1)))
+                blists.append([_load2(b) for b in arr if b is not None])
+            results = batch_difference_seq(subs, blists)
+            for k, g1, res in zip(idxs, subs, results):
+                if res is g1:
+                    outv[k] = W.dumps(g1.force_multi())
+                    continue
+                res = _drop_degenerate(
+                    res.collection_extract(g1.dim() + 1), g1.dim() + 1
+                )
+                outv[k] = None if res.is_empty() else W.dumps(res.force_multi())
+            return pd.Series(outv)
         out = []
         # blade-union memo: neighbouring subjects collect the SAME blade
         # candidate sets (e.g. thousands of parcels against the same 2-4
@@ -478,14 +517,9 @@ def _reverse_collect_candidates(
             if n == 0:
                 continue
             col = pdf2[geom_col].to_numpy(object)
-            B = np.full((n, 4), np.nan)
-            for i, b2 in enumerate(col):
-                if b2 is None:
-                    continue
-                g2 = W.loads(bytes(b2))
-                if g2.is_empty():
-                    continue
-                B[i] = K.bounds(g2)
+            # vectorized batch bounds (empty/None rows stay NaN, same as
+            # the old per-row loads+bounds loop)
+            B = W.bounds_from_wkb_batch(col.tolist())
             pr, pl = _batch_candidates(
                 B, ukey, starts, ends, srow, big_rows, csz, x0, y0, bbv
             )
