@@ -337,6 +337,19 @@ def intersection(
     for huge polygons), pairwise-intersected per part, then re-unioned
     ``GROUP BY (l1_id, l2_id)`` (``_geoops_sql.py:2027-2070``)."""
     sub = subdivide_coords is not None
+    if not sub and not keep_empty_geoms:
+        # zero-shuffle broadcast-grid pairs plan (the join_by_location
+        # shape): pairing + the pair kernel fuse into one mapInPandas,
+        # layer 2 decoded once per task from the broadcast buffer
+        matched = _broadcast_pairs_matched(df1, df2, geom_col, id_col)
+        if matched is not None:
+            out = matched.withColumn(geom_col, F.col("_piece")).drop(
+                "_piece", f"l1_{geom_col}", f"l2_{geom_col}"
+            )
+            return _postprocess(
+                out, geom_col, gridsize, explodecollections, where_post,
+                keep_empty_geoms,
+            )
     s1 = subdivide_layer(df1, subdivide_coords, geom_col) if sub else df1
     s2 = subdivide_layer(df2, subdivide_coords, geom_col) if sub else df2
     pairs, _ = candidate_pairs(
@@ -956,14 +969,21 @@ def clip(
     # intersects refine is free: the pair kernel yields NULL for
     # non-intersecting candidates.
     slim1 = df1.select(id_col, geom_col)
-    pairs, _ = candidate_pairs(
-        slim1, df2.select(geom_col), res=res,
-        geom_col1=geom_col, geom_col2=geom_col,
+    # zero-shuffle pairing + pair kernel when the clip layer fits the
+    # broadcast budget (clip layer contributes no attributes, so the
+    # probe output is just (id, piece))
+    pieces = _broadcast_pairs_matched(
+        slim1, df2.select(geom_col), geom_col, id_col, with_l2=False
     )
-    g1, g2 = f"l1_{geom_col}", f"l2_{geom_col}"
-    pieces = pairs.withColumn(
-        "_piece", _pair_intersection_udf(F.col(g1), F.col(g2))
-    ).where(F.col("_piece").isNotNull())
+    if pieces is None:
+        pairs, _ = candidate_pairs(
+            slim1, df2.select(geom_col), res=res,
+            geom_col1=geom_col, geom_col2=geom_col,
+        )
+        g1, g2 = f"l1_{geom_col}", f"l2_{geom_col}"
+        pieces = pairs.withColumn(
+            "_piece", _pair_intersection_udf(F.col(g1), F.col(g2))
+        ).where(F.col("_piece").isNotNull())
     grouped = cache.track(
         pieces.groupBy(F.col(f"l1_{id_col}").alias(id_col))
         .agg(F.collect_list("_piece").alias("_pieces"))
@@ -985,6 +1005,149 @@ def clip(
     out = df1.drop(geom_col).join(merged, on=id_col, how="inner")
     out = out.where(F.col(geom_col).isNotNull()).select(*df1.columns)
     return _postprocess(out, geom_col, gridsize, explodecollections, where_post)
+
+
+def _broadcast_pairs_matched(
+    df1: DataFrame, df2: DataFrame, geom_col: str, id_col: str,
+    with_l2: bool = True,
+) -> DataFrame | None:
+    """Zero-shuffle matched-pairs frame for the pairwise overlays — the
+    overlay twin of ``join._join_broadcast_pairs``: layer 2 is
+    grid-indexed and broadcast, layer 1 streams through ONE mapInPandas
+    that computes the pairwise intersection PIECE for every bbox
+    candidate (same kernel + extract semantics as
+    ``_pair_intersection_udf``), and l2 attributes attach via a
+    broadcast hash join on the l2 id. Replaces the cover-explode +
+    cell-shuffle candidate join for the common "both layers fit this
+    machine" benchmark shape; the distributed cell join stays the
+    default above budget.
+
+    Output: l1_-prefixed df1 columns (geometry included), l2_-prefixed
+    df2 columns (geometry included), and ``_piece``. ``with_l2=False``
+    skips the attribute join and emits only df1 columns + ``_piece``
+    (the clip shape — the clip layer contributes no attributes).
+    Returns None when layer 2 is over budget / empty / has no usable
+    int id."""
+    import os
+
+    from pyspark.sql.types import IntegerType, LongType, StructField, StructType
+
+    from ..geometry import kernels as K
+    from ..geometry.batchclip import batch_intersection
+    from .join import (
+        _EXPORT_BCAST_BYTES,
+        _EXPORT_BCAST_MAX_ROWS,
+        _batch_candidates,
+        _layer2_grid_broadcast,
+        _scan_size_bytes,
+    )
+
+    if os.environ.get("GFO_OVERLAY_BROADCAST", "1") != "1":
+        return None
+    if with_l2:
+        if id_col not in df2.columns or not isinstance(
+            df2.schema[id_col].dataType, (LongType, IntegerType)
+        ):
+            return None
+    sz = _scan_size_bytes(df2)
+    if sz is None or not (0 < sz <= _EXPORT_BCAST_BYTES):
+        return None
+    if df2.count() > _EXPORT_BCAST_MAX_ROWS:
+        return None
+    spark = df1.sparkSession
+    bc = _layer2_grid_broadcast(
+        spark, df2, geom_col, id_col=id_col if with_l2 else None
+    )
+    if bc is None:
+        return None
+
+    schema = StructType(
+        df1.schema.fields
+        + [StructField("_l2id", LongType()), StructField("_piece", BinaryType())]
+    )
+
+    def _probe(batches):
+        import numpy as np
+        import pandas as pd
+
+        val = bc.value
+        if with_l2:
+            (ukey, starts, ends, srow, big_rows), bbv, buf2, off2, csz, x0, y0, ids = val
+        else:
+            (ukey, starts, ends, srow, big_rows), bbv, buf2, off2, csz, x0, y0 = val
+            ids = None
+        g2cache: dict[int, object] = {}
+
+        def g2_at(j):
+            g = g2cache.get(j)
+            if g is None:
+                g = W.loads(buf2[off2[j] : off2[j + 1]])
+                g2cache[j] = g
+            return g
+
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pdf.assign(
+                    _l2id=pd.Series(dtype="int64"),
+                    _piece=pd.Series(dtype=object),
+                )
+                continue
+            col = pdf[geom_col].to_numpy(object)
+            g1s: list = [None] * n
+            B = np.full((n, 4), np.nan)
+            for i, b1 in enumerate(col):
+                if b1 is None:
+                    continue
+                g1 = W.loads(bytes(b1))
+                if g1.is_empty():
+                    continue
+                g1s[i] = g1
+                B[i] = K.bounds(g1)
+            pr, pl = _batch_candidates(
+                B, ukey, starts, ends, srow, big_rows, csz, x0, y0, bbv
+            )
+            if len(pr) == 0:
+                yield pdf.iloc[0:0].assign(
+                    _l2id=pd.Series(dtype="int64"),
+                    _piece=pd.Series(dtype=object),
+                )
+                continue
+            ga = [g1s[int(t)] for t in pr]
+            gb = [g2_at(int(j)) for j in pl]
+            inters = batch_intersection(ga, gb)
+            pieces: list = [None] * len(pr)
+            keep = np.zeros(len(pr), dtype=bool)
+            for t, (g1, g2, inter) in enumerate(zip(ga, gb, inters)):
+                prim = _min_primitive(g1, g2)
+                if prim >= 1:
+                    inter = _drop_degenerate(
+                        inter.collection_extract(prim), prim
+                    )
+                if not inter.is_empty():
+                    pieces[t] = W.dumps(inter.force_multi())
+                    keep[t] = True
+            sel = np.nonzero(keep)[0]
+            out = pdf.iloc[pr[sel]].copy()
+            out["_l2id"] = (
+                ids[pl[sel]] if ids is not None else pl[sel].astype("int64")
+            )
+            out["_piece"] = [pieces[t] for t in sel]
+            yield out
+
+    probe_out = df1.mapInPandas(_probe, schema=schema)
+    if with_l2:
+        l2a = prefix_columns(df2, "l2_")
+        matched = probe_out.join(
+            F.broadcast(l2a),
+            probe_out["_l2id"] == l2a[f"l2_{id_col}"],
+            "inner",
+        ).drop("_l2id")
+    else:
+        matched = probe_out.drop("_l2id")
+    for c in df1.columns:
+        matched = matched.withColumnRenamed(c, f"l1_{c}")
+    return matched
 
 
 def _shared_overlay_parts(
@@ -1012,16 +1175,17 @@ def _shared_overlay_parts(
     -only pairs (intersects=True, piece=NULL) subtract nothing, so
     piece-based matching leaves every branch's result identical — their
     subjects now pass through verbatim instead of being renoded."""
-    pairs, _ = candidate_pairs(
-        df1, df2, res=res, geom_col1=geom_col, geom_col2=geom_col,
-        light_ids=(id_col, id_col),
-    )
     g1, g2 = f"l1_{geom_col}", f"l2_{geom_col}"
-    matched = cache.track(
-        pairs.withColumn("_piece", _pair_intersection_udf(F.col(g1), F.col(g2)))
-        .where(F.col("_piece").isNotNull())
-        .persist()
-    )
+    matched = _broadcast_pairs_matched(df1, df2, geom_col, id_col)
+    if matched is None:
+        pairs, _ = candidate_pairs(
+            df1, df2, res=res, geom_col1=geom_col, geom_col2=geom_col,
+            light_ids=(id_col, id_col),
+        )
+        matched = pairs.withColumn(
+            "_piece", _pair_intersection_udf(F.col(g1), F.col(g2))
+        ).where(F.col("_piece").isNotNull())
+    matched = cache.track(matched.persist())
 
     inter = d12 = d21 = None
     if need[0]:
