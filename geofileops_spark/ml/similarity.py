@@ -120,6 +120,29 @@ def srp_bucket_expr(vec_col, dim: int, nbits: int, plane_offset: int = 0):
     return bucket
 
 
+import os as _os
+
+_ANN_BCAST_BYTES = int(
+    _os.environ.get("GFO_ANN_BROADCAST_BYTES", str(64 * 1024 * 1024))
+)
+
+
+def _bucket_join(q: DataFrame, c: DataFrame) -> DataFrame:
+    """Bucket-equi join of the query side against the corpus. The query
+    side is broadcast ONLY when its raw scan fits the byte budget (the
+    intended dimension-sized query set); an over-budget or
+    unestimable query side (e.g. ``lsh_topk(corpus, corpus)`` self
+    search) takes a shuffled hash join instead of broadcasting the whole
+    corpus — the same guard pattern as the spatial joins
+    (join.py `_scan_size_bytes` + byte/row caps)."""
+    from ..operators.join import _scan_size_bytes
+
+    sz = _scan_size_bytes(q)
+    if sz is not None and 0 < sz <= _ANN_BCAST_BYTES:
+        return F.broadcast(q).join(c, "_bucket")
+    return q.hint("shuffle_hash").join(c, "_bucket")
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -143,7 +166,7 @@ def lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")
     ).withColumn("_bucket", srp_bucket_expr("_cv", dim, nbits))
-    pairs = F.broadcast(q).join(c, "_bucket")
+    pairs = _bucket_join(q, c)
     if not include_self:
         pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.withColumn(
@@ -243,7 +266,7 @@ def ivf_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")
     ).withColumn("_bucket", F.explode(nearest_centroids_expr("_qv", cents, nprobe)))
-    pairs = F.broadcast(q).join(c, "_bucket")
+    pairs = _bucket_join(q, c)
     if not include_self:
         pairs = pairs.where(F.col("query_id") != F.col("neighbor_id"))
     scored = pairs.withColumn(

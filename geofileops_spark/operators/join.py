@@ -66,20 +66,118 @@ _PIP_PRED = {
 }
 
 
+def _pip_pairs_flat(pts: np.ndarray, geoms: list) -> np.ndarray:
+    """Elementwise 0/1/2 classification of (point_i, geometry_i) pairs —
+    the pair-FLATTENED twin of ``kernels.points_in_multipolygon`` with
+    identical EPS formulas, for batches where the per-distinct-geometry
+    loop degenerates (many distinct small polygons with ~1 point each,
+    e.g. interior-points-vs-parcels): all pairs' ring segments run
+    through one set of whole-batch numpy sweeps."""
+    from ..geometry.kernels import EPS
+
+    n = len(geoms)
+    codes = np.zeros(n, dtype=np.int8)
+    rings: list[np.ndarray] = []
+    ring_pair: list[int] = []
+    ring_hole: list[bool] = []
+    poly_starts: list[int] = []  # index into rings where each poly starts
+    poly_pair: list[int] = []
+    for i, g in enumerate(geoms):
+        for poly in g.polygons():
+            poly_starts.append(len(rings))
+            poly_pair.append(i)
+            for rj, r in enumerate(poly):
+                rings.append(r)
+                ring_pair.append(i)
+                ring_hole.append(rj > 0)
+    if not rings:
+        return codes
+    R = len(rings)
+    m = np.fromiter(
+        (len(r) - 1 if len(r) > 1 else 0 for r in rings), np.int64, count=R
+    )
+    segs_s = [r[:-1] for r in rings if len(r) > 1]
+    segs_e = [r[1:] for r in rings if len(r) > 1]
+    S = np.concatenate(segs_s) if segs_s else np.empty((0, 2))
+    E = np.concatenate(segs_e) if segs_e else np.empty((0, 2))
+    rp = np.asarray(ring_pair, dtype=np.int64)
+    seg_ring = np.repeat(np.arange(R), m)
+    p_of_seg = rp[seg_ring]
+    x = pts[p_of_seg, 0]
+    y = pts[p_of_seg, 1]
+    x1 = S[:, 0]
+    y1 = S[:, 1]
+    dx = E[:, 0] - x1
+    dy = E[:, 1] - y1
+    rx = x - x1
+    ry = y - y1
+    cross = rx * dy - ry * dx
+    seg_len2 = dx * dx + dy * dy
+    on_line = cross * cross <= (EPS * 1e6) ** 2 * np.maximum(seg_len2, EPS)
+    dot = rx * dx + ry * dy
+    on_seg = on_line & (dot >= -EPS) & (dot <= seg_len2 + EPS)
+    cond = (y1 > y) != (E[:, 1] > y)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        xints = x1 + (y - y1) * dx / np.where(dy == 0, np.inf, dy)
+    crossed = cond & (x < xints)
+    ring_code = np.zeros(R, dtype=np.int8)
+    starts = np.concatenate(([0], np.cumsum(m)))[:-1]
+    nz = np.nonzero(m > 0)[0]
+    if len(nz):
+        on_b = np.zeros(R, dtype=bool)
+        on_b[nz] = np.add.reduceat(on_seg, starts[nz]) > 0
+        par = np.zeros(R, dtype=np.int64)
+        par[nz] = np.add.reduceat(crossed.astype(np.int64), starts[nz])
+        ring_code[(par % 2) == 1] = 2
+        ring_code[on_b] = 1
+    # combine per polygon: exterior code modified by holes (same order
+    # and rules as points_in_polygon), then max per pair
+    hole_arr = np.asarray(ring_hole, dtype=bool)
+    poly_starts.append(R)
+    for k in range(len(poly_pair)):
+        lo, hi = poly_starts[k], poly_starts[k + 1]
+        res = ring_code[lo]
+        for j in range(lo + 1, hi):
+            h = ring_code[j]
+            if res == 2 and h == 2:
+                res = 0
+            elif res == 2 and h == 1:
+                res = 1
+        i = poly_pair[k]
+        if res > codes[i]:
+            codes[i] = res
+    return codes
+
+
 def _pip_fast_path(pred_name: str, wkb1: pd.Series, wkb2: pd.Series):
     """Vectorized point-in-polygon evaluation for a whole Arrow batch:
     decode all left POINTs at once (fixed 21-byte WKB layout), group by
     distinct right geometry (zones repeat thousands of times per batch),
-    classify with numpy ray casting. Returns a bool ndarray or None when
-    the batch isn't all-points / the predicate isn't expressible."""
+    classify with numpy ray casting. When the grouping degenerates (many
+    distinct geometries with few points each — the inverted
+    interior-point-vs-parcels shape), all pairs flatten into ONE sweep
+    instead (``_pip_pairs_flat``, identical formulas). Returns a bool
+    ndarray or None when the batch isn't all-points / the predicate
+    isn't expressible."""
     fn = _PIP_PRED.get(pred_name)
     if fn is None or wkb1.isna().any() or wkb2.isna().any():
         return None
     pts = W.points_from_wkb_list([bytes(b) for b in wkb1])
     if pts is None:
         return None
-    out = np.zeros(len(pts), dtype=bool)
     codes, uniques = pd.factorize(wkb2.map(bytes))
+    if len(uniques) * 64 > len(pts):
+        # few points per distinct geometry: pair-flattened sweep
+        load = _geom_cache_loader()
+        geoms = []
+        for b in uniques:
+            g2 = load(b)
+            if g2.dim() != 2:
+                return None
+            geoms.append(g2)
+        cls = _pip_pairs_flat(pts, [geoms[c] for c in codes])
+        return fn(cls)
+    out = np.zeros(len(pts), dtype=bool)
     for u, blob in enumerate(uniques):
         g2 = W.loads(blob)
         if g2.dim() != 2:
@@ -394,6 +492,22 @@ def _join_broadcast_pairs(
                     count=n,
                 )
                 ptpairs = np.nonzero(row_is_pt[pr])[0]
+                if len(ptpairs) and (
+                    len(np.unique(pl[ptpairs])) * 64 > len(ptpairs)
+                ):
+                    # inverted shape (many blades, few points each): one
+                    # pair-flattened sweep, identical formulas
+                    gb = [g2_at(int(j)) for j in pl[ptpairs]]
+                    if all(
+                        g.typ in (G.POLYGON, G.MULTIPOLYGON) for g in gb
+                    ):
+                        pts = np.stack(
+                            [g1s[int(pr[t])].data for t in ptpairs]
+                        )
+                        pip = _pip_pairs_flat(pts, gb)
+                        ok[ptpairs] = pip_pred(pip) == want
+                        handled[ptpairs] = True
+                        ptpairs = ptpairs[:0]
                 if len(ptpairs):
                     order = np.argsort(pl[ptpairs], kind="stable")
                     ptpairs = ptpairs[order]

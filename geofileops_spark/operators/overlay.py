@@ -854,7 +854,9 @@ def difference(
         # stage wall the single worst row (measured 33 s -> 26 s on the
         # 329-part complex-difference stage at 500k; empty tasks from
         # over-partitioning cost microseconds).
-        n = joined.sparkSession.sparkContext.defaultParallelism * 16
+        n = joined.sparkSession.sparkContext.defaultParallelism * int(
+            _os.environ.get("GFO_REVERSE_SPREAD", "16")
+        )
         joined = joined.repartition(n)
     diffed = joined.withColumn(
         "_diff",

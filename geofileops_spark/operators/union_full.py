@@ -213,10 +213,12 @@ def union_full_self(
     ip_layer = faces.select(
         F.col("_face_id").alias("fid"), F.col("_ip").alias(geom_col)
     ).where(F.col(geom_col).isNotNull())
-    # NOTE: the broadcast-grid PIP pairing was tried here and reverted —
-    # its per-blade vectorization is pessimal for this inverted shape
-    # (500k blades with ~1 interior point each; measured 41-44 s vs
-    # ~35 s whole-op with the cell join)
+    # NOTE: a broadcast-grid PIP attach was tried here twice and reverted
+    # both times: with the per-blade point path it measured 41-44 s
+    # whole-op, and even with the pair-flattened PIP sweep it measured
+    # 36.2-36.5 s (min-of-3/4, healthy windows) vs ~33 s for this cell
+    # join — the 500k-row grid broadcast build costs more than the
+    # candidate shuffle it replaces at this shape.
     pairs, _ = candidate_pairs(ip_layer, original, res=res, geom_col1=geom_col, geom_col2=geom_col)
     hit = pairs.where(
         query_match_udf(_INTERSECTS)(

@@ -198,3 +198,26 @@ def test_host_rollup_partial_aggregates(spark):
     )
     p = plan_of(host_rollup(docs))
     assert "partial_count" in p or "partial count" in p.lower(), p[:2000]
+
+
+def test_ann_query_broadcast_guarded(spark, monkeypatch):
+    """lsh_topk broadcasts only a budget-sized query side; an
+    over-budget query side (e.g. corpus-vs-corpus self search) must fall
+    back to a shuffled join instead of broadcasting the corpus."""
+    from geofileops_spark.ml import similarity as S
+    from geofileops_spark.sources.tpch_geo import load
+
+    emb = load(spark, SF, "embeddings")
+    small_q = emb.where(F.col("vec_id") % 50 == 0)
+    p_small = plan_of(S.lsh_topk(small_q, emb, k=3))
+    assert "BroadcastHashJoin" in p_small
+
+    # shrink the budget so the full corpus no longer fits
+    monkeypatch.setattr(S, "_ANN_BCAST_BYTES", 1)
+    p_big = plan_of(S.lsh_topk(emb, emb, k=3, include_self=False))
+    bucket_joins = [
+        l for l in p_big.splitlines()
+        if "Join" in l and "_bucket" in l
+    ]
+    assert bucket_joins, p_big
+    assert all("Broadcast" not in l for l in bucket_joins), bucket_joins
