@@ -647,6 +647,22 @@ def join_by_location(
 
 
 # -------------------------------------------------- broadcast PIP join
+def _sql_id_literal(v) -> str | None:
+    """SQL literal for a polygon id in the inline-VALUES rect table —
+    typed to match what createDataFrame's inference would produce
+    (int -> BIGINT, float -> DOUBLE, str quoted). None = type not
+    expressible; caller falls back to the Row-list path."""
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        return f"CAST({v} AS BIGINT)"
+    if isinstance(v, float):
+        return f"CAST('{v!r}' AS DOUBLE)"
+    if isinstance(v, str):
+        return "'" + v.replace("'", "''") + "'"
+    return None
+
+
 def join_points_in_polygons(
     points: DataFrame,
     polys: DataFrame,
@@ -702,21 +718,44 @@ def join_points_in_polygons(
                 break
             rects.append((pid, r4))
     if rects is not None and 0 < len(rects) <= 10_000:
-        from pyspark.sql import Row
-
         spark = points.sparkSession
-        rdf = spark.createDataFrame(
-            [
-                Row(
-                    **{
-                        poly_id_col: pid,
-                        "_rx0": float(x0), "_ry0": float(y0),
-                        "_rx1": float(x1), "_ry1": float(y1),
-                    }
-                )
-                for pid, (x0, y0, x1, y1) in rects
-            ]
-        )
+        # inline VALUES table (LocalRelation), not createDataFrame: the
+        # latter materializes through applySchemaToPythonRDD — a
+        # Python-RDD job inside every broadcast build, ~0.3 s of
+        # width-independent fixed cost per call. A literal-only inline
+        # table folds to a LocalRelation, so the broadcast builds from
+        # driver-resident rows with no job at all. repr(float) is the
+        # shortest round-trip decimal, and Spark's DOUBLE cast parses it
+        # back to the identical IEEE-754 value.
+        id_lits = [_sql_id_literal(pid) for pid, _ in rects]
+        if all(lit is not None for lit in id_lits):
+            vals = ", ".join(
+                f"({lit}, CAST('{float(x0)!r}' AS DOUBLE),"
+                f" CAST('{float(y0)!r}' AS DOUBLE),"
+                f" CAST('{float(x1)!r}' AS DOUBLE),"
+                f" CAST('{float(y1)!r}' AS DOUBLE))"
+                for lit, (_pid, (x0, y0, x1, y1)) in zip(id_lits, rects)
+            )
+            rdf = spark.sql(
+                f"SELECT * FROM VALUES {vals} AS rects"
+                f"(`{poly_id_col}`, _rx0, _ry0, _rx1, _ry1)"
+            )
+        else:
+            # exotic id types: the original Row-list path
+            from pyspark.sql import Row
+
+            rdf = spark.createDataFrame(
+                [
+                    Row(
+                        **{
+                            poly_id_col: pid,
+                            "_rx0": float(x0), "_ry0": float(y0),
+                            "_rx1": float(x1), "_ry1": float(y1),
+                        }
+                    )
+                    for pid, (x0, y0, x1, y1) in rects
+                ]
+            )
         if poly_id_col in points.columns:
             # match the UDF paths' withColumn semantics: the output id
             # column REPLACES a same-named points column
