@@ -1012,6 +1012,7 @@ def clip(
 def _broadcast_pairs_matched(
     df1: DataFrame, df2: DataFrame, geom_col: str, id_col: str,
     with_l2: bool = True,
+    self_half_uid: str | None = None,
 ) -> DataFrame | None:
     """Zero-shuffle matched-pairs frame for the pairwise overlays — the
     overlay twin of ``join._join_broadcast_pairs``: layer 2 is
@@ -1029,7 +1030,14 @@ def _broadcast_pairs_matched(
     skips the attribute join and emits only df1 columns + ``_piece``
     (the clip shape — the clip layer contributes no attributes).
     Returns None when layer 2 is over budget / empty / has no usable
-    int id."""
+    int id.
+
+    ``self_half_uid``: for SELF-pairings (df1 is df2), name of the
+    int64 row-id column; candidate pairs are pre-filtered to
+    ``uid1 < uid2`` INSIDE the probe, before the intersection kernel —
+    a post-hoc ``where(l1_uid < l2_uid)`` would compute every unordered
+    pair's intersection twice and throw one away (requires
+    ``with_l2=True`` so the broadcast carries the ids)."""
     import os
 
     from pyspark.sql.types import IntegerType, LongType, StructField, StructType
@@ -1109,6 +1117,10 @@ def _broadcast_pairs_matched(
             pr, pl = _batch_candidates(
                 B, ukey, starts, ends, srow, big_rows, csz, x0, y0, bbv
             )
+            if self_half_uid is not None and len(pr):
+                suid = pdf[self_half_uid].to_numpy(np.int64)
+                m = suid[pr] < ids[pl]
+                pr, pl = pr[m], pl[m]
             if len(pr) == 0:
                 yield pdf.iloc[0:0].assign(
                     _l2id=pd.Series(dtype="int64"),

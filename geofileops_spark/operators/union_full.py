@@ -78,11 +78,16 @@ def _overlap_half_pairs(cur: DataFrame, geom_col: str, res: int | None) -> DataF
 
     # zero-shuffle broadcast-grid pairing + fused pair kernel when the
     # working set fits the broadcast budget (checkpointed frames report
-    # accurate stats); the distributed cell join stays the fallback
-    matched = _broadcast_pairs_matched(cur, cur, geom_col, "_uid")
+    # accurate stats); the distributed cell join stays the fallback.
+    # self_half_uid drops the uid1 >= uid2 candidates INSIDE the probe,
+    # before the intersection kernel — the previous post-hoc where()
+    # computed every unordered pair's intersection twice (once per
+    # orientation) and discarded one: half the pass-0 kernel work.
+    matched = _broadcast_pairs_matched(
+        cur, cur, geom_col, "_uid", self_half_uid="_uid"
+    )
     if matched is not None:
-        half = matched.where(F.col("l1__uid") < F.col("l2__uid"))
-        return half.withColumnRenamed("_piece", "_inter")
+        return matched.withColumnRenamed("_piece", "_inter")
     pairs, _ = candidate_pairs(
         cur, cur, res=res, geom_col1=geom_col, geom_col2=geom_col,
         light_ids=("_uid", "_uid"),
@@ -173,19 +178,33 @@ def union_full_self(
             .groupBy("_uid")
             .agg(F.collect_list("_pg").alias("_others"))
         )
-        joined = cur.join(partners, on="_uid", how="left")
+        # both face branches below consume the join — persist so the
+        # partner aggregation runs once, not once per branch
+        from .. import cache
 
-        # lonely rows + (row minus partners) -> faces
+        joined = cache.track(cur.join(partners, on="_uid", how="left").persist())
+
+        # lonely rows + (row minus partners) -> faces. TWO branches, not
+        # a when() over the UDF: Catalyst pulls Python UDFs into an
+        # ArrowEvalPython node that evaluates them for EVERY row
+        # regardless of the condition, so the single-branch shape shipped
+        # all ~500k subjects (89% partner-less on the parcels bench)
+        # through the Python worker to pass most of them back verbatim.
         from .overlay import _combine_vs_union_udf
 
-        diffed = joined.withColumn(
+        lonely = joined.where(F.col("_others").isNull()).select(
+            F.col(geom_col)
+        )
+        diffed = joined.where(F.col("_others").isNotNull()).withColumn(
             "_face",
-            F.when(F.col("_others").isNull(), F.col(geom_col)).otherwise(
-                _combine_vs_union_udf("difference")(F.col(geom_col), F.col("_others"))
+            _combine_vs_union_udf("difference")(
+                F.col(geom_col), F.col("_others")
             ),
         )
-        new_faces = diffed.where(F.col("_face").isNotNull()).select(
-            F.col("_face").alias(geom_col)
+        new_faces = lonely.unionByName(
+            diffed.where(F.col("_face").isNotNull()).select(
+                F.col("_face").alias(geom_col)
+            )
         )
         faces = new_faces if faces is None else faces.unionByName(new_faces)
 
