@@ -858,27 +858,24 @@ def difference(
             _os.environ.get("GFO_REVERSE_SPREAD", "16")
         )
         joined = joined.repartition(n)
-    diffed = joined.withColumn(
+    # TWO branches, not a when() over the UDF: Catalyst evaluates a
+    # Python UDF inside when() for EVERY row, so the single-branch shape
+    # shipped every candidate-less subject (the vast majority when the
+    # erase layer is localized, e.g. 500k parcels vs 3 complex rings)
+    # through the Python worker just to pass its WKB back verbatim.
+    # Persisted so the lonely and hit branches share one join execution.
+    joined = cache.track(joined.persist())
+    lonely = joined.where(F.col("_others").isNull()).drop("_others")
+    hit = joined.where(F.col("_others").isNotNull()).withColumn(
         "_diff",
-        F.when(
-            F.col("_others").isNotNull(),
-            _combine_vs_union_udf(diff_mode)(F.col(geom_col), F.col("_others")),
-        ),
+        _combine_vs_union_udf(diff_mode)(F.col(geom_col), F.col("_others")),
     )
     # no candidates -> pass through; candidates + empty result -> drop
     # (DIFF_EMPTY), unless keep_empty_geoms retains them with NULL geometry
-    if keep_empty_geoms:
-        out = diffed.withColumn(
-            geom_col,
-            F.when(F.col("_others").isNull(), F.col(geom_col)).otherwise(
-                F.col("_diff")
-            ),
-        ).drop("_diff", "_others")
-    else:
-        out = diffed.where(F.col("_others").isNull() | F.col("_diff").isNotNull())
-        out = out.withColumn(
-            geom_col, F.coalesce(F.col("_diff"), F.col(geom_col))
-        ).drop("_diff", "_others")
+    if not keep_empty_geoms:
+        hit = hit.where(F.col("_diff").isNotNull())
+    hit = hit.withColumn(geom_col, F.col("_diff")).drop("_diff", "_others")
+    out = lonely.unionByName(hit)
     return _postprocess(
         out, geom_col, gridsize, explodecollections, where_post, keep_empty_geoms
     )
