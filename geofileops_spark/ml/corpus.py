@@ -352,8 +352,7 @@ def curate_corpus(
         & (F.coalesce(F.col("punct_ratio"), F.lit(0.0)) <= max_punct_ratio)
     )
     picked = stratified_sample(gated, strata, quota, id_col=id_col)
-    return picked.select(
-        id_col,
-        *strata,
-        n_tokens_ws(F.col(text_col)).cast("long").alias("n_tokens"),
-    )
+    # reuse the n_tokens computed for the gate instead of re-deriving it
+    # from text (same expression, same value — one less pass over the
+    # text bytes in the output projection)
+    return picked.select(id_col, *strata, "n_tokens")

@@ -503,16 +503,31 @@ def lm_cross_entropy(
     bi = _cache.track(bi.persist())
     bi_counts = bi.groupBy("prev", "tok").agg(F.count("*").alias("c_bi"))
     ctx_counts = bi_counts.groupBy("prev").agg(F.sum("c_bi").alias("c_ctx"))
-    vocab_n = bi.select("tok").union(bi.select("prev")).distinct().count()
-    logp = bi_counts.join(ctx_counts, "prev").select(
-        "prev",
-        "tok",
-        (
-            F.log2(
-                (F.col("c_bi") + F.lit(k))
-                / (F.col("c_ctx") + F.lit(k) * F.lit(float(vocab_n)))
-            )
-        ).alias("_lp"),
+    # vocabulary size INSIDE the plan (1-row aggregate, broadcast cross
+    # join) instead of an eager distinct().count() at construction time:
+    # building the returned DataFrame no longer triggers a full
+    # tokenize+shuffle job, keeping the op as lazy as the rest of the
+    # operator surface. The smoothing arithmetic is unchanged — the
+    # count cast to double is the same value the literal carried.
+    vocab = (
+        bi.select("tok")
+        .union(bi.select("prev"))
+        .distinct()
+        .agg(F.count("*").cast("double").alias("_vocab_n"))
+    )
+    logp = (
+        bi_counts.join(ctx_counts, "prev")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "prev",
+            "tok",
+            (
+                F.log2(
+                    (F.col("c_bi") + F.lit(k))
+                    / (F.col("c_ctx") + F.lit(k) * F.col("_vocab_n"))
+                )
+            ).alias("_lp"),
+        )
     )
     return (
         bi.join(logp, ["prev", "tok"])
