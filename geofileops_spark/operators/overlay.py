@@ -1207,18 +1207,22 @@ def _shared_overlay_parts(
         cands = matched.groupBy(F.col(key).alias(id_col)).agg(
             F.collect_list(F.col(other_geom)).alias("_others")
         )
-        joined = base.join(cands, on=id_col, how="left")
-        diffed = joined.withColumn(
+        # lonely/hit branch split (same rationale as difference()'s
+        # tail): a when() over the UDF ships every candidate-less row
+        # through the Python worker; persisted so both branches share
+        # one join execution
+        joined = cache.track(base.join(cands, on=id_col, how="left").persist())
+        lonely = joined.where(F.col("_others").isNull()).drop("_others")
+        hit = joined.where(F.col("_others").isNotNull()).withColumn(
             "_diff",
-            F.when(
-                F.col("_others").isNotNull(),
-                _combine_vs_union_udf("difference")(F.col(geom_col), F.col("_others")),
-            ),
+            _combine_vs_union_udf("difference")(F.col(geom_col), F.col("_others")),
         )
-        out = diffed.where(F.col("_others").isNull() | F.col("_diff").isNotNull())
-        return out.withColumn(
-            geom_col, F.coalesce(F.col("_diff"), F.col(geom_col))
-        ).drop("_diff", "_others")
+        hit = (
+            hit.where(F.col("_diff").isNotNull())
+            .withColumn(geom_col, F.col("_diff"))
+            .drop("_diff", "_others")
+        )
+        return lonely.unionByName(hit)
 
     if need[1]:
         d12 = _diff_side(df1, f"l1_{id_col}", g2)

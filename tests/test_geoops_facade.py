@@ -235,3 +235,67 @@ def test_named_file_api_twins(spark, tmp_path):
                 gfo.get_only_layer(spark)
     finally:
         spark.catalog.dropTempView(view)
+
+
+def test_interior_points_batch_matches_per_row():
+    """The vectorized interior-point scanline must be byte-identical to
+    the per-row predicates.interior_point loop it replaces — including
+    the multipolygon first-poly path, holes (fallback), sub-EPS slivers
+    (fallback) and NULLs."""
+    import numpy as np
+
+    from geofileops_spark.geometry import predicates as P
+    from geofileops_spark.geometry import wkb as W
+    from geofileops_spark.geometry.geom import POLYGON, Geometry
+    from geofileops_spark.operators.union_full import _interior_points_batch
+
+    rng = np.random.default_rng(11)
+
+    def _boxring(cx, cy, s, rev=False):
+        b = np.array(
+            [[cx - s, cy - s], [cx + s, cy - s], [cx + s, cy + s],
+             [cx - s, cy + s], [cx - s, cy - s]], dtype=np.float64
+        )
+        return b[::-1].copy() if rev else b
+
+    blobs = []
+    for i in range(4000):
+        kind = i % 10
+        if kind < 5:
+            k = int(rng.integers(4, 12))
+            ang = np.sort(rng.uniform(0, 2 * np.pi, k))
+            r = rng.uniform(1, 3, k)
+            cx, cy = rng.uniform(-100, 100, 2)
+            ring = np.column_stack(
+                [cx + r * np.cos(ang), cy + r * np.sin(ang)]
+            )
+            g = Geometry(POLYGON, [np.vstack([ring, ring[:1]])])
+        elif kind < 7:
+            g = Geometry.multipolygon(
+                [[_boxring(0, 0, 1)], [_boxring(10, 0, 2)]]
+            )
+        elif kind < 8:
+            g = Geometry(
+                POLYGON, [_boxring(0, 0, 4), _boxring(0, 0, 1, rev=True)]
+            )
+        elif kind < 9:
+            ring = np.array(
+                [[0, 0], [5, 1e-13], [10, 0], [5, -1e-13], [0, 0]], float
+            )
+            g = Geometry(POLYGON, [ring])
+        else:
+            g = None
+        blobs.append(None if g is None else W.dumps(g))
+
+    expected = []
+    for b in blobs:
+        if b is None:
+            expected.append(None)
+            continue
+        pts = P.geom_interior_points(W.loads(bytes(b)))
+        expected.append(
+            None if len(pts) == 0
+            else W.dumps(Geometry.point(float(pts[0, 0]), float(pts[0, 1])))
+        )
+    got = _interior_points_batch(blobs)
+    assert got == expected
