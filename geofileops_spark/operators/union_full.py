@@ -35,7 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BinaryType
+from pyspark.sql.types import BinaryType, LongType, StructField, StructType
 
 from ..geometry import clip as C
 from ..geometry import wkb as W
@@ -191,6 +191,172 @@ def _interior_points_batch(vals: list) -> list:
 @pandas_udf(BinaryType())
 def _interior_point_udf(wkb: pd.Series) -> pd.Series:
     return pd.Series(_interior_points_batch(list(wkb)))
+
+
+def _attach_hits_fast(
+    faces: DataFrame,
+    original: DataFrame,
+    geom_col: str,
+    id_col: str,
+    attr_cols: list,
+    max_points: int = 4_000_000,
+) -> DataFrame | None:
+    """(face, contributor) pairs with the broadcast orientation INVERTED:
+    a grid over the interior POINTS (21 bytes each — ~25 MB for 561k
+    faces) is broadcast and the ORIGINAL layer streams map-side through
+    one vectorized PIP sweep. The previously-tried parcel-grid attach
+    was reverted twice because packing+broadcasting 500k parcel
+    geometries cost more than the candidate cell shuffle; the point
+    side is two orders of magnitude lighter to build, the parcels never
+    shuffle at all, and only (id, attrs, _face_id) rows leave the probe.
+
+    Candidates are point-in-parcel-bbox (a SUBSET of the cell join's
+    shared-cover-cell candidates; any pair it drops has the point
+    strictly outside the parcel bbox, which the exact oracle's
+    intersects rejects too). The membership test is the same
+    ``_pip_pairs_flat`` classification (>= 1 == intersects is True)
+    the cell join's refine uses. Returns None (caller falls back to
+    the cell join) when the point side exceeds ``max_points``, a point
+    blob is not a plain little-endian POINT, or ids overflow the grid
+    key space."""
+    import numpy as np
+
+    from ..geometry import predicates as P
+    from ..geometry.geom import Geometry
+    from .join import _pip_pairs_flat
+
+    spark = faces.sparkSession
+    pdf = (
+        faces.select("_face_id", "_ip")
+        .where(F.col("_ip").isNotNull())
+        .toPandas()
+    )
+    if not (0 < len(pdf) <= max_points):
+        return None
+    pts = W.points_from_wkb_list([bytes(b) for b in pdf["_ip"]])
+    if pts is None or not np.isfinite(pts).all():
+        return None
+    fids = pdf["_face_id"].to_numpy(np.int64)
+
+    xs = pts[:, 0]
+    ys = pts[:, 1]
+    gx0 = float(xs.min())
+    gy0 = float(ys.min())
+    span = max(float(xs.max() - gx0), float(ys.max() - gy0), 1e-9)
+    csz = span / 1024.0
+    cx = np.floor((xs - gx0) / csz).astype(np.int64)
+    cy = np.floor((ys - gy0) / csz).astype(np.int64)
+    ny = int(cy.max()) + 2
+    key = cx * ny + cy
+    order = np.argsort(key, kind="stable")
+    skey = key[order]
+    bc = spark.sparkContext.broadcast(
+        (fids, pts, order.astype(np.int64), skey, csz, gx0, gy0, ny)
+    )
+
+    slim = original.select(id_col, *attr_cols, geom_col)
+    out_schema = StructType(
+        [f for f in slim.schema.fields if f.name != geom_col]
+        + [StructField("_face_id", LongType())]
+    )
+
+    def _probe(batches):
+        import numpy as _np
+        import pandas as _pd
+
+        fids_, pts_, order_, skey_, csz_, gx0_, gy0_, ny_ = bc.value
+        pxs = pts_[:, 0]
+        pys = pts_[:, 1]
+        for pdfb in batches:
+            n = len(pdfb)
+            if n == 0:
+                yield pdfb.drop(columns=[geom_col]).assign(
+                    _face_id=_pd.Series(dtype="int64")
+                )
+                continue
+            col = pdfb[geom_col].to_numpy(object)
+            B = W.bounds_from_wkb_batch(col.tolist())
+            ok = _np.isfinite(B[:, 0])
+            cx0 = _np.zeros(n, dtype=_np.int64)
+            cx1 = _np.full(n, -1, dtype=_np.int64)
+            cy0 = _np.zeros(n, dtype=_np.int64)
+            cy1 = _np.full(n, -1, dtype=_np.int64)
+            if ok.any():
+                cx0[ok] = _np.floor((B[ok, 0] - gx0_) / csz_).astype(_np.int64)
+                cx1[ok] = _np.floor((B[ok, 2] - gx0_) / csz_).astype(_np.int64)
+                cy0[ok] = _np.clip(
+                    _np.floor((B[ok, 1] - gy0_) / csz_).astype(_np.int64),
+                    0, ny_ - 1,
+                )
+                cy1[ok] = _np.clip(
+                    _np.floor((B[ok, 3] - gy0_) / csz_).astype(_np.int64),
+                    -1, ny_ - 1,
+                )
+            ncols = _np.maximum(cx1 - cx0 + 1, 0)
+            rows_rep = _np.repeat(_np.arange(n), ncols)
+            if len(rows_rep):
+                coff = _np.arange(len(rows_rep)) - _np.repeat(
+                    _np.concatenate(([0], _np.cumsum(ncols)))[:-1], ncols
+                )
+                cxx = cx0[rows_rep] + coff
+                lo = _np.searchsorted(skey_, cxx * ny_ + cy0[rows_rep])
+                hi = _np.searchsorted(
+                    skey_, cxx * ny_ + cy1[rows_rep], side="right"
+                )
+                m = _np.maximum(hi - lo, 0)
+                tot = int(m.sum())
+            else:
+                tot = 0
+            if tot == 0:
+                yield pdfb.iloc[0:0].drop(columns=[geom_col]).assign(
+                    _face_id=_pd.Series(dtype="int64")
+                )
+                continue
+            flat = _np.repeat(lo, m) + (
+                _np.arange(tot)
+                - _np.repeat(_np.concatenate(([0], _np.cumsum(m)))[:-1], m)
+            )
+            cand_pt = order_[flat]
+            cand_row = _np.repeat(rows_rep, m)
+            # exact bbox membership (boundary-inclusive)
+            keep = (
+                (pxs[cand_pt] >= B[cand_row, 0])
+                & (pxs[cand_pt] <= B[cand_row, 2])
+                & (pys[cand_pt] >= B[cand_row, 1])
+                & (pys[cand_pt] <= B[cand_row, 3])
+            )
+            cand_pt = cand_pt[keep]
+            cand_row = cand_row[keep]
+            if len(cand_pt) == 0:
+                yield pdfb.iloc[0:0].drop(columns=[geom_col]).assign(
+                    _face_id=_pd.Series(dtype="int64")
+                )
+                continue
+            geoms = {}
+            for r in _np.unique(cand_row).tolist():
+                geoms[r] = W.loads(bytes(col[r]))
+            areal = _np.fromiter(
+                (geoms[int(r)].dim() == 2 for r in cand_row),
+                dtype=bool, count=len(cand_row),
+            )
+            hit = _np.zeros(len(cand_row), dtype=bool)
+            ai = _np.nonzero(areal)[0]
+            if len(ai):
+                cls = _pip_pairs_flat(
+                    pts_[cand_pt[ai]], [geoms[int(r)] for r in cand_row[ai]]
+                )
+                hit[ai] = cls >= 1
+            for t in _np.nonzero(~areal)[0].tolist():
+                g_pt = Geometry.point(
+                    float(pxs[cand_pt[t]]), float(pys[cand_pt[t]])
+                )
+                hit[t] = bool(P.intersects(g_pt, geoms[int(cand_row[t])]))
+            sel = _np.nonzero(hit)[0]
+            out = pdfb.iloc[cand_row[sel]].drop(columns=[geom_col]).copy()
+            out["_face_id"] = fids_[cand_pt[sel]]
+            yield out
+
+    return slim.mapInPandas(_probe, schema=out_schema)
 
 
 def _overlap_half_pairs(cur: DataFrame, geom_col: str, res: int | None) -> DataFrame:
@@ -357,33 +523,50 @@ def union_full_self(
     faces = faces.withColumn(
         "_face_id", F.monotonically_increasing_id()
     ).localCheckpoint(eager=True)
-    ip_layer = faces.select(
-        F.col("_face_id").alias("fid"), F.col("_ip").alias(geom_col)
-    ).where(F.col(geom_col).isNotNull())
-    # NOTE: a broadcast-grid PIP attach was tried here twice and reverted
-    # both times: with the per-blade point path it measured 41-44 s
-    # whole-op, and even with the pair-flattened PIP sweep it measured
-    # 36.2-36.5 s (min-of-3/4, healthy windows) vs ~33 s for this cell
-    # join — the 500k-row grid broadcast build costs more than the
-    # candidate shuffle it replaces at this shape.
-    pairs, _ = candidate_pairs(ip_layer, original, res=res, geom_col1=geom_col, geom_col2=geom_col)
-    hit = pairs.where(
-        query_match_udf(_INTERSECTS)(
-            F.col(f"l1_{geom_col}"), F.col(f"l2_{geom_col}")
-        )
+    # contributors: interior-point-in-original pairs. Fast path inverts
+    # the broadcast orientation — the POINT side (21 B/row) is grid-
+    # broadcast and the original layer streams map-side, so the parcels
+    # never shuffle and only (id, attrs, _face_id) rows leave the probe.
+    # (A PARCEL-grid attach was tried twice in earlier sessions and
+    # reverted: packing+broadcasting 500k parcel geometries cost more
+    # than the candidate cell shuffle. The points side is two orders of
+    # magnitude lighter.) Fallback: the distributed cell join.
+    hits_fast = _attach_hits_fast(
+        faces, original, geom_col, id_col, attr_cols
     )
-    # contributors as structs (id first => array_sort orders by id),
-    # carrying every requested attribute column alongside the id
-    contrib = hit.groupBy(F.col("l1_fid").alias("_face_id")).agg(
-        F.array_sort(
-            F.collect_list(
-                F.struct(
-                    F.col(f"l2_{id_col}").alias(id_col),
-                    *[F.col(f"l2_{c}").alias(c) for c in attr_cols],
+    if hits_fast is not None:
+        contrib = hits_fast.groupBy("_face_id").agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(id_col),
+                        *[F.col(c) for c in attr_cols],
+                    )
                 )
+            ).alias("_contrib")
+        )
+    else:
+        ip_layer = faces.select(
+            F.col("_face_id").alias("fid"), F.col("_ip").alias(geom_col)
+        ).where(F.col(geom_col).isNotNull())
+        pairs, _ = candidate_pairs(ip_layer, original, res=res, geom_col1=geom_col, geom_col2=geom_col)
+        hit = pairs.where(
+            query_match_udf(_INTERSECTS)(
+                F.col(f"l1_{geom_col}"), F.col(f"l2_{geom_col}")
             )
-        ).alias("_contrib")
-    )
+        )
+        # contributors as structs (id first => array_sort orders by id),
+        # carrying every requested attribute column alongside the id
+        contrib = hit.groupBy(F.col("l1_fid").alias("_face_id")).agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(f"l2_{id_col}").alias(id_col),
+                        *[F.col(f"l2_{c}").alias(c) for c in attr_cols],
+                    )
+                )
+            ).alias("_contrib")
+        )
     out = faces.join(contrib, on="_face_id", how="inner").select(
         geom_col, "_contrib"
     )

@@ -299,3 +299,37 @@ def test_interior_points_batch_matches_per_row():
         )
     got = _interior_points_batch(blobs)
     assert got == expected
+
+
+def test_union_full_attach_fast_matches_cell_join(spark, monkeypatch):
+    """The inverted (point-broadcast) attach must produce exactly the
+    contributor sets of the cell-join attach on an overlapping layer."""
+    import numpy as np
+
+    from geofileops_spark.geometry import wkb as W
+    from geofileops_spark.geometry.geom import Geometry
+    from geofileops_spark.operators import union_full as UF
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(120):
+        cx, cy = rng.uniform(0, 40, 2)
+        s = rng.uniform(0.8, 2.5)
+        rows.append(
+            (i + 1, f"t{i % 7}",
+             bytearray(W.dumps(Geometry.box(cx - s, cy - s, cx + s, cy + s))))
+        )
+    df = spark.createDataFrame(rows, "fid long, tag string, geom_wkb binary")
+
+    def norm(out):
+        return sorted(
+            (bytes(r["geom_wkb"]), r["nb_intersecting"], tuple(r["fids"]),
+             tuple(r["tag"]))
+            for r in out.collect()
+        )
+
+    fast = norm(UF.union_full_self(df, agg_shape="LISTS"))
+    monkeypatch.setattr(UF, "_attach_hits_fast", lambda *a, **k: None)
+    slow = norm(UF.union_full_self(df, agg_shape="LISTS"))
+    assert fast == slow
+    assert len(fast) > 120  # overlaps actually decomposed
